@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet loaders for the driver testdata star schema (TESTDATA.md /
+  * FIXTURES.md §2). Every operator takes `(SparkSession, sfDir)` and
+  * reads through here so source concerns (format, projection pushdown,
+  * future DSv2 swaps) live in one place.
+  *
+  * The reference loads CSV into MongoDB and reads collections back
+  * (`DataLoader.scala:38-50,78-90`); our storage layer is columnar
+  * parquet, which gives column pruning + predicate pushdown for free.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; read it as a nanos long (legacy flag) and truncate to a
+    * microsecond TimestampType with integer division (`div`, not `/`:
+    * float division of ~1.7e18 ns loses precision past 2^53). Matches
+    * DuckDB's own ns→µs truncation, so oracles line up.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+
+  /** Number of synthetic products the `events` stream is mapped onto.
+    * The reference's catalog has 96 products (`products.csv`); we use a
+    * deterministic `event_id % N` projection at comparable cardinality.
+    */
+  val NumProducts = 200
+
+  /** Synthetic ratings `(userId, productId, score, ts)` derived
+    * deterministically from `events`, standing in for the reference's
+    * `Rating(userId, productId, score, timestamp)`
+    * (`DataLoader.scala:106-107`). Score is squashed into the
+    * reference's 0.5–5.0 range. Used by the ALS / streaming pipelines;
+    * not oracle-checked itself (the derivation is engine-internal).
+    */
+  def ratings(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("user_id").cast("int").as("userId"),
+      (col("event_id") % NumProducts).cast("int").as("productId"),
+      // value is 0.01..~500 with 2 decimals; fold onto 0.5..5.0
+      (round(pmod(col("value"), lit(4.5)), 1) + lit(0.5)).as("score"),
+      col("ts").cast("long").as("ts"))
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** The reference's statistics batch job re-expressed Spark-first:
+  * three aggregation queries over the ratings stream
+  * (`StatisticsRecommender.scala:54-55,79-86,101-102` — A1/A2/A3 +
+  * F1/O1 in SURVEY §2), transplanted onto the testdata `events` table
+  * with `event_id % N` as the product key.
+  *
+  * All three are single-shuffle hash aggregations (partial map-side
+  * combine + final) — at 100 TB the only exchange is on the grouping
+  * key, and the global sorts are range-partitioned by Spark's
+  * `orderBy`. The reference's `changeDate` UDF
+  * (`StatisticsRecommender.scala:73-76`) becomes the codegen'd
+  * built-in `date_format` under a pinned UTC session zone, so it
+  * stays prunable and never leaves whole-stage codegen.
+  */
+object Statistics {
+
+  private val prodId = (col("event_id") % Tables.NumProducts).as("product_id")
+
+  /** A1 + O1 — historical popularity: rating count per product. */
+  val rateMoreProducts: QueryDef = QueryDef.sql(
+    "q01_rate_more_products",
+    s"""SELECT event_id % ${Tables.NumProducts} AS product_id,
+       | count(*) AS cnt FROM events GROUP BY product_id
+       | ORDER BY cnt DESC, product_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(prodId)
+      .groupBy("product_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("product_id"))
+  }
+
+  /** A2 + F1 + O1 — recent popularity: counts per (yyyyMM, product). */
+  val rateMoreRecently: QueryDef = QueryDef.sql(
+    "q02_rate_more_recently",
+    s"""SELECT CAST(strftime(ts, '%Y%m') AS INT) AS yearmonth,
+       | event_id % ${Tables.NumProducts} AS product_id, count(*) AS cnt
+       | FROM events GROUP BY yearmonth, product_id
+       | ORDER BY yearmonth DESC, cnt DESC, product_id""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(
+        date_format(col("ts"), "yyyyMM").cast("int").as("yearmonth"),
+        prodId)
+      .groupBy("yearmonth", "product_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("yearmonth"), desc("cnt"), asc("product_id"))
+  }
+
+  /** A3 — average score per product. Sum goes through DECIMAL so the
+    * result is independent of partition/merge order (a plain double
+    * sum is not associative and would flake against the oracle).
+    */
+  val averageScore: QueryDef = QueryDef.sql(
+    "q03_avg_score",
+    s"""SELECT event_id % ${Tables.NumProducts} AS product_id,
+       | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+       | AS avg_score FROM events GROUP BY product_id
+       | ORDER BY product_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(prodId, col("value"))
+      .groupBy("product_id")
+      .agg(round(
+        sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 4).as("avg_score"))
+      .orderBy("product_id")
+  }
+
+  /** F1 — the reference's epoch→yyyyMM `changeDate` UDF as built-in
+    * date expressions (no UDF: stays codegen'd and pushdown-friendly).
+    */
+  val dateConvert: QueryDef = QueryDef.sql(
+    "q14_date_convert",
+    """SELECT event_id, ts, CAST(strftime(ts, '%Y%m') AS INT) AS yearmonth,
+      | CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date FROM events
+      | ORDER BY event_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("ts"),
+        date_format(col("ts"), "yyyyMM").cast("int").as("yearmonth"),
+        to_date(col("ts")).cast("string").as("event_date"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(rateMoreProducts, rateMoreRecently, averageScore, dateConvert)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant tests for the batch relational surface. Exact
+  * value parity is the DuckDB oracle's job (driver gate + tools/
+  * check.py); here we assert structural invariants at sf0.001.
+  */
+class BatchQueriesSpec extends SparkSpec {
+
+  test("all registered queries run and schemas are non-empty") {
+    SparkEntry.allDefs.foreach { q =>
+      val df = q.fn(spark, sfTiny)
+      assert(df.columns.nonEmpty, s"${q.name} has no columns")
+    }
+  }
+
+  test("every query with an oracle has matching name discipline") {
+    // column aliases must be stable snake_case identifiers — the driver
+    // sorts columns by name before hashing
+    SparkEntry.allDefs.filter(_.oracle.isDefined).foreach { q =>
+      q.fn(spark, sfTiny).columns.foreach { c =>
+        assert(c.matches("[a-z][a-z0-9_]*"), s"${q.name}: bad column '$c'")
+      }
+    }
+  }
+
+  test("q01 counts sum to total events") {
+    val total = Tables.events(spark, sfTiny).count()
+    val summed = ops.Statistics.rateMoreProducts.fn(spark, sfTiny)
+      .agg(sum("cnt")).head.getLong(0)
+    assert(summed == total)
+  }
+
+  test("q11 top-k emits at most 3 rows per customer, rank-ordered") {
+    val df = ops.Relational.topKPerGroup.fn(spark, sfTiny)
+    val over = df.groupBy("o_custkey").count().filter(col("count") > 3)
+    assert(over.isEmpty)
+    assert(df.filter(col("rn") > 3).isEmpty)
+  }
+
+  test("q08 anti join excludes exactly the pending-order holders") {
+    val anti = ops.Relational.antiJoin.fn(spark, sfTiny)
+    val withP = Tables.orders(spark, sfTiny)
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey")).distinct().count()
+    val total = Tables.customer(spark, sfTiny).count()
+    assert(anti.count() == total - withP)
+  }
+
+  test("q16 rmse is a single positive scalar") {
+    val v = ops.Scalars.rmse.fn(spark, sfTiny).head.getDouble(0)
+    assert(v > 0 && v < 100)
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

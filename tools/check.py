@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB with the
+sfDir tables registered as views, and compares: schema (column names,
+sorted), row count, and cell values (exact for non-floats, tiny eps for
+floats). Exit code 1 if any query mismatches.
+"""
+import sys, json, glob, math
+import duckdb
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = p.split("/")[-1].removesuffix(".parquet")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracles.items()):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            failures.append((name, "no spark output written"))
+            continue
+        got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
+        got_cols = [d[0] for d in con.sql(
+            f"SELECT * FROM '{res_dir}/*.parquet' LIMIT 0").description]
+        try:
+            exp_rel = con.sql(sql)
+            exp = exp_rel.fetchall()
+            exp_cols = [d[0] for d in exp_rel.description]
+        except Exception as e:
+            failures.append((name, f"oracle SQL failed: {e}"))
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            failures.append((name, f"schema: {got_cols} vs {exp_cols}"))
+            continue
+        if len(got) != len(exp):
+            failures.append((name, f"rows: {len(got)} vs {len(exp)}"))
+            continue
+        # align column order by sorted name (driver sorts by name)
+        gperm = [got_cols.index(c) for c in sorted(got_cols)]
+        eperm = [exp_cols.index(c) for c in sorted(exp_cols)]
+        bad = 0
+        first = None
+        for i, (g, e) in enumerate(zip(got, exp)):
+            for gi, ei in zip(gperm, eperm):
+                a, b = g[gi], e[ei]
+                if a is None and b is None:
+                    continue
+                if isinstance(a, float) and isinstance(b, float):
+                    if a != b and not (math.isnan(a) and math.isnan(b)):
+                        # driver hashes — exact match needed; report any diff
+                        bad += 1
+                        if first is None:
+                            first = (i, sorted(got_cols)[gperm.index(gi)] if False else got_cols[gi], a, b)
+                        break
+                elif a != b:
+                    bad += 1
+                    if first is None:
+                        first = (i, got_cols[gi], a, b)
+                    break
+        if bad:
+            failures.append((name, f"{bad}/{len(got)} rows differ; first: row {first[0]} col {first[1]}: {first[2]!r} vs {first[3]!r}"))
+        else:
+            print(f"OK    {name} ({len(got)} rows)")
+    # queries with no oracle: rows-only check
+    for res in sorted(glob.glob(f"{out_dir}/*/")):
+        name = res.rstrip("/").split("/")[-1]
+        if name in oracles:
+            continue
+        n = con.sql(f"SELECT count(*) FROM '{res}/*.parquet'").fetchone()[0]
+        status = "OK(rows)" if n > 0 else "EMPTY"
+        print(f"{status:9s} {name} ({n} rows)")
+        if n == 0:
+            failures.append((name, "rows-only check: 0 rows"))
+    if failures:
+        print("\nFAILURES:")
+        for n, msg in failures:
+            print(f"FAIL  {n}: {msg}")
+        sys.exit(1)
+    print("\nall green")
+
+if __name__ == "__main__":
+    main()

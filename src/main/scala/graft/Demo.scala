@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Library usage demo / manual drive harness: exercises the public
+  * API surface (sources, vector expressions, a query) end-to-end.
+  * `sbt "runMain graft.Demo [sfDir]"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val refRes = "/root/reference/recommender/DataLoader/src/main/resources"
+    if (new java.io.File(s"$refRes/products.csv").exists()) {
+      val p = sources.DelimitedSource.products(spark, s"$refRes/products.csv")
+      println(s"products.csv -> ${p.count()} rows")
+      p.select("productId", "categories").show(2, truncate = false)
+    }
+
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val sims = a.crossJoin(b)
+      .select(col("ia"), col("ib"),
+        functions.VectorFunctions.cosine_sim(col("va"), col("vb")).as("sim"))
+    println("cosine self-similarity sample (expect sim=1.0 on diagonal):")
+    sims.filter(col("ia") === col("ib")).orderBy("ia").show(3)
+    println("plan (expect WholeStageCodegen around the cross join + cosine):")
+    sims.explain("formatted")
+
+    val flagship = SparkEntry.entry(spark)
+    println(s"flagship entry() -> ${flagship.count()} rows")
+    flagship.show(truncate = false)
+    spark.stop()
+  }
+}

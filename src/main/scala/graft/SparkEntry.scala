@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs
+    ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs ++
+      ml.Recommend.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,165 @@
+package graft.ml
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions.cosine_sim
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's offline recommender (`OfflineRecommender.scala`,
+  * `ALSTrainer.scala`) rebuilt on the DataFrame ML API:
+  *
+  *   - M1 ALS train: `mllib.ALS.train(rank=50, iter=5, lambda=0.01)`
+  *     (`OfflineRecommender.scala:64-68`) → `ml.recommendation.ALS`
+  *     with a pinned seed and `coldStartStrategy=drop`.
+  *   - J1+P3+A4 user-recs: the reference materializes the full
+  *     user×product cartesian grid, predicts, then groupByKey+sort
+  *     (`OfflineRecommender.scala:71-84`). We call
+  *     `recommendForAllUsers(20)` — blocked BLAS top-k that never
+  *     materializes the grid; this is THE scale-critical rewrite
+  *     (100 TB: grid is |U|×|P| rows, top-k is |U|×k).
+  *   - J2+P5+A5 item-item similarity: cartesian self-join of latent
+  *     factors + jblas cosine (`OfflineRecommender.scala:94-116`) →
+  *     cross join over `itemFactors` with the codegen'd
+  *     [[graft.functions.CosineSimilarity]] expression, threshold
+  *     0.6 (`OfflineRecommender.scala:105`), windowed top-20 per
+  *     product. For catalogs where n² is infeasible the LSH path in
+  *     `graft.search.Ann` replaces the cross join.
+  *   - M4-M6 RMSE evaluation: 80/20 split + grid search
+  *     (`ALSTrainer.scala:41-79`) → `RegressionEvaluator("rmse")`.
+  *
+  * ALS output is seed-pinned but not bitwise reproducible across
+  * cluster layouts, so these are rows-only checks (no SQL oracle).
+  */
+object Recommend {
+
+  val Rank = 20
+  val MaxIter = 5
+  val RegParam = 0.01
+  val TopK = 20
+  val SimThreshold = 0.6
+
+  private val modelCache = new ConcurrentHashMap[String, ALSModel]()
+
+  private def als: ALS = new ALS()
+    .setUserCol("userId").setItemCol("productId").setRatingCol("score")
+    .setRank(Rank).setMaxIter(MaxIter).setRegParam(RegParam)
+    .setSeed(42L).setColdStartStrategy("drop")
+
+  /** Train-once-per-sfDir (Verify/Bench run several ALS-derived
+    * queries in one JVM; retraining per query would be pure waste).
+    */
+  def model(spark: SparkSession, dir: String): ALSModel =
+    modelCache.computeIfAbsent(dir, _ => {
+      val ratings = Tables.ratings(spark, dir)
+        .groupBy("userId", "productId").agg(avg("score").as("score"))
+        .cache()
+      als.fit(ratings)
+    })
+
+  /** M2/A4 — top-20 recommendations per user, flattened flat table
+    * `(user_id, rank, product_id, score)` for stable row output.
+    */
+  val userRecs: QueryDef = QueryDef.rowsOnly("q20_als_user_recs") {
+    (s, d) =>
+      model(s, d).recommendForAllUsers(TopK)
+        .select(col("userId"),
+          posexplode(col("recommendations")).as(Seq("pos", "rec")))
+        .select(
+          col("userId").cast("long").as("user_id"),
+          (col("pos") + 1).as("rank"),
+          col("rec.productId").cast("long").as("product_id"),
+          col("rec.rating").cast("double").as("score"))
+        .orderBy("user_id", "rank")
+  }
+
+  /** M3 — latent item factors `(product_id, dim, weight)`. */
+  val itemFactors: QueryDef = QueryDef.rowsOnly("q21_als_item_factors") {
+    (s, d) =>
+      model(s, d).itemFactors
+        .select(col("id"), posexplode(col("features")).as(Seq("dim", "weight")))
+        .select(
+          col("id").cast("long").as("product_id"),
+          col("dim"),
+          col("weight").cast("double").as("weight"))
+        .orderBy("product_id", "dim")
+  }
+
+  /** J2/P4/P5/A5/F2 — item-item cosine similarity matrix, threshold
+    * 0.6, top-20 per product. Exact path: n×n cross join with the
+    * codegen'd cosine expression (fine to ~10⁴ items; beyond that the
+    * LSH approxSimilarityJoin in `graft.search.Ann` is the plan).
+    */
+  val itemSims: QueryDef = QueryDef.rowsOnly("q22_item_sim_cosine") {
+    (s, d) =>
+      val f = model(s, d).itemFactors
+        .select(col("id"), col("features"))
+      val a = f.select(col("id").as("pid_a"), col("features").as("fa"))
+      val b = f.select(col("id").as("pid_b"), col("features").as("fb"))
+      val w = Window.partitionBy("product_id")
+        .orderBy(desc("sim"), asc("sim_product_id"))
+      a.crossJoin(b)
+        .filter(col("pid_a") =!= col("pid_b"))
+        .select(
+          col("pid_a").cast("long").as("product_id"),
+          col("pid_b").cast("long").as("sim_product_id"),
+          round(cosine_sim(col("fa"), col("fb")), 6).as("sim"))
+        .filter(col("sim") > SimThreshold)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .orderBy("product_id", "rank")
+  }
+
+  /** M4-M6 — held-out RMSE of the production params on an 80/20
+    * split (`ALSTrainer.scala:41-79`), as a single-row result.
+    */
+  val alsRmse: QueryDef = QueryDef.rowsOnly("q23_als_rmse") { (s, d) =>
+    import s.implicits._
+    val ratings = Tables.ratings(s, d)
+      .groupBy("userId", "productId").agg(avg("score").as("score"))
+    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val m = als.fit(train)
+    val rmse = evaluateRmse(m, test)
+    Seq(rmse).toDF("rmse").select(round(col("rmse"), 6).as("rmse"))
+  }
+
+  def evaluateRmse(m: ALSModel, test: DataFrame): Double =
+    new RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol("score")
+      .setPredictionCol("prediction")
+      .evaluate(m.transform(test))
+
+  /** M5 — grid search over (rank, regParam) by held-out RMSE
+    * (`ALSTrainer.scala:53-63`); emits the whole grid, best first.
+    * Kept small (2×2) so the bench run stays bounded; the full
+    * reference grid is a parameter change, not a code change.
+    */
+  val gridSearch: QueryDef = QueryDef.rowsOnly("q24_als_grid_search") {
+    (s, d) =>
+      import s.implicits._
+      val ratings = Tables.ratings(s, d)
+        .groupBy("userId", "productId").agg(avg("score").as("score"))
+        .cache()
+      val Array(train, test) =
+        ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+      train.cache(); test.cache()
+      val grid = for {
+        rank <- Seq(10, 20)
+        reg <- Seq(0.01, 0.1)
+      } yield {
+        val m = als.setRank(rank).setRegParam(reg).fit(train)
+        (rank, reg, evaluateRmse(m, test))
+      }
+      ratings.unpersist()
+      grid.toDF("rank", "reg_param", "rmse")
+        .select(col("rank"), col("reg_param"), round(col("rmse"), 6).as("rmse"))
+        .orderBy("rmse", "rank", "reg_param")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(userRecs, itemFactors, itemSims, alsRmse, gridSearch)
+}

@@ -14,7 +14,8 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs ++
-      ml.Recommend.defs
+      ml.Recommend.defs ++ dedup.Dedup.defs ++ search.Ann.defs ++
+      text.TextAnalysis.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

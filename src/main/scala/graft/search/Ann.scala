@@ -1,0 +1,99 @@
+package graft.search
+
+import graft.{QueryDef, Tables}
+import graft.functions.HashFunctions.hyperplane_sig
+import graft.functions.VectorFunctions.cosine_sim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table: exact brute-force
+  * top-k as the correctness baseline, and a random-hyperplane-LSH
+  * bucketed variant as the scale path (signature bands shuffle-join
+  * instead of the all-pairs cross join).
+  */
+object Ann {
+
+  val K = 5
+  private val NumQueries = 10
+
+  private def queryVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** Exact brute-force cosine top-k per query vector. The query side
+    * is tiny → broadcast; the corpus is scanned once; per-query top-k
+    * comes from a rank-limited window (WindowGroupLimit keeps
+    * per-partition heaps, so nothing materializes the full score
+    * matrix). Oracle-checked against DuckDB list_cosine_similarity.
+    */
+  val bruteForce: QueryDef = QueryDef.sql(
+    "q35_ann_bruteforce",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       | FROM embeddings WHERE vec_id < $NumQueries),
+       | s AS (SELECT query_id, vec_id AS neighbor_id,
+       |  list_cosine_similarity(CAST(qv AS DOUBLE[]),
+       |  CAST(embedding AS DOUBLE[])) AS sim
+       |  FROM q JOIN embeddings ON vec_id <> query_id),
+       | r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+       | SELECT query_id, neighbor_id, round(sim, 4) AS sim,
+       |  CAST(rn AS INT) AS rank FROM r WHERE rn <= $K
+       | ORDER BY query_id, rank""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    broadcast(queryVecs(s, d))
+      .join(corpus, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: 24-bit hyperplane signatures
+    * (codegen'd [[graft.functions.HyperplaneSignature]]) split into
+    * four 6-bit bands; a corpus vector is a candidate if it shares
+    * any band value with the query. Only candidates get the exact
+    * cosine. At 100 TB the corpus signature table is computed once
+    * (narrow), and the per-band join is an equi shuffle — recall is
+    * tuned by nbits/bands (more, narrower bands ⇒ higher recall,
+    * more candidates), never by widening to all pairs.
+    */
+  val lshTopK: QueryDef = QueryDef.rowsOnly("q36_ann_lsh") { (s, d) =>
+    def banded(df: DataFrame, vecCol: String, idAs: String) =
+      df.select(col(idAs), col(vecCol),
+          hyperplane_sig(col(vecCol), 24).as("sig"))
+        .select(col(idAs), col(vecCol),
+          posexplode(array((0 until 4).map(i =>
+            shiftrightunsigned(col("sig"), i * 6).bitwiseAND(lit(0x3F))): _*))
+            .as(Seq("band", "band_val")))
+    val q = banded(
+      Tables.embeddings(s, d).filter(col("vec_id") < NumQueries)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("embedding", "qv"), "qv", "query_id")
+    val c = banded(
+      Tables.embeddings(s, d)
+        .withColumnRenamed("vec_id", "neighbor_id"), "embedding",
+      "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    broadcast(q).join(c, Seq("band", "band_val"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "qv", "embedding").distinct()
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK)
+}

@@ -1,0 +1,163 @@
+package graft.text
+
+import graft.{QueryDef, Tables}
+import graft.dedup.Dedup.shingles
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over the
+  * `documents` table: corpus stats, token counting, quality scoring,
+  * n-gram language ID, bottom-k fingerprinting. All per-row work is
+  * narrow (no shuffle except the explicit groupBys), so every query
+  * scales linearly with corpus size.
+  */
+object TextAnalysis {
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Per-document surface statistics. Counts cast to long so Spark's
+    * int `size`/`length` match DuckDB's int64 list/char lengths.
+    */
+  val textStats: QueryDef = QueryDef.sql(
+    "q37_text_stats",
+    """SELECT doc_id, n_chars, length(text) AS len,
+      | len(string_split(text, ' ')) AS n_words,
+      | len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+      | round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
+      | AS chars_per_word
+      | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), col("n_chars"),
+      length(col("text")).cast("long").as("len"),
+      size(toks(col("text"))).cast("long").as("n_words"),
+      size(array_distinct(toks(col("text")))).cast("long")
+        .as("n_distinct_words"),
+      round(length(col("text")).cast("double") / size(toks(col("text"))), 4)
+        .as("chars_per_word"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus rollup per language/source. Integer sums are exact in
+    * both engines, so no DECIMAL dance is needed.
+    */
+  val langStats: QueryDef = QueryDef.sql(
+    "q38_lang_stats",
+    """SELECT lang, source, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      | round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+      | FROM documents GROUP BY lang, source
+      | ORDER BY lang, source""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(sum("n_chars").cast("double") / count(lit(1)), 4)
+          .as("avg_chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword
+    * estimate (runs of ≤4 letters — a cheap stand-in for learned
+    * merges; the regex is codegen'd, no UDF).
+    */
+  val tokenCount: QueryDef = QueryDef.sql(
+    "q39_token_count",
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      | len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+      | len(regexp_extract_all(text, '[a-z]{1,4}')) AS subword_tokens
+      | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+        .cast("long").as("word_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+        .cast("long").as("subword_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: stopword ratio (fluency proxy) blended with a
+    * saturating length credit — the shape of the reference-free
+    * quality filters used in corpus curation.
+    */
+  val qualityScore: QueryDef = QueryDef.sql(
+    "q40_quality_score",
+    s"""SELECT doc_id,
+       | len(list_filter(string_split(text, ' '),
+       |   t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))
+       |   AS stop_cnt,
+       | len(string_split(text, ' ')) AS n_words,
+       | round(
+       |   0.5 * (CAST(len(list_filter(string_split(text, ' '),
+       |     t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))
+       |     AS DOUBLE) / len(string_split(text, ' ')))
+       | + 0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+       |     1.0), 4) AS quality
+       | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val t = toks(col("text"))
+    val stopCnt = size(filter(t, x => x.isin(stopwords: _*)))
+    val nWords = size(t)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      stopCnt.cast("long").as("stop_cnt"),
+      nWords.cast("long").as("n_words"),
+      round(
+        lit(0.5) * (stopCnt.cast("double") / nWords) +
+          lit(0.5) * least(nWords.cast("double") / 100.0, lit(1.0)),
+        4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: score each candidate language by hits
+    * against a tiny stopword profile, pick the argmax (deterministic
+    * tiebreak by profile order). Declarative argmax: array of
+    * (score, lang) structs → array_max picks lexicographically.
+    */
+  val langId: QueryDef = QueryDef.rowsOnly("q41_lang_id") { (s, d) =>
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "a"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+      "fr" -> Seq("le", "la", "et", "les", "est", "une"),
+      "es" -> Seq("el", "los", "de", "y", "es", "una"),
+      "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta"))
+    val t = toks(col("text"))
+    val scored = array(profiles.map { case (lang, words) =>
+      struct(
+        size(filter(t, x => x.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      array_max(scored).getField("lang").as("predicted_lang"),
+      array_max(scored).getField("score").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: bottom-4 sketch of word-trigram shingle
+    * hashes (order-invariant, locally-sensitive rolling-hash family —
+    * Broder's sketching), collapsed to one 64-bit value. Equal
+    * fingerprints ⇒ near-identical shingle sets.
+    */
+  val fingerprint: QueryDef = QueryDef.rowsOnly("q42_fingerprint") { (s, d) =>
+    val hashes = array_sort(
+      transform(shingles(col("text"), 3), sh => xxhash64(sh)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      xxhash64(concat_ws(",",
+        transform(slice(hashes, 1, 4), h => h.cast("string"))))
+        .as("fingerprint"),
+      slice(hashes, 1, 4).as("sketch"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    textStats, langStats, tokenCount, qualityScore, langId, fingerprint)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.HashFunctions._
+import graft.search.Ann
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash: permuted/duplicated token sets give identical signatures") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),          // permutation
+      (3L, "alpha beta gamma delta alpha"),    // duplicate token
+      (4L, "totally different words here")
+    ).toDF("id", "text")
+      .select(col("id"),
+        simhash64(array_distinct(split(col("text"), " "))).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) == sigs(3L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("minhash LSH finds all high-jaccard pairs found by brute force") {
+    val docs = Tables.documents(spark, sfTiny)
+    val toks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("t"))
+    val a = toks.select(col("doc_id").as("da"), col("t").as("ta"))
+    val b = toks.select(col("doc_id").as("db"), col("t").as("tb"))
+    val exact = a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("j",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("j") >= 0.9)
+      .select(col("da"), col("db"))
+    val lsh = Dedup.minhashPairs(docs, 32, 8, 0.9)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    val nExact = exact.count()
+    val missed = exact.except(lsh).count()
+    info(s"exact pairs=$nExact, missed by LSH=$missed")
+    assert(nExact > 0, "fixture should contain near-dup docs")
+    // 8 bands x 4 rows at s>=0.9: candidate probability ~0.9998
+    assert(missed <= nExact / 50, s"LSH missed $missed of $nExact")
+  }
+
+  test("LSH ANN results are a subset of valid neighbors with exact sims") {
+    val brute = Ann.bruteForce.fn(spark, sfTiny)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val lsh = Ann.lshTopK.fn(spark, sfTiny)
+    // every lsh (query, neighbor, sim) must carry the true cosine:
+    // check agreement where pairs coincide with brute-force top-k
+    val joined = lsh.alias("l").join(brute.alias("b"),
+      Seq("query_id", "neighbor_id"))
+      .filter(abs(col("l.sim") - col("b.sim")) > 1e-9)
+    assert(joined.isEmpty)
+    // recall@5 is approximate but must be nonzero overall
+    val hits = lsh.join(brute, Seq("query_id", "neighbor_id")).count()
+    info(s"LSH recall@5 overlap = $hits / ${brute.count()}")
+    assert(hits > 0)
+  }
+
+  test("hyperplane signature is deterministic and respects nbits") {
+    val e = Tables.embeddings(spark, sfTiny).limit(100)
+    val s1 = e.select(col("vec_id"), hyperplane_sig(col("embedding"), 16).as("s"))
+    val s2 = e.select(col("vec_id"), hyperplane_sig(col("embedding"), 16).as("s"))
+    assert(s1.except(s2).isEmpty)
+    assert(s1.filter(col("s") < 0 || col("s") >= 65536).isEmpty)
+  }
+
+  test("exact dedup keeps one keeper per distinct text") {
+    val d = Dedup.exact.fn(spark, sfTiny)
+    val docs = Tables.documents(spark, sfTiny)
+    assert(d.agg(sum("dup_cnt")).head.getLong(0) == docs.count())
+    assert(d.select("fingerprint").distinct().count() == d.count())
+  }
+
+  test("quality score is within [0,1]") {
+    val q = text.TextAnalysis.qualityScore.fn(spark, sfTiny)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).isEmpty)
+  }
+
+  test("lang_id predicts a language for every document") {
+    val l = text.TextAnalysis.langId.fn(spark, sfTiny)
+    assert(l.filter(col("predicted_lang").isNull).isEmpty)
+    assert(l.count() == Tables.documents(spark, sfTiny).count())
+  }
+}

@@ -14,8 +14,9 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs ++
-      ml.Recommend.defs ++ dedup.Dedup.defs ++ search.Ann.defs ++
-      text.TextAnalysis.defs
+      ops.TopK.defs ++ ml.Recommend.defs ++ dedup.Dedup.defs ++
+      search.Ann.defs ++ text.TextAnalysis.defs ++
+      streaming.Rescoring.defs ++ mm.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

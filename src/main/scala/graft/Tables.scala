@@ -62,5 +62,5 @@ object Tables {
       (col("event_id") % NumProducts).cast("int").as("productId"),
       // value is 0.01..~500 with 2 decimals; fold onto 0.5..5.0
       (round(pmod(col("value"), lit(4.5)), 1) + lit(0.5)).as("score"),
-      col("ts").cast("long").as("ts"))
+      col("ts"))
 }

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's streaming rescorer
+  * (`StreamingRecommender.scala:116-263`) re-expressed set-oriented:
+  * what the reference does with 3 external RPCs *per rating event*
+  * (Redis recent-ratings lrange, broadcast sim-matrix probe, Mongo
+  * rated-set query) becomes joins + aggregations per micro-batch, so
+  * the per-event cost is amortized into set-at-a-time operators that
+  * Catalyst plans (broadcast joins for the sim matrix, left-anti for
+  * the rated set).
+  *
+  * The scoring formula is the reference's
+  * `computeProductScores` + `getRecentRatings`
+  * (`StreamingRecommender.scala:151-159,197-231,250-252`):
+  * candidate score = avg(sim × recentScore) + log10(#high + 1) −
+  * log10(#low + 1), high = rating > 3.
+  */
+object Rescoring {
+
+  val RecentK = 20      // MAX_USER_RATING_NUM  (StreamingRecommender.scala:48)
+  val SimK = 20         // MAX_SIM_PRODUCTS_NUM (StreamingRecommender.scala:50)
+  val OutK = 5
+
+  /** Deterministic co-occurrence item similarity (users-who-rated-both
+    * normalized by popularity): sim(p,q) = |U_p ∩ U_q| / √(|U_p|·|U_q|).
+    * Unlike the ALS-factor cosine matrix it is exactly reproducible in
+    * ANSI SQL, which lets the full rescoring pipeline be
+    * oracle-checked end-to-end.
+    */
+  def coocSims(ratings: DataFrame): DataFrame = {
+    val cnt = ratings.groupBy("productId").agg(count(lit(1)).as("c"))
+    val a = ratings.select(col("userId"), col("productId").as("pa"))
+    val b = ratings.select(col("userId"), col("productId").as("pb"))
+    a.join(b, "userId").filter(col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      .join(cnt.select(col("productId").as("pa"), col("c").as("ca")), "pa")
+      .join(cnt.select(col("productId").as("pb"), col("c").as("cb")), "pb")
+      .select(col("pa"), col("pb"),
+        (col("n").cast("double") / sqrt((col("ca") * col("cb")).cast("double")))
+          .as("sim"))
+  }
+
+  /** Batch rescoring: given per-user recent ratings and an item-sim
+    * matrix, produce top-`OutK` fresh recommendations per user —
+    * the exact dataflow the reference runs per event, as one plan:
+    * J4 (sim lookup) → J5/P6 (drop already-rated, left-anti) →
+    * A8/A9 (weighted avg + log-bias counters) → O3 (top-k).
+    */
+  def rescore(recent: DataFrame, sims: DataFrame, rated: DataFrame)
+      : DataFrame = {
+    val simTop = {
+      val w = Window.partitionBy("pa").orderBy(desc("sim"), asc("pb"))
+      sims.withColumn("srn", row_number().over(w)).filter(col("srn") <= SimK)
+    }
+    val candidates = recent
+      .join(simTop, recent("productId") === simTop("pa"))
+      .select(col("userId"), col("pb").as("candidate"),
+        col("sim"), col("score"))
+      .join(rated.select(col("userId"),
+          col("productId").as("candidate")),
+        Seq("userId", "candidate"), "left_anti")
+    val scored = candidates.groupBy("userId", "candidate")
+      .agg(
+        (sum((col("sim") * col("score")).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1))).as("base"),
+        count(when(col("score") > 3, lit(1))).as("incr"),
+        count(when(col("score") <= 3, lit(1))).as("decr"))
+      .select(col("userId"), col("candidate"),
+        round(col("base") + log10(col("incr") + 1) - log10(col("decr") + 1), 4)
+          .as("rec_score"))
+    val w = Window.partitionBy("userId")
+      .orderBy(desc("rec_score"), asc("candidate"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= OutK)
+  }
+
+  /** The full pipeline as an oracle-checked batch query over `events`:
+    * derive ratings, build co-occurrence sims, take each user's 20
+    * most recent ratings, rescore, emit top-5 per user. This is the
+    * reference's most complex dataflow (EP3) with every step
+    * SQL-expressible, so correctness is hash-gated — the streaming
+    * variant below reuses exactly these operators per micro-batch.
+    */
+  val rescoreBatch: QueryDef = QueryDef.sql(
+    "q25_stream_rescore_batch",
+    s"""WITH ratings AS (
+       |  SELECT user_id AS userId, event_id % ${Tables.NumProducts} AS productId,
+       |         round(fmod(value, 4.5), 1) + 0.5 AS score, ts
+       |  FROM events),
+       | cnt AS (SELECT productId, count(*) AS c FROM ratings GROUP BY productId),
+       | cooc AS (
+       |  SELECT a.productId AS pa, b.productId AS pb, count(*) AS n
+       |  FROM ratings a JOIN ratings b
+       |    ON a.userId = b.userId AND a.productId <> b.productId
+       |  GROUP BY pa, pb),
+       | sims AS (
+       |  SELECT pa, pb,
+       |    CAST(n AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS sim
+       |  FROM cooc JOIN cnt ca ON cooc.pa = ca.productId
+       |            JOIN cnt cb ON cooc.pb = cb.productId),
+       | sim_top AS (
+       |  SELECT pa, pb, sim, row_number() OVER
+       |    (PARTITION BY pa ORDER BY sim DESC, pb) AS srn FROM sims),
+       | recent AS (
+       |  SELECT userId, productId, score, row_number() OVER
+       |    (PARTITION BY userId ORDER BY ts DESC, productId) AS rrn
+       |  FROM ratings),
+       | cand AS (
+       |  SELECT r.userId, s.pb AS candidate, s.sim, r.score
+       |  FROM recent r JOIN sim_top s ON r.productId = s.pa
+       |  WHERE r.rrn <= $RecentK AND s.srn <= $SimK
+       |    AND NOT EXISTS (SELECT 1 FROM ratings rt
+       |      WHERE rt.userId = r.userId AND rt.productId = s.pb)),
+       | scored AS (
+       |  SELECT userId, candidate,
+       |    round(CAST(sum(CAST(sim * score AS DECIMAL(28,12))) AS DOUBLE)
+       |            / count(*)
+       |          + log10(count(CASE WHEN score > 3 THEN 1 END) + 1)
+       |          - log10(count(CASE WHEN score <= 3 THEN 1 END) + 1), 4)
+       |      AS rec_score
+       |  FROM cand GROUP BY userId, candidate),
+       | ranked AS (
+       |  SELECT userId, candidate, rec_score, row_number() OVER
+       |    (PARTITION BY userId ORDER BY rec_score DESC, candidate) AS rank
+       |  FROM scored)
+       | SELECT userId AS user_id, candidate AS product_id, rec_score,
+       |   CAST(rank AS INT) AS rank
+       | FROM ranked WHERE rank <= $OutK
+       | ORDER BY user_id, rank""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val ratings = Tables.ratings(s, d)
+    val recentW = Window.partitionBy("userId")
+      .orderBy(desc("ts"), asc("productId"))
+    val recent = ratings
+      .withColumn("rrn", row_number().over(recentW))
+      .filter(col("rrn") <= RecentK)
+      .select("userId", "productId", "score")
+    rescore(recent, coocSims(ratings),
+        ratings.select("userId", "productId"))
+      .select(col("userId").as("user_id"), col("candidate").as("product_id"),
+        col("rec_score"), col("rank"))
+      .orderBy("user_id", "rank")
+  }
+
+  /** S10/P7/F5 — the Kafka Streams log topology
+    * (`Application.java:20-36`, `LogProcess.java:17-25`) as a single
+    * streaming-capable projection: keep lines carrying the rating
+    * prefix, strip it, parse the `UID|MID|SCORE|TIMESTAMP` wire format
+    * (`StreamingRecommender.scala:110-113`). Works identically on a
+    * batch or streaming DataFrame with a `value: string` column.
+    */
+  def extractRatings(logLines: DataFrame): DataFrame = {
+    val payload = trim(substring_index(col("value"),
+      "PRODUCT_RATING_PREFIX:", -1))
+    val f = split(payload, "\\|")
+    logLines
+      .filter(col("value").contains("PRODUCT_RATING_PREFIX:"))
+      .select(
+        f.getItem(0).cast("int").as("userId"),
+        f.getItem(1).cast("int").as("productId"),
+        f.getItem(2).cast("double").as("score"),
+        timestamp_seconds(f.getItem(3).cast("long")).as("ts"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(rescoreBatch)
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Typed event/state records for the streaming rescorer. */
+case class RatingEvent(userId: Int, productId: Int, score: Double,
+    ts: Timestamp)
+case class RecentRatings(userId: Int, ratings: Seq[(Int, Double)])
+
+/** Structured-Streaming rebuild of EP3 (`StreamingRecommender.main`).
+  *
+  * Reference topology: Kafka DStream, 2-s micro-batches, per-event
+  * Redis/Mongo RPCs, at-most-once, processing-time only
+  * (`StreamingRecommender.scala:70,94-137`). Rebuild:
+  *
+  *   - Kafka source → `readStream.format("kafka")` (same wire format
+  *     parsed by [[Rescoring.extractRatings]]); tests drive the exact
+  *     same plan through MemoryStream.
+  *   - Redis recent-20 list (`:151-159`) → `flatMapGroupsWithState`
+  *     ring buffer keyed by user ([[StreamPipeline.recentRatings]]) —
+  *     state lives in the checkpointed state store, no side service.
+  *   - per-event rescoring (`:197-231`) → set-oriented
+  *     [[Rescoring.rescore]] per micro-batch in `foreachBatch`.
+  *   - Mongo findAndRemove+insert upsert (`:254-263`) → idempotent
+  *     last-write-wins keyed parquet upsert (replayable batches).
+  *   - event time: the reference drops the wire timestamp (`:117`);
+  *     we keep it and watermark on it, so late events age out of
+  *     state deterministically.
+  */
+object StreamPipeline {
+
+  val RecentK: Int = Rescoring.RecentK
+
+  /** Stateful last-K ratings per user (newest first), emitted on every
+    * update — the moral equivalent of the reference's Redis
+    * `lrange(0, K)` read layered over `lpush` writes.
+    */
+  def recentRatings(events: Dataset[RatingEvent])
+      : Dataset[RecentRatings] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Seq[RatingEvent], RecentRatings](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Int, batch: Iterator[RatingEvent],
+         state: GroupState[Seq[RatingEvent]]) =>
+          val prior = state.getOption.getOrElse(Seq.empty)
+          // newest-first ring buffer, capped at K — same eviction as
+          // the reference's Redis list trim
+          val updated = (batch.toSeq.sortBy(e => (e.ts.getTime, e.productId))
+            .reverse ++ prior).take(RecentK)
+          state.update(updated)
+          Iterator.single(RecentRatings(userId,
+            updated.map(e => (e.productId, e.score))))
+      }
+  }
+
+  /** Launch the full streaming job: parse log lines, maintain state,
+    * rescore per micro-batch against the (static, broadcastable) sim
+    * matrix, upsert per-user recs into `outDir`. `checkpointDir`
+    * makes recovery + exactly-once-per-batch replay semantics real.
+    */
+  def start(spark: SparkSession, logLines: DataFrame, sims: DataFrame,
+      ratedSet: DataFrame, outDir: String, checkpointDir: String)
+      : StreamingQuery = {
+    import spark.implicits._
+    val events = Rescoring.extractRatings(logLines)
+      .withWatermark("ts", "1 hour")
+      .as[RatingEvent]
+    recentRatings(events).toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("2 seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val recent = batch
+          .select(col("userId"), explode(col("ratings")).as("r"))
+          .select(col("userId"), col("r._1").as("productId"),
+            col("r._2").as("score"))
+        val recs = Rescoring.rescore(recent, sims, ratedSet)
+        upsertByKey(recs, "userId", outDir)
+      }
+      .start()
+  }
+
+  /** Idempotent keyed upsert: last write per key wins, batch replays
+    * converge (the reference's per-doc findAndRemove+insert,
+    * `StreamingRecommender.scala:254-263`, minus the RPC-per-record).
+    */
+  def upsertByKey(updates: DataFrame, key: String, dir: String): Unit = {
+    val spark = updates.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+        Some(spark.read.parquet(dir))
+      else None
+    val merged = current match {
+      case Some(cur) =>
+        cur.join(updates.select(key).distinct(), Seq(key), "left_anti")
+          .unionByName(updates)
+      case None => updates
+    }
+    val tmp = dir + "_staged"
+    merged.write.mode("overwrite").parquet(tmp)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(path, true)
+    fs.rename(tmpPath, path)
+  }
+}

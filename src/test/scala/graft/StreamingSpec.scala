@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.{Rescoring, StreamPipeline, RatingEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("extractRatings filters and parses the reference wire format") {
+    val lines = Seq(
+      "2024-01-01 INFO something PRODUCT_RATING_PREFIX:7|42|4.5|1395676800",
+      "2024-01-01 INFO unrelated log line",
+      "PRODUCT_RATING_PREFIX:8|43|2.0|1395676900"
+    ).toDF("value")
+    val got = Rescoring.extractRatings(lines)
+      .orderBy("userId").collect()
+    assert(got.length == 2)
+    assert(got(0).getInt(0) == 7 && got(0).getInt(1) == 42 &&
+      got(0).getDouble(2) == 4.5)
+    assert(got(1).getInt(0) == 8)
+  }
+
+  test("recentRatings state keeps only the newest K per user") {
+    val input = MemoryStream[RatingEvent](spark)
+    val query = StreamPipeline.recentRatings(input.toDS()).writeStream
+      .format("memory").queryName("recent_out").outputMode("append").start()
+    try {
+      // 25 ratings for user 1, two batches
+      input.addData((1 to 15).map(i => RatingEvent(1, i, i.toDouble, ts(i))))
+      query.processAllAvailable()
+      input.addData((16 to 25).map(i => RatingEvent(1, i, i.toDouble, ts(i))))
+      query.processAllAvailable()
+      val rows = spark.table("recent_out")
+        .filter(col("userId") === 1).collect()
+      // last emitted state must have exactly K entries, newest first
+      val last = rows.last.getAs[scala.collection.Seq[
+        org.apache.spark.sql.Row]]("ratings")
+      assert(last.length == StreamPipeline.RecentK)
+      assert(last.head.getInt(0) == 25, "newest rating first")
+      assert(last.last.getInt(0) == 6, "oldest retained is #6")
+    } finally query.stop()
+  }
+
+  test("full streaming pipeline: log lines -> state -> rescoring -> upsert") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val out = s"$dir/recs"
+    val ckpt = s"$dir/ckpt"
+    // toy similarity matrix: product 1 similar to 100/101, 2 to 200
+    val sims = Seq((1, 100, 0.9), (1, 101, 0.8), (2, 200, 0.7))
+      .toDF("pa", "pb", "sim")
+    val rated = Seq((7, 1), (8, 2)).toDF("userId", "productId")
+    val input = MemoryStream[String](spark)
+    val query = StreamPipeline.start(spark, input.toDF(),
+      sims, rated, out, ckpt)
+    try {
+      input.addData("x PRODUCT_RATING_PREFIX:7|1|5.0|1395676800")
+      query.processAllAvailable()
+      val recs1 = spark.read.parquet(out)
+      assert(recs1.filter(col("userId") === 7).count() == 2) // 100, 101
+      val top = recs1.filter(col("userId") === 7 && col("rank") === 1).head
+      assert(top.getAs[Int]("candidate") == 100) // higher sim wins
+      // second batch: another user; user 7's recs must survive upsert
+      input.addData("x PRODUCT_RATING_PREFIX:8|2|2.0|1395676900")
+      query.processAllAvailable()
+      val recs2 = spark.read.parquet(out)
+      assert(recs2.filter(col("userId") === 7).count() == 2)
+      assert(recs2.filter(col("userId") === 8).count() == 1) // 200
+      // score formula check: user 8 rated 2.0 (low) ->
+      // base=0.7*2.0/1=1.4, incr=0, decr=1 -> 1.4 + 0 - log10(2)
+      val s8 = recs2.filter(col("userId") === 8).head
+        .getAs[Double]("rec_score")
+      assert(math.abs(s8 - (1.4 - math.log10(2.0))) < 1e-3)
+    } finally query.stop()
+  }
+
+  test("upsertByKey is idempotent under replay") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val v1 = Seq((1, "a"), (2, "b")).toDF("userId", "v")
+    StreamPipeline.upsertByKey(v1, "userId", dir)
+    StreamPipeline.upsertByKey(v1, "userId", dir) // replay
+    val v2 = Seq((2, "b2")).toDF("userId", "v")
+    StreamPipeline.upsertByKey(v2, "userId", dir)
+    val got = spark.read.parquet(dir).orderBy("userId").collect()
+    assert(got.length == 2)
+    assert(got(1).getString(1) == "b2") // last write wins
+  }
+
+  test("topk aggregator equals window top-k") {
+    val aggQ = ops.TopK.topKAggQuery.fn(spark, sfTiny)
+    val winQ = ops.Relational.topKPerGroup.fn(spark, sfTiny)
+    assert(aggQ.count() == winQ.count())
+    assert(aggQ.except(winQ).isEmpty && winQ.except(aggQ).isEmpty)
+  }
+
+  test("multimodal feature extraction is deterministic with stable schema") {
+    val f1 = mm.Multimodal.mediaFeatures.fn(spark, sfTiny)
+    val f2 = mm.Multimodal.mediaFeatures.fn(spark, sfTiny)
+    assert(f1.schema.fieldNames.toSeq == Seq("doc_id", "mime", "n_bytes",
+      "width", "height", "channels", "frames", "embedding"))
+    assert(f1.exceptAll(f2).isEmpty)
+    assert(f1.filter(col("width") < 16 || col("channels") < 2).isEmpty)
+  }
+}

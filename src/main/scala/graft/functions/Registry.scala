@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** SQL-surface registration for the engine's custom expressions, so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works alongside the
+  * Column API. Registration is per-session and idempotent.
+  */
+object Registry {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  private def arity(name: String, got: Int, want: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$name expects $want argument(s), got $got")
+
+  def register(spark: SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, "cosine_sim", {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case e => arity("cosine_sim", e.size, "2")
+    })
+    ColumnBridge.registerFunction(spark, "dot_product", {
+      case Seq(a, b) => DotProduct(a, b)
+      case e => arity("dot_product", e.size, "2")
+    })
+    ColumnBridge.registerFunction(spark, "simhash64", {
+      case Seq(a) => SimHash64(a)
+      case e => arity("simhash64", e.size, "1")
+    })
+    ColumnBridge.registerFunction(spark, "hyperplane_sig", {
+      case Seq(v) => HyperplaneSignature(v, 16, 42L)
+      case Seq(v, n) => HyperplaneSignature(v, litInt(n, "nbits"), 42L)
+      case Seq(v, n, s) =>
+        HyperplaneSignature(v, litInt(n, "nbits"), litLong(s, "seed"))
+      case e => arity("hyperplane_sig", e.size, "1 to 3")
+    })
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic extensions beyond the reference's surface (SURVEY §2.5
+  * notes the reference has no window functions at all; §2.4 notes no
+  * grouping sets / distinct aggs / sketches). These make the engine a
+  * complete analytics surface: value windows (lag/lead/moving),
+  * rollup, semi-structured extraction, exact + approximate distinct.
+  */
+object Analytics {
+
+  /** Window analytics over the event stream per user: previous/next
+    * value, running row number, 3-row moving average. One shuffle on
+    * user_id; all four windows share the same partitioning, so
+    * Catalyst plans a single Window node.
+    */
+  val windowAnalytics: QueryDef = QueryDef.sql(
+    "q28_window_analytics",
+    """SELECT event_id, user_id, value,
+      | lag(value) OVER w AS prev_value,
+      | lead(value) OVER w AS next_value,
+      | CAST(row_number() OVER w AS INT) AS rn,
+      | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      | ORDER BY user_id, rn""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val frame = w.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("value"),
+      lag("value", 1).over(w).as("prev_value"),
+      lead("value", 1).over(w).as("next_value"),
+      row_number().over(w).as("rn"),
+      round(avg("value").over(frame), 4).as("moving_avg3"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** ROLLUP over (lang, source) with subtotal + grand-total rows.
+    * NULLS FIRST pinned on both engines (Spark's asc default vs
+    * DuckDB's NULLS LAST default would otherwise shuffle row order).
+    */
+  val rollupStats: QueryDef = QueryDef.sql(
+    "q29_rollup",
+    """SELECT lang, source, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars
+      | FROM documents GROUP BY ROLLUP (lang, source)
+      | ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+  }
+
+  /** Semi-structured extraction from the JSON `props` column — both a
+    * JSON-path read and a regexp fallback (F-surface the reference
+    * never had; its props equivalent was `|`-joined strings).
+    */
+  val jsonExtract: QueryDef = QueryDef.sql(
+    "q43_json_extract",
+    """SELECT event_id,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
+      | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_regex
+      | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_json"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+        .as("k_regex"))
+      .orderBy("event_id")
+  }
+
+  /** Exact distinct aggregation (expand + two-phase aggregate under
+    * the hood — the expensive-but-exact path).
+    */
+  val distinctAgg: QueryDef = QueryDef.sql(
+    "q44_distinct_agg",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      | FROM lineitem GROUP BY l_returnflag
+      | ORDER BY l_returnflag""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** HLL++ approximate distinct — the sketch path that replaces exact
+    * distinct at 100 TB (fixed-size sketch per group, single pass, no
+    * expand). Rows-only: HLL estimates are engine-specific.
+    */
+  val approxDistinct: QueryDef = QueryDef.rowsOnly("q45_approx_distinct") {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+          round(abs(col("approx_parts") - col("exact_parts"))
+            .cast("double") / col("exact_parts"), 4).as("rel_err"))
+        .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    windowAnalytics, rollupStats, jsonExtract, distinctAgg, approxDistinct)
+}

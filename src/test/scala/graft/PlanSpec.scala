@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: correctness tests prove the answer is right;
+  * these prove the *plan* is the one that survives a 100× scale-up —
+  * filters reach the parquet scan, small dims broadcast, top-k never
+  * fully sorts, aggregates have map-side partials.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q04: filters and projection are pushed to the parquet scan") {
+    val p = plan(ops.Relational.projectFilter.fn(spark, sfSmall))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThan(l_quantity"), "filter not pushed:\n" + p)
+    // pruned read schema: only the 4 projected + 2 filter columns
+    assert(!p.contains("l_shipdate"), "column pruning failed")
+  }
+
+  test("q07: dimension joins broadcast, no cartesian") {
+    val p = plan(ops.Relational.joinFiveWay.fn(spark, sfSmall))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the orderdate filter must reach the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)")
+      || p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q11: window top-k uses WindowGroupLimit pushdown") {
+    val p = plan(ops.Relational.topKPerGroup.fn(spark, sfSmall))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q12: global top-N is TakeOrderedAndProject, not a total sort") {
+    val p = plan(ops.Relational.sortLimit.fn(spark, sfSmall))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation has a map-side partial phase") {
+    val p = plan(ops.Statistics.rateMoreProducts.fn(spark, sfSmall))
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q35: query side of ANN is broadcast (no shuffle of the corpus)") {
+    val p = plan(search.Ann.bruteForce.fn(spark, sfSmall))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q25: rescoring plan contains no cartesian and reuses exchanges") {
+    val p = plan(streaming.Rescoring.rescoreBatch.fn(spark, sfSmall))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.Registry
+import org.apache.spark.sql.functions._
+
+class RegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    Registry.register(spark)
+    Seq((Seq(1f, 0f), Seq(1f, 0f), Seq("a", "b"))).toDF("x", "y", "t")
+      .createOrReplaceTempView("v")
+    val r = spark.sql(
+      """SELECT cosine_sim(x, y) AS cs, dot_product(x, y) AS dp,
+        | simhash64(t) AS sh, hyperplane_sig(x, 8, 7) AS hp FROM v"""
+        .stripMargin).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getLong(2) != 0L)
+    assert(r.getInt(3) >= 0 && r.getInt(3) < 256)
+  }
+
+  test("hyperplane_sig rejects non-literal nbits") {
+    Registry.register(spark)
+    Seq((Seq(1f, 0f), 8)).toDF("x", "n").createOrReplaceTempView("v2")
+    intercept[Exception] {
+      spark.sql("SELECT hyperplane_sig(x, n) FROM v2").collect()
+    }
+  }
+
+  test("cosine_sim type-checks its inputs") {
+    Registry.register(spark)
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("v3")
+    intercept[Exception] {
+      spark.sql("SELECT cosine_sim(a, b) FROM v3").collect()
+    }
+  }
+}

@@ -13,6 +13,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft_warehouse_${java.util.UUID.randomUUID()}")
     .getOrCreate()
 
   val sfTiny = "/root/testdata/sf0.001"

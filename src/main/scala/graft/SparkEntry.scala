@@ -14,7 +14,8 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs ++
-      ops.Analytics.defs ++ ops.TopK.defs ++ ml.Recommend.defs ++
+      ops.Analytics.defs ++ ops.Nested.defs ++ ops.TopK.defs ++
+      ml.Recommend.defs ++
       dedup.Dedup.defs ++
       search.Ann.defs ++ text.TextAnalysis.defs ++
       streaming.Rescoring.defs ++ mm.Multimodal.defs

@@ -25,6 +25,16 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `cols`. Reads that filter on the partition column scan only the
+    * matching directories (partition pruning — visible as
+    * PartitionFilters in the plan), which at 100 TB is the difference
+    * between scanning a day and scanning a decade.
+    */
+  def writePartitioned(df: DataFrame, dir: String,
+      cols: Seq[String]): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
+
   /** Salted equi join for skewed keys: the large (skewed) side gets a
     * deterministic per-row salt in [0, salts); the small side is
     * replicated once per salt value; the join key becomes

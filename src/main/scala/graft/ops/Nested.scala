@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nested-result shapes and event-time windowing.
+  *
+  * The reference's single nested type is `UserRecs(userId,
+  * recs: Seq[Recommendation])` built driver-side from sorted lists
+  * (`OfflineRecommender.scala:18-22,77-84`); here it's
+  * `collect_list(struct(...))` over a rank-limited window — built
+  * executor-side, one shuffle, bounded row width.
+  */
+object Nested {
+
+  /** A4/A5 nested output: per-customer top-3 orders as an
+    * array-of-struct column (sorted by rank inside the array).
+    * Rows-only: nested arrays are not portably hash-comparable
+    * through the flat-parquet oracle; the flat projection of the
+    * same data is oracle-checked as q11/q27.
+    */
+  val nestedTopOrders: QueryDef = QueryDef.rowsOnly("q46_nested_recs") {
+    (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(struct(
+          col("rn"), col("o_orderkey"), col("o_totalprice")))).as("recs"))
+        .select(col("o_custkey"), col("recs"),
+          size(col("recs")).as("n_recs"))
+        .orderBy("o_custkey")
+  }
+
+  /** Event-time tumbling windows (1 day) per event type — the
+    * event-time semantics the reference never had (it drops the wire
+    * timestamp, `StreamingRecommender.scala:117`). This batch query
+    * is the exact plan the streaming variant runs with a watermark;
+    * DuckDB's time_bucket is the oracle.
+    */
+  val tumblingWindow: QueryDef = QueryDef.sql(
+    "q47_tumbling_window",
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+      | event_type, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      | FROM events GROUP BY window_start, event_type
+      | ORDER BY window_start, event_type""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(nestedTopOrders, tumblingWindow)
+}

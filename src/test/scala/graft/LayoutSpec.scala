@@ -29,6 +29,19 @@ class LayoutSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned writes prune partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+      .toString + "/events"
+    val ev = Tables.events(spark, sfTiny)
+      .withColumn("ymd", date_format(col("ts"), "yyyyMMdd"))
+    Layout.writePartitioned(ev, dir, Seq("ymd"))
+    val pruned = spark.read.parquet(dir).filter(col("ymd") === "20240101")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ymd"), plan)
+    val total = spark.read.parquet(dir).count()
+    assert(pruned.count() > 0 && pruned.count() < total)
+  }
+
   test("salted join returns identical results to a plain join") {
     val o = Tables.orders(spark, sfTiny)
       .select("o_orderkey", "o_custkey", "o_totalprice")

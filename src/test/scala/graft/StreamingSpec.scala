@@ -91,6 +91,34 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).getString(1) == "b2") // last write wins
   }
 
+  test("event-time tumbling windows finalize under the watermark") {
+    val input = MemoryStream[RatingEvent](spark)
+    val windowed = input.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("productId"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("productId"), col("n"))
+    val q = windowed.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      val h = 3600L
+      input.addData(Seq(
+        RatingEvent(1, 10, 5.0, ts(100)), RatingEvent(2, 10, 4.0, ts(200)),
+        RatingEvent(1, 11, 3.0, ts(h + 100))))
+      q.processAllAvailable()
+      // watermark = (h+100)-600 < h: hour-0 window not yet final
+      assert(spark.table("win_out").isEmpty)
+      // push watermark past hour 1: finalizes hour-0 AND hour-1 windows?
+      // only hour-0 (watermark = 3*h-600 > h finalizes hour-0 and hour-1)
+      input.addData(RatingEvent(3, 12, 1.0, ts(3 * h)))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.exists(r => r.getAs[Long]("n") == 2
+        && r.getAs[Int]("productId") == 10), rows.mkString(";"))
+      assert(rows.exists(r => r.getAs[Int]("productId") == 11))
+    } finally q.stop()
+  }
+
   test("topk aggregator equals window top-k") {
     val aggQ = ops.TopK.topKAggQuery.fn(spark, sfTiny)
     val winQ = ops.Relational.topKPerGroup.fn(spark, sfTiny)

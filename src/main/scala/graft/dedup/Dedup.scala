@@ -159,6 +159,59 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: each node repeatedly adopts the smallest
+    * label in its neighborhood. Converges in O(diameter) rounds —
+    * near-dup graphs are clique-heavy (diameter ~1-2), so a small
+    * iteration cap suffices; for adversarial long-chain graphs the
+    * large-star/small-star variant (Kiveris et al. 2014) would
+    * replace this loop. Each round is one shuffle on the edge key.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 6): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .cache()
+      changed = updated.filter(col("label") =!= col("old_label")).count()
+      labels = updated.select("id", "label")
+      i += 1
+    }
+    labels
+  }
+
+  /** Keeper-set dedup: near-dup pairs → connected components → one
+    * keeper (min doc_id) per cluster; singleton docs keep themselves.
+    * This is the operator a curation pipeline actually applies: filter
+    * `is_keeper` and the corpus is deduplicated.
+    */
+  val clusters: QueryDef = QueryDef.rowsOnly("q49_dedup_clusters") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = minhashPairs(docs, numHashes = 32, bands = 8,
+      threshold = 0.9).select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"),
+        col("label").as("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine)
+    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine, clusters)
 }

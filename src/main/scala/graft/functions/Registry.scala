@@ -47,5 +47,17 @@ object Registry {
         HyperplaneSignature(v, litInt(n, "nbits"), litLong(s, "seed"))
       case e => arity("hyperplane_sig", e.size, "1 to 3")
     })
+    ColumnBridge.registerFunction(spark, "minhash_sig", {
+      case Seq(a, k) => MinHashSignature(a, litInt(k, "k"))
+      case e => arity("minhash_sig", e.size, "2")
+    })
+    ColumnBridge.registerFunction(spark, "sig_matches", {
+      case Seq(a, b) => SignatureMatches(a, b)
+      case e => arity("sig_matches", e.size, "2")
+    })
+    ColumnBridge.registerFunction(spark, "first_equal_band", {
+      case Seq(a, b, n) => FirstEqualBand(a, b, litInt(n, "bands"))
+      case e => arity("first_equal_band", e.size, "3")
+    })
   }
 }

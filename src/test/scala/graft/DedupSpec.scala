@@ -43,6 +43,54 @@ class DedupSpec extends SparkSpec {
     assert(nExact > 0, "fixture should contain near-dup docs")
     // 8 bands x 4 rows at s>=0.9: candidate probability ~0.9998
     assert(missed <= nExact / 50, s"LSH missed $missed of $nExact")
+    // threshold-tuned 8x8 banding (the production q31 shape): ~99%
+    // expected recall at J=0.9
+    val lsh64 = Dedup.minhashPairs(docs, 64, 8, 0.9)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    val missed64 = exact.except(lsh64).count()
+    info(s"missed by 64x8 LSH=$missed64")
+    assert(missed64 <= math.max(2L, nExact / 20),
+      s"64x8 LSH missed $missed64 of $nExact")
+  }
+
+  test("minhash signature expressions: agreement estimates jaccard") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"), // J = 9/11 ~ 0.82
+      (3L, "z y x w v u t s r q") // J = 0
+    ).toDF("id", "text")
+      .select(col("id"), minhash_sig(
+        array_distinct(transform(split(col("text"), " "), t => xxhash64(t))),
+        64).as("mh"))
+    val a = df.filter(col("id") === 1L).select(col("mh").as("mh_a"))
+    def agreement(other: Long): Int =
+      a.crossJoin(df.filter(col("id") === other).select(col("mh").as("mh_b")))
+        .select(sig_matches(col("mh_a"), col("mh_b"))).collect()(0).getInt(0)
+    val selfM = a.crossJoin(df.filter(col("id") === 1L)
+      .select(col("mh").as("mh_b")))
+      .select(sig_matches(col("mh_a"), col("mh_b"))).collect()(0).getInt(0)
+    assert(selfM == 64, "identical sets must agree on every minhash")
+    val near = agreement(2L)
+    val far = agreement(3L)
+    info(s"agreement near=$near/64 (J=0.82), far=$far/64 (J=0)")
+    assert(near > 64 * 0.55 && near < 64, s"near agreement $near")
+    assert(far < 64 * 0.25, s"far agreement $far")
+  }
+
+  test("first_equal_band picks the first fully-equal band") {
+    // build two 8-long signatures: band size 4, bands 0 and 1
+    val rows = Seq((Array(1L, 2L, 3L, 4L, 9L, 9L, 9L, 9L),
+      Array(5L, 2L, 3L, 4L, 9L, 9L, 9L, 9L))) // band0 differs, band1 equal
+      .toDF("x", "y")
+    val got = rows.select(first_equal_band(col("x"), col("y"), 2))
+      .collect()(0).getInt(0)
+    assert(got == 1)
+    val none = Seq((Array(1L, 2L), Array(3L, 4L))).toDF("x", "y")
+      .select(first_equal_band(col("x"), col("y"), 2)).collect()(0).getInt(0)
+    assert(none == -1)
+    val both = Seq((Array(7L, 8L), Array(7L, 8L))).toDF("x", "y")
+      .select(first_equal_band(col("x"), col("y"), 2)).collect()(0).getInt(0)
+    assert(both == 0)
   }
 
   test("LSH ANN results are a subset of valid neighbors with exact sims") {

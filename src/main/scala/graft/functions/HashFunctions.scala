@@ -346,6 +346,64 @@ case class FirstEqualBand(left: Expression, right: Expression, bands: Int)
   override def prettyName: String = "first_equal_band"
 }
 
+/** Intersection cardinality of two SORTED distinct long arrays by
+  * linear merge — no per-row hash-set allocation, unlike
+  * `size(array_intersect(...))`. With set sizes also at hand, union
+  * cardinality (and so Jaccard) follows as |A|+|B|-|A∩B|, saving the
+  * second set operation entirely. Callers must pre-sort
+  * (`array_sort`) once per row, amortized across all pairs the row
+  * appears in.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size expects (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+
+  override def prettyName: String = "sorted_intersect_size"
+}
+
 object HashFunctions {
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
@@ -364,6 +422,10 @@ object HashFunctions {
   def first_equal_band(a: Column, b: Column, bands: Int): Column =
     ColumnBridge.column(FirstEqualBand(
       ColumnBridge.expression(a), ColumnBridge.expression(b), bands))
+
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Hamming distance between two 64-bit signatures as a Column. */
   def hamming64(a: Column, b: Column): Column = {

@@ -59,5 +59,9 @@ object Registry {
       case Seq(a, b, n) => FirstEqualBand(a, b, litInt(n, "bands"))
       case e => arity("first_equal_band", e.size, "3")
     })
+    ColumnBridge.registerFunction(spark, "sorted_intersect_size", {
+      case Seq(a, b) => SortedIntersectSize(a, b)
+      case e => arity("sorted_intersect_size", e.size, "2")
+    })
   }
 }

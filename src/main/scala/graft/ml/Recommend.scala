@@ -146,14 +146,25 @@ object Recommend {
         .cache()
       val Array(train, test) =
         ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
-      train.cache(); test.cache()
-      val grid = for {
+      train.cache().count(); test.cache().count() // materialize before forking
+      // Fits run concurrently (Spark schedules jobs from multiple
+      // threads fairly): each small ALS fit underutilizes the
+      // cluster, so the grid overlaps instead of serializing. `als`
+      // is a def — every future mutates its own fresh estimator.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val combos = for {
         rank <- Seq(10, 20)
         reg <- Seq(0.01, 0.1)
-      } yield {
-        val m = als.setRank(rank).setRegParam(reg).fit(train)
-        (rank, reg, evaluateRmse(m, test))
-      }
+      } yield (rank, reg)
+      val grid = Await.result(
+        Future.sequence(combos.map { case (rank, reg) =>
+          Future {
+            val m = als.setRank(rank).setRegParam(reg).fit(train)
+            (rank, reg, evaluateRmse(m, test))
+          }
+        }), Duration.Inf)
       ratings.unpersist()
       grid.toDF("rank", "reg_param", "rmse")
         .select(col("rank"), col("reg_param"), round(col("rmse"), 6).as("rmse"))

@@ -77,6 +77,20 @@ class DedupSpec extends SparkSpec {
     assert(far < 64 * 0.25, s"far agreement $far")
   }
 
+  test("sorted_intersect_size matches array_intersect semantics") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 7L), Array(3L, 4L, 5L, 8L, 9L)), // inter {3,5}
+      (Array(1L, 2L), Array(3L, 4L)),                      // disjoint
+      (Array.empty[Long], Array(1L, 2L))                   // empty side
+    ).toDF("x", "y")
+    val got = df.select(
+      sorted_intersect_size(col("x"), col("y")).as("m"),
+      size(array_intersect(col("x"), col("y"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"merge=${r.getInt(0)} ref=${r.getInt(1)}"))
+  }
+
   test("first_equal_band picks the first fully-equal band") {
     // build two 8-long signatures: band size 4, bands 0 and 1
     val rows = Seq((Array(1L, 2L, 3L, 4L, 9L, 9L, 9L, 9L),

@@ -158,6 +158,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-window document chunking — the shape every LLM training
+    * pipeline needs: fixed-size overlapping chunks (size 64, stride
+    * 48) per document. Pure narrow ops (split + sequence + explode +
+    * slice): no shuffle at all, so at 100 TB it runs scan-speed and
+    * parallelism is the input split count.
+    */
+  val chunk: QueryDef = QueryDef.sql(
+    "q52_doc_chunks",
+    """SELECT doc_id, CAST(off / 48 AS BIGINT) AS chunk_idx,
+      |  array_to_string(toks[off + 1 : off + 64], ' ') AS chunk_text,
+      |  CAST(len(toks[off + 1 : off + 64]) AS BIGINT) AS n_tokens
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |  LATERAL (SELECT unnest(generate_series(0, len(toks) - 1, 48)) AS off)
+      |ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " ")
+  ) { (s, d) =>
+    val t = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), t.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(48))).as("off"))
+      .select(col("doc_id"),
+        (col("off") / 48).cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("off") + 1, lit(64)), " ")
+          .as("chunk_text"),
+        size(slice(col("toks"), col("off") + 1, lit(64))).cast("long")
+          .as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    textStats, langStats, tokenCount, qualityScore, langId, fingerprint)
+    textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
+    chunk)
 }

@@ -54,4 +54,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(streaming.Rescoring.rescoreBatch.fn(spark, sfSmall))
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q50: sessionize is one hash shuffle (windows + agg share it)") {
+    val p = plan(ops.Temporal.sessionize.fn(spark, sfSmall))
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("q51: as-of join plans as union-merge — no join operator at all") {
+    val p = plan(ops.Temporal.asofJoin.fn(spark, sfSmall))
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("q52: chunking is shuffle-free up to the output ordering") {
+    val p = plan(text.TextAnalysis.chunk.fn(spark, sfSmall))
+    assert(!p.contains("hashpartitioning"), p)
+  }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import graft.functions.HashFunctions._
+import graft.functions.VectorFunctions.cosine_sim
+import graft.ops.TopK.{KeyedScored, Scored, TopKAggregator}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck property tests (SURVEY §5.3). Aggregator laws run at
+  * the data level (no Spark job per sample); expression properties
+  * batch all generated samples into one DataFrame so a property is
+  * one job, not hundreds.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val scoredGen: Gen[KeyedScored] = for {
+    key <- Gen.choose(0L, 5L)
+    id <- Gen.choose(0L, 1000L)
+    score <- Gen.choose(-1e6, 1e6).map(s => math.rint(s * 100) / 100)
+  } yield KeyedScored(key, id, score)
+
+  test("property: top-k aggregator == sort.take(k) for any input split") {
+    val agg = new TopKAggregator(5)
+    def expected(xs: Seq[KeyedScored]): Seq[Scored] =
+      xs.map(x => Scored(x.id, x.score))
+        .sortWith((a, b) =>
+          a.score > b.score || (a.score == b.score && a.id < b.id))
+        .take(5)
+    check(Prop.forAll(Gen.listOf(scoredGen), Gen.choose(0, 100)) {
+      (xs, splitAt) =>
+        // fold through reduce in two arbitrary halves, then merge —
+        // exercises the partial-aggregation path (map-side combine)
+        val (l, r) = xs.splitAt(math.min(splitAt, xs.size))
+        val bufL = l.foldLeft(agg.zero)(agg.reduce)
+        val bufR = r.foldLeft(agg.zero)(agg.reduce)
+        agg.finish(agg.merge(bufL, bufR)) == expected(xs)
+    })
+  }
+
+  test("property: merge is commutative and bounded by k") {
+    val agg = new TopKAggregator(3)
+    check(Prop.forAll(Gen.listOf(scoredGen), Gen.listOf(scoredGen)) {
+      (as, bs) =>
+        val bufA = as.foldLeft(agg.zero)(agg.reduce)
+        val bufB = bs.foldLeft(agg.zero)(agg.reduce)
+        agg.merge(bufA, bufB) == agg.merge(bufB, bufA) &&
+          agg.merge(bufA, bufB).size <= 3
+    })
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(8, Gen.choose(-10.0f, 10.0f)).map(_.toArray)
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  test("property: cosine_sim in [-1,1], self-sim == 1, symmetric") {
+    val pairs = Gen.listOfN(300, Gen.zip(vecGen, vecGen)).sample.get
+    val df = pairs.toDF("a", "b").select(
+      cosine_sim(col("a"), col("b")).as("ab"),
+      cosine_sim(col("b"), col("a")).as("ba"),
+      cosine_sim(col("a"), col("a")).as("aa"))
+    val bad = df.filter(
+      col("ab") < -1.0000001 || col("ab") > 1.0000001 ||
+        abs(col("ab") - col("ba")) > 1e-6 ||
+        abs(col("aa") - 1.0) > 1e-5)
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+  }
+
+  test("property: sorted_intersect_size == array_intersect over random sets") {
+    val setGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted)
+    val pairs = Gen.listOfN(300, Gen.zip(setGen, setGen)).sample.get
+    val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }
+      .toDF("x", "y")
+      .select(sorted_intersect_size(col("x"), col("y")).as("m"),
+        size(array_intersect(col("x"), col("y"))).as("ref"))
+    val bad = df.filter(col("m") =!= col("ref"))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+  }
+
+  test("property: epoch->yyyymm conversion matches Java time for any epoch") {
+    // F1 changeDate (StatisticsRecommender.scala:73-76) as built-ins,
+    // vs an independent java.time computation, over arbitrary epochs
+    val epochs = Gen.listOfN(300, Gen.choose(0L, 4102444800L)).sample.get
+    val df = epochs.toDF("epoch").select(col("epoch"),
+      date_format(to_utc_timestamp(timestamp_seconds(col("epoch")), "UTC"),
+        "yyyyMM").cast("int").as("yyyymm"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    epochs.foreach { e =>
+      val d = java.time.Instant.ofEpochSecond(e)
+        .atZone(java.time.ZoneOffset.UTC)
+      assert(got(e) == d.getYear * 100 + d.getMonthValue,
+        s"epoch $e -> ${got(e)}")
+    }
+  }
+
+  test("property: minhash signature agreement tracks jaccard within 4 sigma") {
+    // build pairs with known overlap; est = matches/K must stay within
+    // 4·sqrt(J(1-J)/K) of true J (binomial concentration)
+    val k = 64
+    val gen = for {
+      common <- Gen.choose(20, 80)
+      extraA <- Gen.choose(0, 30)
+      extraB <- Gen.choose(0, 30)
+    } yield (common, extraA, extraB)
+    val cases = Gen.listOfN(60, gen).sample.get.zipWithIndex.map {
+      case ((c, ea, eb), i) =>
+        val base = 100000L * i
+        val common = (0 until c).map(j => base + j)
+        val a = (common ++ (0 until ea).map(j => base + 1000 + j)).toArray
+        val b = (common ++ (0 until eb).map(j => base + 2000 + j)).toArray
+        val j = c.toDouble / (c + ea + eb)
+        (a, b, j)
+    }
+    val df = cases.toDF("a", "b", "j").select(col("j"),
+      (sig_matches(minhash_sig(col("a"), k), minhash_sig(col("b"), k))
+        .cast("double") / k).as("est"))
+    val bad = df.filter(
+      abs(col("est") - col("j")) >
+        lit(4.0) * sqrt(col("j") * (lit(1.0) - col("j")) / k) + lit(1e-9))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+  }
+}

@@ -87,6 +87,22 @@ object StreamPipeline {
       .start()
   }
 
+  /** Gap-based session aggregation via `session_window`: one
+    * expression tree that runs identically on a batch DataFrame (the
+    * q50 semantics, merging events closer than `gap`) and on a
+    * streaming DataFrame — where, with a watermark, a session
+    * finalizes exactly when event time passes its end+gap, i.e. when
+    * no future event can extend it. State per open session is O(1)
+    * (start, end, count), so executor state scales with concurrent
+    * open sessions, not history.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Idempotent keyed upsert: last write per key wins, batch replays
     * converge (the reference's per-doc findAndRemove+insert,
     * `StreamingRecommender.scala:254-263`, minus the RPC-per-record).

@@ -119,6 +119,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: streaming result equals batch, finalized by watermark") {
+    val rows = Seq( // (user, epoch-sec): u1 has two sessions, u2 one
+      (1L, 100L), (1L, 700L), (1L, 900L), // session A: 3 events
+      (1L, 900L + 1900), (1L, 900L + 2000), // >30min gap: session B
+      (2L, 500L))
+    val batch = StreamPipeline.sessionAgg(
+      rows.map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts"))
+      .orderBy("user_id", "session_start").collect()
+    assert(batch.length == 3)
+    assert(batch(0).getAs[Long]("n_events") == 3)
+
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val streamed = StreamPipeline.sessionAgg(
+      input.toDS().toDF("user_id", "ts").withWatermark("ts", "1 minute"))
+    val q = streamed.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      rows.foreach { case (u, t) => input.addData((u, ts(t))) }
+      q.processAllAvailable()
+      // nothing can finalize yet: watermark = max ts - 1 min, and every
+      // session's end+gap is within 30 min of the last event
+      val early = spark.table("sess_out").count()
+      // an event far in the future closes every open session
+      input.addData((9L, ts(100000L)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter(col("user_id") =!= 9L)
+        .orderBy("user_id", "session_start").collect()
+      info(s"finalized early=$early, after watermark push=${got.length}")
+      assert(got.length == 3)
+      // streaming result must equal the batch computation exactly
+      got.zip(batch).foreach { case (s, b) =>
+        assert(s.getAs[Long]("user_id") == b.getAs[Long]("user_id"))
+        assert(s.getAs[Timestamp]("session_start") ==
+          b.getAs[Timestamp]("session_start"))
+        assert(s.getAs[Timestamp]("session_end") ==
+          b.getAs[Timestamp]("session_end"))
+        assert(s.getAs[Long]("n_events") == b.getAs[Long]("n_events"))
+      }
+    } finally q.stop()
+  }
+
   test("topk aggregator equals window top-k") {
     val aggQ = ops.TopK.topKAggQuery.fn(spark, sfTiny)
     val winQ = ops.Relational.topKPerGroup.fn(spark, sfTiny)

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan audits: correctness tests prove the answer is right;
   * these prove the *plan* is the one that survives a 100× scale-up —
@@ -71,5 +72,42 @@ class PlanSpec extends SparkSpec {
   test("q52: chunking is shuffle-free up to the output ordering") {
     val p = plan(text.TextAnalysis.chunk.fn(spark, sfSmall))
     assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q53: range join rewrites to a bucketed equi-join, not a nested loop") {
+    // force the no-broadcast regime — the plan shape a huge interval
+    // table would get on a cluster
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(ops.RangeOps.rangeJoin.fn(spark, sfSmall))
+      assert(p.contains("__graft_bucket"), "rewrite did not fire:\n" + p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    }
+  }
+
+  test("q53: bucketed rewrite returns exactly the naive join's rows") {
+    import spark.implicits._
+    // points straddling band edges, incl. exact boundaries and nulls
+    val points = Seq(0.0, 9.99, 10.0, 10.01, 19.99, 20.0, 25.0, 99.9, -5.0)
+      .toDF("v")
+    val bands = Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0))
+      .toDF("band_id", "lo", "hi")
+    def run(): Set[(Double, Int)] = points
+      .join(bands, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("v", "band_id").collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).toSet
+    spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+    val naive = run()
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "7.0") // width != band size
+    try {
+      val rewritten = run()
+      assert(rewritten == naive, s"rewritten=$rewritten naive=$naive")
+      assert(naive.nonEmpty)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
   }
 }

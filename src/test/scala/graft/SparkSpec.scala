@@ -15,6 +15,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       s"/tmp/graft_warehouse_${java.util.UUID.randomUUID()}")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 
   val sfTiny = "/root/testdata/sf0.001"

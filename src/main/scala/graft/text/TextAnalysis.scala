@@ -3,6 +3,7 @@ package graft.text
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup.shingles
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation over the
@@ -187,7 +188,36 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Deterministic stratified sampling: at most K docs per
+    * (lang, source) stratum, chosen by md5-hashed order — the standard
+    * way a training-mix pipeline downsamples over-represented strata
+    * reproducibly (same corpus → same sample, no RNG state). One
+    * window shuffle; Spark 4 plans the rank filter as
+    * WindowGroupLimit, so each partition keeps K rows early instead
+    * of fully sorting every stratum.
+    */
+  val stratifiedSample: QueryDef = QueryDef.sql(
+    "q54_stratified_sample",
+    """SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+      | FROM (SELECT doc_id, lang, source, row_number() OVER
+      |   (PARTITION BY lang, source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |   FROM documents) t
+      | WHERE rk <= 10 ORDER BY lang, source, rk""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("lang", "source", "rk")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
-    chunk)
+    chunk, stratifiedSample)
 }

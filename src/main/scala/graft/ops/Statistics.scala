@@ -88,6 +88,35 @@ object Statistics {
       .orderBy("event_id")
   }
 
+  /** Exact grouped quantiles (interpolating, type-7 — the definition
+    * Spark `percentile` and DuckDB `quantile_cont` share). At scale
+    * exact percentile needs the full group sorted on one reducer per
+    * group; the approximate path for 100 TB is
+    * `approx_percentile` (KLL/GK sketch, mergeable map-side) — both
+    * spellings exposed here, the exact one oracle-gated, rounded so
+    * the last-ulp interpolation noise is absorbed.
+    */
+  val quantiles: QueryDef = QueryDef.sql(
+    "q55_quantiles",
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      | FROM lineitem GROUP BY l_returnflag
+      | ORDER BY l_returnflag""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(rateMoreProducts, rateMoreRecently, averageScore, dateConvert)
+    Seq(rateMoreProducts, rateMoreRecently, averageScore, dateConvert,
+      quantiles)
 }

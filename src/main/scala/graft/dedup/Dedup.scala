@@ -164,13 +164,20 @@ object Dedup {
   val ngramJaccard: QueryDef = QueryDef.rowsOnly("q33_ngram_jaccard") {
     (s, d) =>
       val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
-      val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      // shingles as sorted 64-bit hashes: the all-pairs verify becomes
+      // a linear merge per pair instead of two string hash-sets
+      val sh = docs.select(col("doc_id"),
+        array_sort(transform(shingles(col("text"), 3), x => xxhash64(x)))
+          .as("sh"))
       val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          sorted_intersect_size(col("sh_a"), col("sh_b")).cast("double"))
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+          (col("inter") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+            .as("jaccard"))
         .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
         .limit(50)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -210,6 +217,56 @@ object Dedup {
     * large-star/small-star variant (Kiveris et al. 2014) would
     * replace this loop. Each round is one shuffle on the edge key.
     */
+  /** One min-label propagation + pointer-jump round over `sym`
+    * (symmetric, cached). Returns the updated label table and whether
+    * anything changed.
+    *
+    * `localCheckpoint` (not `cache`) each round: caching truncates
+    * recomputation but Catalyst still re-analyzes the full lineage,
+    * which doubles per iteration (the label table is referenced twice
+    * per step) — measured 1.4 s → 89 s over six iterations before the
+    * plan was truncated.
+    */
+  private def propagateRound(sym: DataFrame, labels: DataFrame)
+      : (DataFrame, Long) = {
+    val nbrMin = sym
+      .join(labels.select(col("id").as("dst"), col("label")), "dst")
+      .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
+    val stepped = labels
+      .join(nbrMin, Seq("id"), "left")
+      .select(col("id"), col("label").as("old_label"),
+        least(col("label"), coalesce(col("nbr_label"), col("label")))
+          .as("label"))
+      .localCheckpoint() // eager: the self-join below must not recompute nbrMin
+    // Pointer jump — label(x) <- label(label(x)) — on the label table
+    // only (no edge pass), collapsing label chains in O(log n) rounds
+    // where plain min-propagation needs O(diameter).
+    val jumped = stepped.alias("s")
+      .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
+        col("s.label") === col("jid"), "left")
+      .select(col("s.id").as("id"), col("s.old_label").as("old_label"),
+        least(col("s.label"), coalesce(col("jlabel"), col("s.label")))
+          .as("label"))
+      .localCheckpoint()
+    val changed = jumped.filter(col("label") =!= col("old_label")).count()
+    (jumped.select("id", "label"), changed)
+  }
+
+  private def initLabels(sym: DataFrame): DataFrame =
+    sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+
+  private def solve(sym: DataFrame, maxIter: Int): DataFrame = {
+    var labels = initLabels(sym)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val (next, c) = propagateRound(sym, labels)
+      labels = next; changed = c; i += 1
+    }
+    labels
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // Cache the raw edges BEFORE symmetrizing: `union` evaluates its
     // two branches independently, so an uncached (possibly expensive)
@@ -218,42 +275,39 @@ object Dedup {
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
-    // `localCheckpoint` (not `cache`) each iteration: caching truncates
-    // recomputation but Catalyst still re-analyzes the full lineage,
-    // which doubles per iteration (the label table is referenced twice
-    // per step) — measured 1.4 s → 89 s over six iterations before the
-    // plan was truncated.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
-      val stepped = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-        .localCheckpoint() // eager: the self-join below must not recompute nbrMin
-      // Pointer jump — label(x) <- label(label(x)) — on the label table
-      // only (no edge pass), collapsing label chains in O(log n) rounds
-      // where plain min-propagation needs O(diameter).
-      val jumped = stepped.alias("s")
-        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
-          col("s.label") === col("jid"), "left")
-        .select(col("s.id").as("id"), col("s.old_label").as("old_label"),
-          least(col("s.label"), coalesce(col("jlabel"), col("s.label")))
-            .as("label"))
-        .localCheckpoint()
-      changed = jumped.filter(col("label") =!= col("old_label")).count()
-      labels = jumped.select("id", "label")
-      i += 1
-    }
+    // Level 1: ONE propagation round over the full edge set, then
+    // CONTRACT — remaining work happens on the cluster graph
+    // (label(src), label(dst)), which for near-dup graphs (clique-
+    // heavy) is orders of magnitude smaller than the edge set. Every
+    // further iteration then joins the contracted edges, not the full
+    // ones; the full set is touched exactly twice (round 1 +
+    // contraction).
+    val (partial, changed1) = propagateRound(sym, initLabels(sym))
+    val result =
+      if (changed1 == 0) partial
+      else {
+        val l1 = partial
+        val contracted = sym
+          .join(l1.select(col("id").as("src"), col("label").as("csrc")), "src")
+          .join(l1.select(col("id").as("dst"), col("label").as("cdst")), "dst")
+          .select(col("csrc").as("src"), col("cdst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct().localCheckpoint()
+        if (contracted.isEmpty) partial
+        else {
+          val cLabels = solve(
+            contracted.union(contracted.select(col("dst").as("src"),
+              col("src").as("dst"))).distinct().localCheckpoint(),
+            maxIter)
+          l1.join(cLabels.select(col("id").as("label"),
+              col("label").as("clabel")), Seq("label"), "left")
+            .select(col("id"),
+              coalesce(col("clabel"), col("label")).as("label"))
+        }
+      }
     e.unpersist()
     sym.unpersist()
-    labels
+    result
   }
 
   /** Keeper-set dedup: near-dup pairs → connected components → one

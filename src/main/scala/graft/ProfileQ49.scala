@@ -19,15 +19,33 @@ object ProfileQ49 {
       println(f"PROF $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  -> $r")
       r
     }
-    val docs = Tables.documents(spark, d).cache()
-    time("docs count")(docs.count())
+    // SPARK_GRAFT_REPLICATE=k scales the corpus k× for scaling
+    // measurements: each replica gets ~30% extra replica-unique salt
+    // tokens so near-dup cliques stay within a replica (cross-replica
+    // jaccard ≤ 1/1.3 < 0.9) — rows grow k×, true pairs grow ~k×.
+    val k = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "1").toInt
+    val base = Tables.documents(spark, d)
+    val docs = (if (k <= 1) base
+    else {
+      base.crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select((col("doc_id") * k + col("rep")).as("doc_id"),
+          concat_ws(" ", col("text"), array_join(
+            transform(
+              sequence(lit(1),
+                ceil(size(split(col("text"), " ")) * 0.3).cast("int")),
+              i => concat(lit("rep"), col("rep"), lit("t"), i)), " "))
+            .as("text"))
+    }).cache()
+    time(s"docs count (x$k)")(docs.count())
 
     val pairs = Dedup.minhashPairs(docs, 64, 8, 0.9)
       .select("doc_a", "doc_b").cache()
     time("minhashPairs 64x8")(pairs.count())
     time("connectedComponents")(Dedup.connectedComponents(pairs).count())
-    time("q31 full")(Dedup.minhashLsh.fn(spark, d).count())
-    time("q49 full")(Dedup.clusters.fn(spark, d).count())
+    if (k <= 1) {
+      time("q31 full")(Dedup.minhashLsh.fn(spark, d).count())
+      time("q49 full")(Dedup.clusters.fn(spark, d).count())
+    }
     spark.stop()
   }
 }

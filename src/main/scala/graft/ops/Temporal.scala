@@ -115,5 +115,91 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(sessionize, asofJoin)
+  /** Exponential-decay popularity — the batch spelling of the
+    * reference's "recent matters more" streaming bias (its stream
+    * rescorer weights by recency implicitly via the last-20 buffer):
+    * score(p) = Σ value·2^(−age_days/half_life). One hash-aggregate
+    * shuffle with map-side partials; the decayed addends go through
+    * DECIMAL(28,12) so the sum is partition-order-independent and
+    * oracle-stable.
+    */
+  val decayScore: QueryDef = QueryDef.sql(
+    "q56_decay_popularity",
+    s"""WITH mx AS (
+       |  SELECT max(ts) AS now FROM events WHERE event_type = 'purchase'),
+       | scored AS (
+       |  SELECT event_id % ${Tables.NumProducts} AS product_id,
+       |    CAST(value * pow(0.5,
+       |      (epoch_us(now) - epoch_us(ts)) / 86400000000.0 / 7.0)
+       |      AS DECIMAL(28,12)) AS w
+       |  FROM events, mx WHERE event_type = 'purchase')
+       | SELECT product_id, round(CAST(sum(w) AS DOUBLE), 4) AS decay_score,
+       |   CAST(count(*) AS BIGINT) AS n
+       | FROM scored GROUP BY product_id
+       | ORDER BY product_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+    val now = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    // Timestamp.getTime is millis; keep the sub-milli micros
+    val nowMicros = now.getTime / 1000 * 1000000L + now.getNanos / 1000
+    ev.select((col("event_id") % Tables.NumProducts).as("product_id"),
+        (col("value") * pow(lit(0.5),
+          (lit(nowMicros) - unix_micros(col("ts")))
+            / 86400000000.0 / 7.0)).cast("decimal(28,12)").as("w"))
+      .groupBy("product_id")
+      .agg(round(sum("w").cast("double"), 4).as("decay_score"),
+        count(lit(1)).as("n"))
+      .orderBy("product_id")
+  }
+
+  /** Conversion funnel view → click → purchase: per user, the
+    * earliest view, the earliest click strictly after it, the
+    * earliest purchase strictly after that, and the reached depth.
+    * All three stages aggregate and join on user_id, so Catalyst
+    * plans one partitioning reused across the pipeline.
+    */
+  val funnel: QueryDef = QueryDef.sql(
+    "q57_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      |  FROM events GROUP BY user_id),
+      | c AS (
+      |  SELECT e.user_id, min(e.ts) AS first_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.first_view
+      |  GROUP BY e.user_id),
+      | p AS (
+      |  SELECT e.user_id, min(e.ts) AS first_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      |  GROUP BY e.user_id)
+      | SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+      |   CAST(CASE WHEN p.first_purchase IS NOT NULL THEN 3
+      |        WHEN c.first_click IS NOT NULL THEN 2
+      |        WHEN v.first_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+      | FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |        LEFT JOIN p ON v.user_id = p.user_id
+      | ORDER BY v.user_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val v = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"))
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("ts") > col("first_click"))
+      .groupBy("user_id").agg(min("ts").as("first_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"),
+        when(col("first_purchase").isNotNull, 3)
+          .when(col("first_click").isNotNull, 2)
+          .when(col("first_view").isNotNull, 1)
+          .otherwise(0).as("depth"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(sessionize, asofJoin, decayScore, funnel)
 }

@@ -74,6 +74,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("q57: funnel stages reuse the user_id exchange") {
+    val p = plan(ops.Temporal.funnel.fn(spark, sfSmall))
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+      "expected exchange reuse or broadcast stages:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q53: range join rewrites to a bucketed equi-join, not a nested loop") {
     // force the no-broadcast regime — the plan shape a huge interval
     // table would get on a cluster

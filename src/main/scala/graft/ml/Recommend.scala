@@ -149,22 +149,26 @@ object Recommend {
       train.cache().count(); test.cache().count() // materialize before forking
       // Fits run concurrently (Spark schedules jobs from multiple
       // threads fairly): each small ALS fit underutilizes the
-      // cluster, so the grid overlaps instead of serializing. `als`
+      // cluster, so the grid overlaps instead of serializing. Two at
+      // a time — measured sweet spot; four concurrent iterative fits
+      // contend on shuffle slots and the wall time gets noisy. `als`
       // is a def — every future mutates its own fresh estimator.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val combos = for {
         rank <- Seq(10, 20)
         reg <- Seq(0.01, 0.1)
       } yield (rank, reg)
-      val grid = Await.result(
+      val grid = try Await.result(
         Future.sequence(combos.map { case (rank, reg) =>
           Future {
             val m = als.setRank(rank).setRegParam(reg).fit(train)
             (rank, reg, evaluateRmse(m, test))
           }
         }), Duration.Inf)
+      finally pool.shutdown()
       ratings.unpersist()
       grid.toDF("rank", "reg_param", "rmse")
         .select(col("rank"), col("reg_param"), round(col("rmse"), 6).as("rmse"))

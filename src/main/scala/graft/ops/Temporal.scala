@@ -201,5 +201,30 @@ object Temporal {
       .orderBy("user_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(sessionize, asofJoin, decayScore, funnel)
+  /** The as-of join again, through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]: co-partition + in-partition merge
+    * scan) instead of the declarative union-merge — SAME oracle SQL
+    * as q51, so the custom operator is hash-gated against DuckDB.
+    */
+  val asofJoinExec: QueryDef = QueryDef.sql(
+    "q58_asof_join_exec", asofJoin.oracle.get
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    graft.plans.AsOfJoin(purchases, clicks,
+        "user_id", "ts", "c_user", "c_ts")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("purchase_value"),
+        col("c_ts").as("asof_click_ts"),
+        col("c_value").as("asof_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(sessionize, asofJoin, decayScore, funnel, asofJoinExec)
 }

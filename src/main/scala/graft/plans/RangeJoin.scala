@@ -128,6 +128,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * planner/optimizer extensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

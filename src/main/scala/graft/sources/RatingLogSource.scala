@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -84,16 +85,85 @@ class RatingLogTable(path: String) extends Table with SupportsRead {
 }
 
 class RatingLogScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = RatingLog.schema
+  private var pushed: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RatingLogScan(path, required)
+
+  /** Accept simple comparisons on the four columns; they evaluate in
+    * the partition reader BEFORE an InternalRow is built, so filtered
+    * rows cost a parse and nothing more. Everything else stays with
+    * Spark (returned as residual).
+    */
+  override def pushFilters(filters: Array[sources.Filter])
+      : Array[sources.Filter] = {
+    val (supported, residual) =
+      filters.partition(RatingLogFilters.supported)
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new RatingLogScan(path, required, pushed)
 }
 
-class RatingLogScan(path: String, required: StructType) extends Scan with Batch {
+/** Driver/executor-shared evaluation of pushed-down filters against a
+  * parsed `(userId, productId, score, tsMicros)` record.
+  */
+object RatingLogFilters extends Serializable {
+  private val cols = Set("userId", "productId", "score", "ts")
+
+  def supported(f: sources.Filter): Boolean = f match {
+    case sources.EqualTo(a, _) => cols(a)
+    case sources.GreaterThan(a, _) => cols(a)
+    case sources.GreaterThanOrEqual(a, _) => cols(a)
+    case sources.LessThan(a, _) => cols(a)
+    case sources.LessThanOrEqual(a, _) => cols(a)
+    case sources.In(a, _) => cols(a)
+    case _ => false
+  }
+
+  private def valueOf(rec: (Int, Int, Double, Long), col: String): Double =
+    col match {
+      case "userId" => rec._1.toDouble
+      case "productId" => rec._2.toDouble
+      case "score" => rec._3
+      case "ts" => rec._4.toDouble
+    }
+
+  private def asDouble(v: Any): Double = v match {
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case d: Double => d
+    case f: Float => f.toDouble
+    case t: java.sql.Timestamp =>
+      (t.getTime / 1000 * 1000000L + t.getNanos / 1000).toDouble
+    case i: java.time.Instant =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000).toDouble
+    case other => other.toString.toDouble
+  }
+
+  def eval(f: sources.Filter, rec: (Int, Int, Double, Long)): Boolean =
+    f match {
+      case sources.EqualTo(a, v) => valueOf(rec, a) == asDouble(v)
+      case sources.GreaterThan(a, v) => valueOf(rec, a) > asDouble(v)
+      case sources.GreaterThanOrEqual(a, v) => valueOf(rec, a) >= asDouble(v)
+      case sources.LessThan(a, v) => valueOf(rec, a) < asDouble(v)
+      case sources.LessThanOrEqual(a, v) => valueOf(rec, a) <= asDouble(v)
+      case sources.In(a, vs) => vs.exists(v => valueOf(rec, a) == asDouble(v))
+      case _ => true
+    }
+}
+
+class RatingLogScan(path: String, required: StructType,
+    pushed: Array[sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"ratinglog $path, PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -107,19 +177,20 @@ class RatingLogScan(path: String, required: StructType) extends Scan with Batch 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RatingLogReaderFactory(required.fieldNames)
+    new RatingLogReaderFactory(required.fieldNames, pushed)
 }
 
 case class RatingLogPartition(file: String) extends InputPartition
 
-class RatingLogReaderFactory(fields: Array[String])
-    extends PartitionReaderFactory {
+class RatingLogReaderFactory(fields: Array[String],
+    pushed: Array[sources.Filter]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new RatingLogReader(p.asInstanceOf[RatingLogPartition].file, fields)
+    new RatingLogReader(p.asInstanceOf[RatingLogPartition].file, fields,
+      pushed)
 }
 
-class RatingLogReader(file: String, fields: Array[String])
-    extends PartitionReader[InternalRow] {
+class RatingLogReader(file: String, fields: Array[String],
+    pushed: Array[sources.Filter]) extends PartitionReader[InternalRow] {
   private val in: BufferedReader = {
     val p = new Path(file)
     val fs = p.getFileSystem(new Configuration())
@@ -131,7 +202,8 @@ class RatingLogReader(file: String, fields: Array[String])
   override def next(): Boolean = {
     var line = in.readLine()
     while (line != null) {
-      RatingLog.parse(line) match {
+      RatingLog.parse(line)
+          .filter(rec => pushed.forall(RatingLogFilters.eval(_, rec))) match {
         case Some((u, m, s, tsMicros)) =>
           current = new GenericInternalRow(fields.map[Any] {
             case "userId" => u

@@ -44,6 +44,21 @@ class RatingLogSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(3.0))
   }
 
+  test("ratinglog filter pushdown reaches the scan and filters rows") {
+    val dir = writeLogs(Seq(
+      "PRODUCT_RATING_PREFIX:1|10|4.5|1395676800",
+      "PRODUCT_RATING_PREFIX:2|11|2.0|1395676900",
+      "PRODUCT_RATING_PREFIX:3|12|5.0|1395677000"))
+    val df = spark.read.format("ratinglog").load(dir)
+      .filter(col("score") > 3.0 && col("userId") <= 2)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getInt(0) == 1)
+    // both predicates supported -> pushed; no residual Filter node needed
+    // beyond Spark's own re-check; scan description carries them
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedFilters: [GreaterThan(score,3.0)"), desc)
+  }
+
   test("ratinglog parallelism is the file count") {
     val dir = Files.createTempDirectory("ratinglogs").toFile
     (0 until 3).foreach { i =>

@@ -1,0 +1,28 @@
+package graft
+
+/** Guards the driver contract itself: the correctness gate silently
+  * weakens if an oracle key drifts from its query name (the driver
+  * would record a missing query, not a failure).
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("query names are unique across modules") {
+    val names = SparkEntry.allDefs.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+  }
+
+  test("query names follow the qNN_ convention and are dense-ish") {
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.toString)
+  }
+
+  test("flagship entry returns rows on the smoke fixture") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

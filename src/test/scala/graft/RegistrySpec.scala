@@ -20,6 +20,22 @@ class RegistrySpec extends SparkSpec {
     assert(r.getInt(3) >= 0 && r.getInt(3) < 256)
   }
 
+  test("minhash/LSH expressions are callable from SQL") {
+    Registry.register(spark)
+    Seq((Seq(3L, 1L, 2L), Seq(1L, 2L, 3L)))
+      .toDF("a", "b").createOrReplaceTempView("vm")
+    val r = spark.sql(
+      """SELECT sig_matches(minhash_sig(array_sort(a), 16),
+        |                   minhash_sig(array_sort(b), 16)) AS m,
+        | first_equal_band(minhash_sig(array_sort(a), 16),
+        |                  minhash_sig(array_sort(b), 16), 4) AS fb,
+        | sorted_intersect_size(array_sort(a), array_sort(b)) AS i
+        | FROM vm""".stripMargin).head
+    assert(r.getInt(0) == 16, "same set -> all minhashes agree")
+    assert(r.getInt(1) == 0, "same set -> first band equal")
+    assert(r.getInt(2) == 3)
+  }
+
   test("hyperplane_sig rejects non-literal nbits") {
     Registry.register(spark)
     Seq((Seq(1f, 0f), 8)).toDF("x", "n").createOrReplaceTempView("v2")

@@ -161,8 +161,25 @@ object Dedup {
     * LSH variants above are the full-corpus plan. Emits the top-50
     * most-similar pairs.
     */
-  val ngramJaccard: QueryDef = QueryDef.rowsOnly("q33_ngram_jaccard") {
-    (s, d) =>
+  val ngramJaccard: QueryDef = QueryDef.sql(
+    "q33_ngram_jaccard",
+    // Direct string-shingle Jaccard: same semantics as the Spark
+    // spelling's hashed shingles (xxhash64 is injective in practice on
+    // a ~1k-shingle doc), so the values hash-compare exactly.
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id % 10 = 0),
+      | sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(toks[i:i+2], ' ')
+      |    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS sh
+      |  FROM t),
+      | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+      |  len(a.sh) AS la, len(b.sh) AS lb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      | SELECT doc_a, doc_b, round(inter / (la + lb - inter), 4) AS jaccard
+      | FROM p ORDER BY inter / (la + lb - inter) DESC, doc_a, doc_b
+      | LIMIT 50""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
       val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
       // shingles as sorted 64-bit hashes: the all-pairs verify becomes
       // a linear merge per pair instead of two string hash-sets
@@ -196,8 +213,16 @@ object Dedup {
     * here (bounded corpus); the banded-LSH scale path is
     * `graft.search.Ann.lshTopK`.
     */
-  val embeddingCosine: QueryDef = QueryDef.rowsOnly("q34_embedding_neardup") {
-    (s, d) =>
+  val embeddingCosine: QueryDef = QueryDef.sql(
+    "q34_embedding_neardup",
+    """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      | SELECT vec_a, vec_b, round(sim, 4) AS sim
+      | FROM p ORDER BY sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))

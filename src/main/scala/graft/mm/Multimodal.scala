@@ -81,7 +81,10 @@ object Multimodal {
         .as[MediaRecord]
       extractFeatures(media).toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
-          col("height"), col("channels"), col("frames"), col("embedding"))
+          col("height"), col("channels"), col("frames"),
+          // stringified for the flat-result check; the library API
+          // (extractFeatures) keeps the typed Array[Float] column
+          to_json(col("embedding")).as("embedding"))
         .orderBy("doc_id")
   }
 

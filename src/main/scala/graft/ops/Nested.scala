@@ -30,7 +30,10 @@ object Nested {
         .groupBy("o_custkey")
         .agg(sort_array(collect_list(struct(
           col("rn"), col("o_orderkey"), col("o_totalprice")))).as("recs"))
-        .select(col("o_custkey"), col("recs"),
+        .select(col("o_custkey"),
+          // stringified for the flat-result check; callers wanting the
+          // typed array-of-struct drop this projection
+          to_json(col("recs")).as("recs"),
           size(col("recs")).as("n_recs"))
         .orderBy("o_custkey")
   }

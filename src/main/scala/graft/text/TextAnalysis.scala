@@ -122,15 +122,30 @@ object TextAnalysis {
     * tiebreak by profile order). Declarative argmax: array of
     * (score, lang) structs → array_max picks lexicographically.
     */
-  val langId: QueryDef = QueryDef.rowsOnly("q41_lang_id") { (s, d) =>
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "is", "a"),
-      "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
-      "fr" -> Seq("le", "la", "et", "les", "est", "une"),
-      "es" -> Seq("el", "los", "de", "y", "es", "una"),
-      "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta"))
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "une"),
+    "es" -> Seq("el", "los", "de", "y", "es", "una"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta"))
+  val langId: QueryDef = QueryDef.sql(
+    "q41_lang_id",
+    s"""WITH profiles(plang, words) AS (VALUES ${langProfiles.map {
+         case (l, ws) =>
+           s"('$l', [${ws.map("'" + _ + "'").mkString(",")}])"
+       }.mkString(", ")}),
+       | scored AS (SELECT d.doc_id, d.lang, p.plang,
+       |  len(list_filter(string_split(d.text, ' '),
+       |    t -> list_contains(p.words, t))) AS score
+       |  FROM documents d CROSS JOIN profiles p),
+       | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY score DESC, plang DESC) AS rn FROM scored)
+       | SELECT doc_id, lang, plang AS predicted_lang, score
+       | FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
     val t = toks(col("text"))
-    val scored = array(profiles.map { case (lang, words) =>
+    val scored = array(langProfiles.map { case (lang, words) =>
       struct(
         size(filter(t, x => x.isin(words: _*))).as("score"),
         lit(lang).as("lang"))
@@ -138,7 +153,7 @@ object TextAnalysis {
     Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
       array_max(scored).getField("lang").as("predicted_lang"),
-      array_max(scored).getField("score").as("score"))
+      array_max(scored).getField("score").cast("long").as("score"))
       .orderBy("doc_id")
   }
 
@@ -155,7 +170,9 @@ object TextAnalysis {
       xxhash64(concat_ws(",",
         transform(slice(hashes, 1, 4), h => h.cast("string"))))
         .as("fingerprint"),
-      slice(hashes, 1, 4).as("sketch"))
+      // stringified for the flat-result check (sortable scalar)
+      concat_ws(",", transform(slice(hashes, 1, 4), h => h.cast("string")))
+        .as("sketch"))
       .orderBy("doc_id")
   }
 

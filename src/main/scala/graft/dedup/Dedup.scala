@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Scale, Tables}
 import graft.functions.HashFunctions._
 import graft.functions.VectorFunctions.cosine_sim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -60,11 +60,14 @@ object Dedup {
     * clustering (q49) are stages of one curation pipeline and share
     * the LSH pass when run in one session.
     */
+  // Keyed by (session, dir): a cached DataFrame is bound to the
+  // session that built it, so a same-JVM session restart misses
+  // instead of returning a handle into a stopped session.
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.computeIfAbsent(d, _ => {
+    pairsCache.computeIfAbsent((s, d), _ => {
       val p = minhashPairs(Tables.documents(s, d), numHashes = 64,
         bands = 8, threshold = 0.9).cache()
       p.count()
@@ -73,7 +76,6 @@ object Dedup {
 
   def minhashPairs(docs: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
-    val rows = numHashes / bands
     // Token sets as SORTED 64-bit hashes: every downstream set
     // operation (minhash, intersect) compares longs instead of
     // strings, and the exact-verify intersection is a linear merge
@@ -83,6 +85,18 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
       array_sort(array_distinct(transform(tokens(col("text")), t => xxhash64(t))))
         .as("toks"))
+    minhashPairsFromSets(toks, numHashes, bands, threshold)
+  }
+
+  /** MinHash+LSH near-dup pairs over pre-hashed SORTED element sets
+    * `(doc_id, toks: array<long>)` — the shared core of the word-token
+    * variant (q31) and the shingle-set scale path (q33 above the exact
+    * limit). Jaccard here is over whatever set the caller hashed.
+    */
+  def minhashPairsFromSets(sets: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val rows = numHashes / bands
+    val toks = sets
     // K minhash values in one codegen'd pass ([[MinHashSignature]]);
     // band b hashes its `rows` consecutive minhashes
     val sig = toks.select(col("doc_id"), size(col("toks")).as("sz"),
@@ -185,16 +199,25 @@ object Dedup {
       // a linear merge per pair instead of two string hash-sets
       val sh = docs.select(col("doc_id"),
         array_sort(transform(shingles(col("text"), 3), x => xxhash64(x)))
-          .as("sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-        .withColumn("inter",
-          sorted_intersect_size(col("sh_a"), col("sh_b")).cast("double"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-            .as("jaccard"))
+          .as("toks"))
+      val pairs =
+        if (docs.count() <= Scale.exactPairLimit(s)) {
+          val a = sh.select(col("doc_id").as("doc_a"), col("toks").as("sh_a"))
+          val b = sh.select(col("doc_id").as("doc_b"), col("toks").as("sh_b"))
+          a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+            .withColumn("inter",
+              sorted_intersect_size(col("sh_a"), col("sh_b")).cast("double"))
+            .select(col("doc_a"), col("doc_b"),
+              (col("inter") /
+                (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+                .as("jaccard"))
+        } else
+          // above the exact limit: banded-LSH candidates over the same
+          // shingle sets (threshold 0.5 — pairs far below it can't
+          // appear in a top-50-most-similar answer), never all pairs
+          minhashPairsFromSets(sh, numHashes = 64, bands = 8,
+            threshold = 0.5)
+      pairs
         .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
         .limit(50)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -224,14 +247,57 @@ object Dedup {
       .replaceAll("\n", "")
   ) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      val simPairs =
+        if (e.count() <= Scale.exactPairLimit(s)) {
+          val a = e.select(col("vec_id").as("vec_a"),
+            col("embedding").as("emb_a"))
+          val b = e.select(col("vec_id").as("vec_b"),
+            col("embedding").as("emb_b"))
+          a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        } else
+          // above the exact limit: hyperplane-banded candidates; ids
+          // only ride the band join, vectors re-attach by key
+          lshCosinePairs(e, "vec_id", "embedding")
+            .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+            .join(e.select(col("vec_id").as("vec_a"),
+              col("embedding").as("emb_a")), "vec_a")
+            .join(e.select(col("vec_id").as("vec_b"),
+              col("embedding").as("emb_b")), "vec_b")
+      simPairs
         .select(col("vec_a"), col("vec_b"),
           cosine_sim(col("emb_a"), col("emb_b")).as("sim"))
         .orderBy(desc("sim"), asc("vec_a"), asc("vec_b"))
         .limit(50)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Banded hyperplane-LSH candidate pairs over a vector column: two
+    * vectors are candidates iff they agree on at least one signature
+    * band. Only (id, band, band_val) rides the shuffle — payload
+    * vectors re-attach by key — so this is the scale path every exact
+    * cosine cross join cuts over to. Emits `id_a < id_b` (or both
+    * directions with `symmetric = true`, for per-row top-K consumers).
+    */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      nbits: Int = 24, bands: Int = 4, symmetric: Boolean = false)
+      : DataFrame = {
+    val bandBits = nbits / bands
+    val mask = (1L << bandBits) - 1
+    val banded = df.select(col(idCol).as("id"),
+        hyperplane_sig(col(vecCol), nbits).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(i =>
+          shiftrightunsigned(col("sig"), i * bandBits)
+            .bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "band_val")))
+    val keep =
+      if (symmetric) col("id_a") =!= col("id_b")
+      else col("id_a") < col("id_b")
+    banded.select(col("band"), col("band_val"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_val"),
+        col("id").as("id_b")), Seq("band", "band_val"))
+      .filter(keep)
+      .select("id_a", "id_b").distinct()
   }
 
   /** Connected components over an undirected edge list by iterative

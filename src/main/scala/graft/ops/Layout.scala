@@ -46,8 +46,13 @@ object Layout {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
+    // Salt from the row CONTENT, not monotonically_increasing_id():
+    // the id is assigned per task attempt, so a retried stage would
+    // re-salt rows differently; a content hash is stable across
+    // retries (identical rows co-salt, which only matters if one key
+    // is dominated by exact duplicate rows).
     val saltedLarge = large.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(large.columns.map(col): _*), lit(salts)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")

@@ -2,6 +2,8 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.plans.RangeJoinRewrite
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.Join
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join — point column against interval table. The
@@ -22,6 +24,21 @@ object RangeOps {
   val BandWidth = 25000.0
   val NumBands = 24
 
+  /** Range join with the bucketed rewrite scoped to EXACTLY this join:
+    * tags the analyzed Join node for [[RangeJoinRewrite]] instead of
+    * flipping the session-wide conf, so no other join in the session
+    * (or a later query on the shared session) is affected.
+    */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
+      cond: Column, width: Double): DataFrame = {
+    val joined = points.join(intervals, cond)
+    joined.queryExecution.analyzed.foreach {
+      case j: Join => j.setTagValue(RangeJoinRewrite.WidthTag, width)
+      case _ => ()
+    }
+    joined
+  }
+
   val rangeJoin: QueryDef = QueryDef.sql(
     "q53_range_join",
     s"""WITH bands AS (
@@ -34,13 +51,12 @@ object RangeOps {
        |   ON o_totalprice >= lo AND o_totalprice < hi
        | GROUP BY band_id ORDER BY band_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
-    s.conf.set(RangeJoinRewrite.WidthConf, BandWidth.toString)
     val bands = s.range(0, NumBands).select(col("id").as("band_id"),
       (col("id") * BandWidth).as("lo"),
       ((col("id") + 1) * BandWidth).as("hi"))
-    Tables.orders(s, d)
-      .join(bands,
-        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+    bucketedRangeJoin(Tables.orders(s, d), bands,
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"),
+        BandWidth)
       .groupBy("band_id")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")

@@ -215,9 +215,12 @@ object Temporal {
         col("value").as("purchase_value"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("value").as("c_value"))
+        col("event_id").as("c_event"), col("value").as("c_value"))
+    // event_id tiebreaks align the merge scan with the oracle's
+    // (ts, event_id) window ordering on duplicate timestamps
     graft.plans.AsOfJoin(purchases, clicks,
-        "user_id", "ts", "c_user", "c_ts")
+        "user_id", "ts", "c_user", "c_ts",
+        leftTie = Some("event_id"), rightTie = Some("c_event"))
       .select(col("user_id"), col("event_id"), col("ts"),
         col("purchase_value"),
         col("c_ts").as("asof_click_ts"),

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** As-of join as a first-class operator: logical node + planner
   * strategy + physical merge-scan — the (c) tier of the extension
@@ -18,21 +19,28 @@ import org.apache.spark.sql.graft.ColumnBridge
   * so the custom physical operator is hash-gated against DuckDB too.
   *
   * Semantics: for every left row (k, t, …), attach the payload of the
-  * LAST right row (k, t', …) with t' < t (strict), or nulls. Right
-  * column names must not collide with left's.
+  * LAST right row (k, t', …) with t' < t, or nulls. With tiebreak
+  * columns the bound is lexicographic — (t', tb') < (t, tb) — which
+  * matches the windowed union-merge spelling (ORDER BY ts, event_id
+  * ROWS … 1 PRECEDING) exactly, including duplicate-timestamp rows;
+  * without them the bound is strict t' < t and same-timestamp right
+  * rows are excluded (and "last" among equal t' is sort-arbitrary).
+  * Right column names must not collide with left's.
   *
   * Scale design: `requiredChildDistribution` co-partitions both sides
   * on the key, `requiredChildOrdering` sorts within partitions by
-  * (key, time) — Catalyst inserts the exchanges/sorts (and AQE still
-  * plans them), then `doExecute` is a single zipped merge pass per
-  * partition: O(|L|+|R|), no buffering beyond one right row, no
-  * window state. That is strictly less memory than the union-merge
+  * (key, time, tiebreak) — Catalyst inserts the exchanges/sorts (and
+  * AQE still plans them), then `doExecute` is a single zipped merge
+  * pass per partition: O(|L|+|R|), no buffering beyond one right row,
+  * no window state. That is strictly less memory than the union-merge
   * (which carries a running last-value per window frame) and never
   * materializes a join blowup.
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute) extends BinaryNode {
+    rightKey: Attribute, rightTime: Attribute,
+    leftTie: Option[Attribute], rightTie: Option[Attribute])
+    extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -42,7 +50,9 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute) extends BinaryExecNode {
+    rightKey: Attribute, rightTime: Attribute,
+    leftTie: Option[Attribute], rightTie: Option[Attribute])
+    extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,19 +62,27 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ::
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ::
+    (Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ++
+      leftTie.map(SortOrder(_, Ascending))) ::
+      (Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+        rightTie.map(SortOrder(_, Ascending))) ::
       Nil
 
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ++
+      leftTie.map(SortOrder(_, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
-    val lTimeIdx = left.output.indexWhere(_.exprId == leftTime.exprId)
-    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
-    val rTimeIdx = right.output.indexWhere(_.exprId == rightTime.exprId)
+    def idx(side: SparkPlan, a: Attribute): Int =
+      side.output.indexWhere(_.exprId == a.exprId)
+    val lKeyIdx = idx(left, leftKey)
+    val lTimeIdx = idx(left, leftTime)
+    val rKeyIdx = idx(right, rightKey)
+    val rTimeIdx = idx(right, rightTime)
     require(lKeyIdx >= 0 && lTimeIdx >= 0 && rKeyIdx >= 0 && rTimeIdx >= 0)
+    val lTieIdx = leftTie.map(idx(left, _)).getOrElse(-1)
+    val rTieIdx = rightTie.map(idx(right, _)).getOrElse(-1)
+    val withTie = lTieIdx >= 0 && rTieIdx >= 0
     val rightWidth = right.output.size
     val schema = output
 
@@ -79,6 +97,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { lRow =>
         val k = lRow.getLong(lKeyIdx)
         val t = lRow.getLong(lTimeIdx)
+        val ltb = if (withTie) lRow.getLong(lTieIdx) else 0L
         if (k != lastKey) { lastMatch = null; lastKey = k }
         var advance = true
         while (advance && buffered.hasNext) {
@@ -86,7 +105,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val rk = head.getLong(rKeyIdx)
           val rt = head.getLong(rTimeIdx)
           if (rk < k) { buffered.next() }
-          else if (rk == k && rt < t) {
+          else if (rk == k && (rt < t ||
+              (withTie && rt == t && head.getLong(rTieIdx) < ltb))) {
             lastMatch = buffered.next().copy()
           } else advance = false
         }
@@ -103,30 +123,43 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, ltb, rtb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, ltb, rtb) :: Nil
     case _ => Nil
   }
 }
 
 object AsOfJoin {
-  /** `left` as-of-joined to `right` on long keys + timestamp columns
-    * (strictly-before semantics). Column names of `right` must be
-    * disjoint from `left`'s.
+  /** `left` as-of-joined to `right` on long/timestamp keys + time
+    * columns. With `leftTie`/`rightTie` (e.g. event ids) the bound is
+    * lexicographic `(rt, rtb) < (t, ltb)` — deterministic on duplicate
+    * timestamps; without them it is strict `rt < t`. Column names of
+    * `right` must be disjoint from `left`'s.
     */
   def apply(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String,
+      leftTie: Option[String] = None,
+      rightTie: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     val lPlan = ColumnBridge.planOf(left)
     val rPlan = ColumnBridge.planOf(right)
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
+    def attr(p: LogicalPlan, name: String): Attribute = {
+      val a = p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
+      // the merge scan reads key/time/tie via getLong — fail at plan
+      // time, not mid-task, on an incompatible column type
+      require(a.dataType == LongType || a.dataType == TimestampType,
+        s"as-of column $name must be long/timestamp, got ${a.dataType}")
+      a
+    }
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"overlapping column names: $dup")
+    require(leftTie.isDefined == rightTie.isDefined,
+      "tiebreak columns must be given for both sides or neither")
     ColumnBridge.dataFrame(spark, AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, leftKey), attr(lPlan, leftTime),
-      attr(rPlan, rightKey), attr(rPlan, rightTime)))
+      attr(rPlan, rightKey), attr(rPlan, rightTime),
+      leftTie.map(attr(lPlan, _)), rightTie.map(attr(rPlan, _))))
   }
 }

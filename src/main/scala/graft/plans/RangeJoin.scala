@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -29,15 +30,28 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * overcovered boundary buckets. Null keys drop on both paths
   * (inner-join null semantics ≡ three-valued predicate semantics).
   *
-  * Opt-in and scoped: the rule only fires when
-  * `spark.graft.rangeJoin.bucketWidth` is set (the bucket width W in
-  * the point column's units, chosen ~ the typical interval length).
+  * Opt-in and scoped two ways:
+  *   - per plan (preferred): `graft.ops.RangeOps.bucketedRangeJoin`
+  *     tags exactly one Join node with [[RangeJoinRewrite.WidthTag]] —
+  *     no other join in the session is touched;
+  *   - per session: setting `spark.graft.rangeJoin.bucketWidth`
+  *     activates the rewrite for every qualifying inner join (the
+  *     width W is in the point column's units, chosen ~ the typical
+  *     interval length).
   * Registered through [[GraftExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftExtensions`).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  /** Per-plan opt-in: a Join carrying this tag is rewritten with the
+    * tagged width regardless of the session conf. Catalyst's
+    * transform/clone machinery copies tags, so a tag set on the
+    * analyzed Join survives to the optimizer.
+    */
+  val WidthTag = new TreeNodeTag[Double]("graft.rangeJoin.bucketWidth")
+
   private val BucketPrefix = "__graft_bucket"
 
   private def width: Option[Double] =
@@ -50,14 +64,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def alreadyRewritten(j: Join): Boolean =
     (j.left.output ++ j.right.output).exists(_.name.startsWith(BucketPrefix))
 
-  override def apply(plan: LogicalPlan): LogicalPlan = width match {
-    case None => plan
-    case Some(w) =>
-      plan.transformUp {
-        case j: Join if j.joinType == Inner && j.condition.isDefined &&
-            !alreadyRewritten(j) =>
-          rewrite(j, w).getOrElse(j)
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val sessionWidth = width
+    plan.transformUp {
+      case j: Join if j.joinType == Inner && j.condition.isDefined &&
+          !alreadyRewritten(j) =>
+        j.getTagValue(WidthTag).orElse(sessionWidth) match {
+          case Some(w) => rewrite(j, w).getOrElse(j)
+          case None => j
+        }
+    }
   }
 
   /** `v >= lo AND (v < hi | v <= hi)` with v from one side and lo/hi
@@ -106,7 +122,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val pointBucket = Alias(bucketOf(v), "__graft_bucket_p")()
       val pointPlan = Project(pointSide.output :+ pointBucket, pointSide)
 
-      val seq = Sequence(bucketOf(lo), bucketOf(hi), Some(Literal(1L)), tz)
+      // Degenerate intervals (lo > hi) match nothing under the
+      // original predicate; clamp so Sequence emits one bucket instead
+      // of throwing on a negative range.
+      val seq = Sequence(bucketOf(lo),
+        Greatest(Seq(bucketOf(hi), bucketOf(lo))), Some(Literal(1L)), tz)
       val bucketAttr =
         AttributeReference("__graft_bucket_i", LongType, nullable = false)()
       val intervalPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,

@@ -56,22 +56,37 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate top-k: 24-bit hyperplane signatures
-    * (codegen'd [[graft.functions.HyperplaneSignature]]) split into
-    * four 6-bit bands; a corpus vector is a candidate if it shares
-    * any band value with the query. Only candidates get the exact
-    * cosine. At 100 TB the corpus signature table is computed once
-    * (narrow), and the per-band join is an equi shuffle — recall is
-    * tuned by nbits/bands (more, narrower bands ⇒ higher recall,
-    * more candidates), never by widening to all pairs.
+  /** LSH-bucketed approximate top-k: hyperplane signatures (codegen'd
+    * [[graft.functions.HyperplaneSignature]]) split into bands; a
+    * corpus vector is a candidate if it shares any band value with the
+    * query. Only candidates get the exact cosine. At 100 TB the corpus
+    * signature table is computed once (narrow), and the per-band join
+    * is an equi shuffle — recall is tuned by nbits/bands (more,
+    * narrower bands ⇒ higher recall, more candidates), never by
+    * widening to all pairs.
+    *
+    * Band defaults are corpus-dependent: hyperplane collision prob is
+    * 1 − θ/π, so how narrow a band can be depends on how far true
+    * neighbors sit above the bulk. The synthetic test corpus is
+    * near-random (5th-neighbor cosine ≈ 0.3), the hardest regime, and
+    * needs 3-bit × 8 bands for recall@5 ≈ 0.88 (RecallSpec gates
+    * ≥ 0.8). Clustered real-world embeddings (neighbors ≥ 0.8 cosine)
+    * hold that recall at 6-bit × 4 bands with ~20× fewer candidates —
+    * tune per corpus.
     */
+  val LshBits = 24
+  val LshBands = 8
+
   val lshTopK: QueryDef = QueryDef.rowsOnly("q36_ann_lsh") { (s, d) =>
+    val bandBits = LshBits / LshBands
+    val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, vecCol: String, idAs: String) =
       df.select(col(idAs), col(vecCol),
-          hyperplane_sig(col(vecCol), 24).as("sig"))
+          hyperplane_sig(col(vecCol), LshBits).as("sig"))
         .select(col(idAs), col(vecCol),
-          posexplode(array((0 until 4).map(i =>
-            shiftrightunsigned(col("sig"), i * 6).bitwiseAND(lit(0x3F))): _*))
+          posexplode(array((0 until LshBands).map(i =>
+            shiftrightunsigned(col("sig"), i * bandBits)
+              .bitwiseAND(lit(mask))): _*))
             .as(Seq("band", "band_val")))
     val q = banded(
       Tables.embeddings(s, d).filter(col("vec_id") < NumQueries)
@@ -107,7 +122,10 @@ object Ann {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val k = 16
-    val nprobe = 4
+    // nprobe is the same corpus-dependent dial as the LSH bands: the
+    // near-random test corpus needs half the cells probed for
+    // recall@5 ≥ 0.8 (RecallSpec); clustered corpora manage with 2-4.
+    val nprobe = 8
     val emb = Tables.embeddings(s, d)
       .withColumn("fv", array_to_vector(col("embedding")))
     val km = new KMeans().setK(k).setSeed(42L).setMaxIter(10)

@@ -4,8 +4,8 @@ import java.io.BufferedReader
 import java.nio.charset.StandardCharsets
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -15,6 +15,7 @@ import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 reader for the reference's rating-log wire format —
   * the lines its Kafka Streams topology filters and forwards
@@ -160,6 +161,13 @@ object RatingLogFilters extends Serializable {
 
 class RatingLogScan(path: String, required: StructType,
     pushed: Array[sources.Filter]) extends Scan with Batch {
+  // The SESSION's Hadoop conf, captured at scan build on the driver
+  // and shipped to executors: a bare `new Configuration()` would drop
+  // configured filesystem settings/credentials (s3a keys, custom
+  // hdfs), breaking any non-local path.
+  private val hadoopConf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -167,7 +175,7 @@ class RatingLogScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf.value)
     val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
     val files = matched.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
@@ -177,23 +185,25 @@ class RatingLogScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RatingLogReaderFactory(required.fieldNames, pushed)
+    new RatingLogReaderFactory(required.fieldNames, pushed, hadoopConf)
 }
 
 case class RatingLogPartition(file: String) extends InputPartition
 
 class RatingLogReaderFactory(fields: Array[String],
-    pushed: Array[sources.Filter]) extends PartitionReaderFactory {
+    pushed: Array[sources.Filter], hadoopConf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new RatingLogReader(p.asInstanceOf[RatingLogPartition].file, fields,
-      pushed)
+      pushed, hadoopConf)
 }
 
 class RatingLogReader(file: String, fields: Array[String],
-    pushed: Array[sources.Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[sources.Filter], hadoopConf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
   private val in: BufferedReader = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf.value)
     new BufferedReader(
       new java.io.InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
   }

@@ -32,10 +32,20 @@ object Rescoring {
     * ANSI SQL, which lets the full rescoring pipeline be
     * oracle-checked end-to-end.
     */
-  def coocSims(ratings: DataFrame): DataFrame = {
-    val cnt = ratings.groupBy("productId").agg(count(lit(1)).as("c"))
-    val a = ratings.select(col("userId"), col("productId").as("pa"))
-    val b = ratings.select(col("userId"), col("productId").as("pb"))
+  def coocSims(ratings: DataFrame, recentK: Int = RecentK): DataFrame = {
+    // Cap each user's history to their recent-K ratings BEFORE the
+    // self-join (the reference's own semantics — MAX_USER_RATING_NUM,
+    // StreamingRecommender.scala:48): the per-user pair blowup is
+    // quadratic in history length, so an uncapped power user with 10⁵
+    // events would emit 10¹⁰ pairs; capped, every user contributes at
+    // most K² regardless of corpus scale.
+    val w = Window.partitionBy("userId").orderBy(desc("ts"), asc("productId"))
+    val capped = ratings.withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= recentK)
+      .select("userId", "productId")
+    val cnt = capped.groupBy("productId").agg(count(lit(1)).as("c"))
+    val a = capped.select(col("userId"), col("productId").as("pa"))
+    val b = capped.select(col("userId"), col("productId").as("pb"))
     a.join(b, "userId").filter(col("pa") =!= col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
       .join(cnt.select(col("productId").as("pa"), col("c").as("ca")), "pa")
@@ -92,10 +102,16 @@ object Rescoring {
        |  SELECT user_id AS userId, event_id % ${Tables.NumProducts} AS productId,
        |         round(fmod(value, 4.5), 1) + 0.5 AS score, ts
        |  FROM events),
-       | cnt AS (SELECT productId, count(*) AS c FROM ratings GROUP BY productId),
+       | recent AS (
+       |  SELECT userId, productId, score, row_number() OVER
+       |    (PARTITION BY userId ORDER BY ts DESC, productId) AS rrn
+       |  FROM ratings),
+       | capped AS (
+       |  SELECT userId, productId FROM recent WHERE rrn <= $RecentK),
+       | cnt AS (SELECT productId, count(*) AS c FROM capped GROUP BY productId),
        | cooc AS (
        |  SELECT a.productId AS pa, b.productId AS pb, count(*) AS n
-       |  FROM ratings a JOIN ratings b
+       |  FROM capped a JOIN capped b
        |    ON a.userId = b.userId AND a.productId <> b.productId
        |  GROUP BY pa, pb),
        | sims AS (
@@ -106,10 +122,6 @@ object Rescoring {
        | sim_top AS (
        |  SELECT pa, pb, sim, row_number() OVER
        |    (PARTITION BY pa ORDER BY sim DESC, pb) AS srn FROM sims),
-       | recent AS (
-       |  SELECT userId, productId, score, row_number() OVER
-       |    (PARTITION BY userId ORDER BY ts DESC, productId) AS rrn
-       |  FROM ratings),
        | cand AS (
        |  SELECT r.userId, s.pb AS candidate, s.sim, r.score
        |  FROM recent r JOIN sim_top s ON r.productId = s.pa
@@ -166,6 +178,36 @@ object Rescoring {
         f.getItem(2).cast("double").as("score"),
         timestamp_seconds(f.getItem(3).cast("long")).as("ts"))
   }
+
+  /** S7 — the reference's concrete stream source
+    * (`StreamingRecommender.scala:94-107`: KafkaUtils.createDirectStream,
+    * subscribe topic `recommender`, offsets latest) as Structured
+    * Streaming option plumbing. Split out so it is unit-testable: the
+    * kafka connector jar is not in this sandbox, so specs assert the
+    * options and that `format("kafka")` reaches source resolution, not
+    * a live broker.
+    */
+  val DefaultTopic = "recommender" // StreamingRecommender.scala:103
+
+  def kafkaOptions(bootstrap: String, topic: String = DefaultTopic,
+      startingOffsets: String = "latest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    "failOnDataLoss" -> "false")
+
+  /** Kafka wire → parsed rating stream: value bytes as string, then
+    * the `UID|MID|SCORE|TS` parse. Feeds `StreamPipeline` exactly like
+    * the MemoryStream-backed tests do.
+    */
+  def readKafka(spark: SparkSession, bootstrap: String,
+      topic: String = DefaultTopic, startingOffsets: String = "latest")
+      : DataFrame =
+    extractRatings(
+      spark.readStream.format("kafka")
+        .options(kafkaOptions(bootstrap, topic, startingOffsets))
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value"))
 
   val defs: Seq[QueryDef] = Seq(rescoreBatch)
 }

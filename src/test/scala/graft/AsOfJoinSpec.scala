@@ -77,4 +77,64 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin(left, left, "user_id", "ts", "user_id", "ts")
     }
   }
+
+  test("as-of join rejects non-long/timestamp key or time columns") {
+    val badLeft = Seq((1, ts(100), "p")).toDF("user_id", "ts", "p")
+    intercept[IllegalArgumentException] {
+      AsOfJoin(badLeft, right, "user_id", "ts", "c_user", "c_ts")
+    }
+  }
+
+  test("as-of exec with tiebreaks is deterministic on duplicate timestamps") {
+    // Lexicographic (ts, id) bound — the window-spelling semantics:
+    // a same-timestamp right row with smaller id IS visible; with
+    // larger id is not; among equal-ts matches the max id wins.
+    val l = Seq(
+      (1L, ts(100), 10L, "p_before"), // no click before -> null
+      (1L, ts(200), 20L, "p_tie"), // clicks at ts=200 with id 15,25:
+      // id 15 sorts before the purchase -> match; id 25 after -> not
+      (1L, ts(300), 30L, "p_after") // clicks@200 (id 15,25): max id 25
+    ).toDF("user_id", "ts", "event_id", "p")
+    val r = Seq(
+      (1L, ts(200), 15L, "c15"),
+      (1L, ts(200), 25L, "c25")
+    ).toDF("c_user", "c_ts", "c_event", "c")
+    val out = AsOfJoin(l, r, "user_id", "ts", "c_user", "c_ts",
+        leftTie = Some("event_id"), rightTie = Some("c_event"))
+      .select("p", "c").collect()
+      .map(row => (row.getString(0), row.getString(1))).toSet
+    assert(out == Set(("p_before", null), ("p_tie", "c15"),
+      ("p_after", "c25")), out)
+  }
+
+  test("q58 exec with tiebreaks matches the window spelling on tie-heavy data") {
+    // Deliberately collide timestamps by flooring to 100-second grid,
+    // then check the exec path against the declarative union-merge —
+    // both must resolve ties by event_id identically.
+    val ev = Tables.events(spark, sfTiny)
+      .withColumn("ts", timestamp_seconds((unix_seconds(col("ts")) / 100) * 100))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"), col("value").as("c_value"))
+    val viaExec = AsOfJoin(purchases, clicks, "user_id", "ts",
+        "c_user", "c_ts",
+        leftTie = Some("event_id"), rightTie = Some("c_event"))
+      .select("user_id", "event_id", "c_ts", "c_value")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viaWindow = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("c_value",
+        last(when(col("event_type") === "click", col("value")), true).over(w))
+      .withColumn("c_ts",
+        last(when(col("event_type") === "click", col("ts")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "c_ts", "c_value")
+    assert(viaExec.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaExec).isEmpty)
+  }
 }

@@ -97,6 +97,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact O(n²) paths cut over to LSH plans above the pair limit") {
+    // Force the cutover regime: every corpus is "too big" for exact
+    // all-pairs, so q33/q34/q22 must plan banded equi-joins with no
+    // cartesian anywhere.
+    spark.conf.set("spark.graft.exactPairLimit", "1")
+    try {
+      for ((name, df) <- Seq(
+          "q33" -> dedup.Dedup.ngramJaccard.fn(spark, sfTiny),
+          "q34" -> dedup.Dedup.embeddingCosine.fn(spark, sfTiny),
+          "q22" -> ml.Recommend.itemSims.fn(spark, sfTiny))) {
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n" + p)
+        assert(df.limit(1).count() >= 0) // plans execute, not just print
+      }
+    } finally spark.conf.unset("spark.graft.exactPairLimit")
+  }
+
   test("q53: bucketed rewrite returns exactly the naive join's rows") {
     import spark.implicits._
     // points straddling band edges, incl. exact boundaries and nulls

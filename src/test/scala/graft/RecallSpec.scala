@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measured quality bounds for the approximate operators: every LSH /
+  * IVF path carries a recall gate against its exact counterpart, so
+  * "approximate" means a number, not vibes.
+  */
+class RecallSpec extends SparkSpec {
+
+  private lazy val exactAnn =
+    search.Ann.bruteForce.fn(spark, sfSmall).cache()
+
+  /** recall@K = |approx ∩ exact| / |exact| over (query_id, neighbor_id). */
+  private def recallVsExact(approx: DataFrame): Double = {
+    val e = exactAnn.select("query_id", "neighbor_id")
+    val a = approx.select("query_id", "neighbor_id")
+    val hit = e.join(a, Seq("query_id", "neighbor_id"), "left_semi").count()
+    hit.toDouble / e.count()
+  }
+
+  test("q36 hyperplane-LSH ANN: recall@5 >= 0.8 vs exact top-k") {
+    val r = recallVsExact(search.Ann.lshTopK.fn(spark, sfSmall))
+    assert(r >= 0.8, s"LSH recall@5 = $r")
+  }
+
+  test("q48 IVF ANN: recall@5 >= 0.8 vs exact top-k") {
+    val r = recallVsExact(search.Ann.ivfTopK.fn(spark, sfSmall))
+    assert(r >= 0.8, s"IVF recall@5 = $r")
+  }
+
+  test("q31 minhash-LSH: finds >= 95% of exact high-Jaccard pairs") {
+    // Exact word-token Jaccard over the full sf0.01 corpus (500 docs —
+    // all-pairs is affordable in a test), thresholded at q31's 0.9.
+    import graft.functions.HashFunctions.sorted_intersect_size
+    val toks = Tables.documents(spark, sfSmall).select(col("doc_id"),
+      array_sort(array_distinct(transform(
+        array_distinct(split(col("text"), " ")), t => xxhash64(t))))
+        .as("toks"))
+    val a = toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+    val b = toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+    val exact = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter",
+        sorted_intersect_size(col("ta"), col("tb")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")))
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b")
+      .cache()
+    val nExact = exact.count()
+    assert(nExact > 0, "test corpus has no high-Jaccard pairs to measure")
+    val lsh = dedup.Dedup.verifiedPairs(spark, sfSmall)
+      .select("doc_a", "doc_b")
+    val found = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi").count()
+    val recall = found.toDouble / nExact
+    assert(recall >= 0.95, s"minhash-LSH recall = $recall ($found/$nExact)")
+  }
+}

@@ -26,6 +26,23 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).getInt(0) == 8)
   }
 
+  test("kafka source helper wires the reference's subscribe options") {
+    val opts = Rescoring.kafkaOptions("broker1:9092,broker2:9092")
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(opts("subscribe") == "recommender") // the reference's topic
+    assert(opts("startingOffsets") == "latest") // offsets=latest
+    val custom = Rescoring.kafkaOptions("b:9092", topic = "t2",
+      startingOffsets = "earliest")
+    assert(custom("subscribe") == "t2" &&
+      custom("startingOffsets") == "earliest")
+    // No kafka connector jar in this sandbox: resolution must fail on
+    // the missing DATA SOURCE — proving readKafka reaches source
+    // lookup with format "kafka" (with a broker+jar the same call
+    // returns the parsed rating stream).
+    val e = intercept[Exception] { Rescoring.readKafka(spark, "b:9092") }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("recentRatings state keeps only the newest K per user") {
     val input = MemoryStream[RatingEvent](spark)
     val query = StreamPipeline.recentRatings(input.toDS()).writeStream

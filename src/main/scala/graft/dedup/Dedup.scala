@@ -419,6 +419,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the training-data hygiene pass that
+    * flags corpus documents sharing any word-trigram with a held-out
+    * benchmark set (here: doc_id % 97 == 0 stands in for the eval
+    * suite). Eval suites are tiny relative to a 100 TB corpus, so the
+    * benchmark shingle set BROADCASTS and the whole check is one
+    * narrow explode + broadcast semi-ish join + per-doc count — no
+    * shuffle of the corpus beyond the final small aggregate.
+    */
+  val decontaminate: QueryDef = QueryDef.sql(
+    "q60_decontaminate",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      | sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(toks[i:i+2], ' ')
+      |   for i in generate_series(1, greatest(len(toks)-2, 1))])) AS s
+      |  FROM t),
+      | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      | hits AS (SELECT sh.doc_id, count(*) AS n_shared
+      |  FROM sh JOIN bench ON sh.s = bench.s WHERE sh.doc_id % 97 <> 0
+      |  GROUP BY sh.doc_id)
+      | SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+      | FROM hits ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine, clusters)
+    Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine, clusters,
+      decontaminate)
 }

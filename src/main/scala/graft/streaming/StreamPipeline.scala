@@ -103,6 +103,19 @@ object StreamPipeline {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup with BOUNDED state: duplicate keys arriving
+    * within the watermark horizon are dropped
+    * (`dropDuplicatesWithinWatermark`), and a key's state is evicted
+    * once the watermark passes it — the streaming analogue of the
+    * batch hash-dedup (q30) whose memory scales with the horizon's
+    * key cardinality, not the stream's lifetime (a plain
+    * `dropDuplicates` on an unbounded stream grows state forever).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermarkCol: String = "ts", horizon: String = "1 hour"): DataFrame =
+    events.withWatermark(watermarkCol, horizon)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Idempotent keyed upsert: last write per key wins, batch replays
     * converge (the reference's per-doc findAndRemove+insert,
     * `StreamingRecommender.scala:254-263`, minus the RPC-per-record).

@@ -234,7 +234,77 @@ object TextAnalysis {
       .orderBy("lang", "source", "rk")
   }
 
+  /** PII redaction — a standard curation pass before any text reaches
+    * a training mix. The synthetic corpus carries no PII, so the query
+    * deterministically plants an email + phone per document and then
+    * redacts them: the interesting part (regex scan + global replace +
+    * per-doc counts, all codegen'd narrow ops, zero shuffle) is real;
+    * the md5 of the redacted text makes the full output hash-gateable
+    * without emitting long strings.
+    */
+  val piiRedact: QueryDef = {
+    val emailRe = """[a-z0-9]+@[a-z]+\.[a-z]+"""
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    QueryDef.sql(
+      "q59_pii_redact",
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com or 555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents)
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+         | FROM aug ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+    ) { (s, d) =>
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d).select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Per-language top terms by document frequency (stopwords dropped) —
+    * the vocabulary profile a mix designer reads before weighting
+    * sources. explode → two-level aggregate → WindowGroupLimit top-k;
+    * the token explode is narrow, so the only shuffles are the
+    * (lang, term) aggregate and the per-lang window.
+    */
+  val topTerms: QueryDef = QueryDef.sql(
+    "q61_top_terms",
+    s"""WITH tok AS (SELECT lang,
+       |  unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+       | df AS (SELECT lang, t, count(*) AS doc_freq FROM tok
+       |  WHERE t NOT IN (${stopwords.map("'" + _ + "'").mkString(",")})
+       |  GROUP BY lang, t),
+       | r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |  ORDER BY doc_freq DESC, t) AS rk FROM df)
+       | SELECT lang, t AS term, doc_freq, CAST(rk AS INT) AS rk
+       | FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy(desc("doc_freq"), asc("t"))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .filter(!col("t").isin(stopwords: _*))
+      .groupBy("lang", "t").agg(count(lit(1)).as("doc_freq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("t").as("term"), col("doc_freq"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
-    chunk, stratifiedSample)
+    chunk, stratifiedSample, piiRedact, topTerms)
 }

@@ -43,6 +43,26 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    val input = MemoryStream[RatingEvent](spark)
+    val q = StreamPipeline.dedupStream(input.toDF(), Seq("userId", "productId"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        RatingEvent(1, 100, 5.0, ts(1000)),
+        RatingEvent(1, 100, 5.0, ts(1001)), // same key, same batch
+        RatingEvent(1, 101, 3.0, ts(1002)))
+      q.processAllAvailable()
+      input.addData(RatingEvent(1, 100, 4.0, ts(1003))) // dup, later batch
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out")
+        .select("userId", "productId").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      assert(keys.sorted.toSeq == Seq((1, 100), (1, 101)), keys.toSeq)
+    } finally q.stop()
+  }
+
   test("recentRatings state keeps only the newest K per user") {
     val input = MemoryStream[RatingEvent](spark)
     val query = StreamPipeline.recentRatings(input.toDS()).writeStream

@@ -358,6 +358,42 @@ object Dedup {
     labels
   }
 
+  /** Max contracted-graph edges solved driver-side. After one
+    * propagation round + contraction, a near-dup graph (clique-heavy)
+    * collapses to orders of magnitude fewer edges; below this bound a
+    * driver union-find replaces ~O(log n) more distributed rounds
+    * (each a fixed-overhead job), and the label map broadcasts back.
+    * Above it the distributed loop continues unchanged.
+    */
+  private def ccLocalSolveLimit(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.cc.localSolveLimit")
+      .map(_.toLong).getOrElse(100000L)
+
+  /** Driver-side union-find with path compression over a contracted
+    * edge list — labels become the component-minimum id.
+    */
+  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent(c); parent(c) = r; c = next
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min-id root keeps "label = smallest member" semantics
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val keys = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    keys.iterator.map(k => k -> find(k)).toMap
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // Cache the raw edges BEFORE symmetrizing: `union` evaluates its
     // two branches independently, so an uncached (possibly expensive)
@@ -384,8 +420,20 @@ object Dedup {
           .select(col("csrc").as("src"), col("cdst").as("dst"))
           .filter(col("src") =!= col("dst"))
           .distinct().localCheckpoint()
-        if (contracted.isEmpty) partial
-        else {
+        val nContracted = contracted.count()
+        if (nContracted == 0) partial
+        else if (nContracted <= ccLocalSolveLimit(edges.sparkSession)) {
+          // tiny cluster graph: finish on the driver instead of paying
+          // fixed job overhead per remaining distributed round
+          val local = unionFind(contracted.collect()
+            .map(r => (r.getLong(0), r.getLong(1))))
+          val spark = edges.sparkSession
+          import spark.implicits._
+          val mapping = local.toSeq.toDF("label", "clabel")
+          l1.join(broadcast(mapping), Seq("label"), "left")
+            .select(col("id"),
+              coalesce(col("clabel"), col("label")).as("label"))
+        } else {
           val cLabels = solve(
             contracted.union(contracted.select(col("dst").as("src"),
               col("src").as("dst"))).distinct().localCheckpoint(),

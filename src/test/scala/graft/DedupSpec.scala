@@ -145,14 +145,37 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connected components labels every node with its cluster min") {
-    // two triangles + a chain + an isolated pair
+    // two triangles + a chain + an isolated pair; exercise both the
+    // driver union-find fallback (default) and the distributed loop
+    // (local-solve limit forced to 0) — identical answers required
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
       (20L, 21L)).toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
-    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
-    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    def check(): Unit = {
+      val comp = Dedup.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
+      assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+      assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    }
+    check()
+    spark.conf.set("spark.graft.cc.localSolveLimit", "0")
+    try check()
+    finally spark.conf.unset("spark.graft.cc.localSolveLimit")
+  }
+
+  test("connected components: long chain converges on both solve paths") {
+    // a 40-node path graph — worst case for min-label propagation,
+    // where pointer jumping must collapse label chains
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    for (limit <- Seq("100000", "0")) {
+      spark.conf.set("spark.graft.cc.localSolveLimit", limit)
+      try {
+        val comp = Dedup.connectedComponents(chain).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(comp.size == 40 && comp.values.forall(_ == 0L),
+          s"limit=$limit: ${comp.toSeq.sortBy(_._1).take(5)}...")
+      } finally spark.conf.unset("spark.graft.cc.localSolveLimit")
+    }
   }
 
   test("dedup clusters: every doc labeled once, keepers are cluster minima") {

@@ -19,7 +19,8 @@ object SparkEntry {
       ml.Recommend.defs ++
       dedup.Dedup.defs ++
       search.Ann.defs ++ text.TextAnalysis.defs ++
-      streaming.Rescoring.defs ++ mm.Multimodal.defs
+      streaming.Rescoring.defs ++ mm.Multimodal.defs ++
+      pipeline.Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -372,7 +372,7 @@ object Dedup {
   /** Driver-side union-find with path compression over a contracted
     * edge list — labels become the component-minimum id.
     */
-  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+  private[graft] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       var r = x

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import graft.dedup.Dedup.shingles
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation flow a training-data pipeline actually
+  * runs, composed from the engine's operators: quality filter → exact
+  * dedup → benchmark decontamination → stratified sample → mix
+  * report. Each stage is a DataFrame→DataFrame function (usable on
+  * its own); q62 chains them and is oracle-gated end-to-end, so the
+  * COMPOSITION is hash-checked, not just the pieces.
+  *
+  * Scale shape: the only corpus-wide shuffles are the dedup hash-agg,
+  * the stratify window, and the final small aggregate; the benchmark
+  * shingle set broadcasts; everything else is narrow. No stage
+  * materializes an intermediate corpus copy.
+  */
+object Curation {
+
+  val MinWords = 30
+  val PerStratum = 50
+  val BenchMod = 97
+
+  /** Reference-free quality gate (here: minimum length; thresholds on
+    * q40's richer score drop in the same way).
+    */
+  def qualityFilter(docs: DataFrame, minWords: Int = MinWords): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= minWords)
+
+  /** Exact dedup, keep-smallest-id — one hash-agg + semi join. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keep = docs
+      .groupBy(md5(col("text")).as("fp")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** Drop the benchmark set itself and every doc sharing a word
+    * trigram with it. Contamination is judged against the FULL corpus
+    * (`allDocs`), not the already-filtered survivors — a doc's
+    * contamination status must not depend on earlier pipeline stages.
+    */
+  def decontaminate(docs: DataFrame, allDocs: DataFrame,
+      benchMod: Int = BenchMod): DataFrame = {
+    val sh = allDocs.select(col("doc_id"),
+      explode(shingles(col("text"), 3)).as("s"))
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select("s").distinct()
+    val contaminated = sh.join(broadcast(bench), "s")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % benchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Deterministic ≤K-per-(lang, source) downsample by md5 order. */
+  def stratify(docs: DataFrame, k: Int = PerStratum): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** q62 — the chained pipeline, reported as the training-mix table
+    * (docs + tokens per stratum after all gates).
+    */
+  val pipeline: QueryDef = QueryDef.sql(
+    "q62_curation_pipeline",
+    s"""WITH quality AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $MinWords),
+       | dedup AS (
+       |  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+       | kept AS (
+       |  SELECT q.* FROM quality q JOIN dedup d ON q.doc_id = d.doc_id),
+       | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | sh AS (SELECT doc_id, unnest(list_distinct(
+       |  [array_to_string(toks[i:i+2], ' ')
+       |   for i in generate_series(1, greatest(len(toks)-2, 1))])) AS s
+       |  FROM t),
+       | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $BenchMod = 0),
+       | contaminated AS (
+       |  SELECT DISTINCT sh.doc_id FROM sh JOIN bench ON sh.s = bench.s),
+       | clean AS (
+       |  SELECT k.* FROM kept k
+       |  WHERE k.doc_id % $BenchMod <> 0
+       |    AND NOT EXISTS (SELECT 1 FROM contaminated c
+       |                    WHERE c.doc_id = k.doc_id)),
+       | sampled AS (
+       |  SELECT doc_id, lang, source, text, row_number() OVER
+       |    (PARTITION BY lang, source
+       |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM clean)
+       | SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       | FROM sampled WHERE rk <= $PerStratum
+       | GROUP BY lang, source ORDER BY lang, source""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val curated = stratify(
+      decontaminate(exactDedup(qualityFilter(docs)), docs))
+    curated
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pipeline)
+}

@@ -125,4 +125,32 @@ class PropertySpec extends SparkSpec {
         lit(4.0) * sqrt(col("j") * (lit(1.0) - col("j")) / k) + lit(1e-9))
     assert(bad.isEmpty, bad.collect().mkString("\n"))
   }
+
+  test("property: driver union-find labels == brute-force reachability min") {
+    // pure-local property (no Spark job): for arbitrary small graphs,
+    // every node's union-find label equals the minimum id reachable
+    // from it, the same invariant the distributed CC loop guarantees
+    val edgeGen = for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L) if a != b
+    } yield (a, b)
+    val graphGen = Gen.listOfN(25, edgeGen).map(_.toArray)
+    check(Prop.forAll(graphGen) { edges =>
+      val labels = dedup.Dedup.unionFind(edges)
+      // brute-force: transitive closure by fixpoint over adjacency
+      val adj = edges.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def reachMin(start: Long): Long = {
+        var seen = Set(start)
+        var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(n =>
+            adj.getOrElse(n, Set.empty)) -- seen
+          seen ++= next; frontier = next
+        }
+        seen.min
+      }
+      labels.forall { case (node, label) => label == reachMin(node) }
+    }, n = 60)
+  }
 }

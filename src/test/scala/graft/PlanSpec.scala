@@ -115,6 +115,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.exactPairLimit")
   }
 
+  test("q60/q62: benchmark shingle set broadcasts, corpus never cartesians") {
+    for ((name, df) <- Seq(
+        "q60" -> dedup.Dedup.decontaminate.fn(spark, sfTiny),
+        "q62" -> pipeline.Curation.pipeline.fn(spark, sfTiny))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+  }
+
+  test("q61: per-language top terms uses WindowGroupLimit, not full sorts") {
+    val p = plan(text.TextAnalysis.topTerms.fn(spark, sfSmall))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q53: bucketed rewrite returns exactly the naive join's rows") {
     import spark.implicits._
     // points straddling band edges, incl. exact boundaries and nulls

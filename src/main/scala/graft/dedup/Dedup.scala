@@ -68,11 +68,26 @@ object Dedup {
 
   def verifiedPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent((s, d), _ => {
-      val p = minhashPairs(Tables.documents(s, d), numHashes = 64,
+      // The token-set table feeds three subtrees (signature build +
+      // two candidate re-attach joins); persist it for the one
+      // materializing count so the scan+hash+sort runs once, then
+      // release — the cached PAIRS are what later stages (q49) reuse.
+      val sets = tokenSets(Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = minhashPairs(sets, numHashes = 64,
         bands = 8, threshold = 0.9).cache()
       p.count()
+      sets.unpersist()
       p
     })
+
+  /** Distinct word-token sets as SORTED 64-bit hashes — the input
+    * shape of every minhash stage (see minhashPairs for why hashes).
+    */
+  def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(tokens(col("text")),
+        t => xxhash64(t)))).as("toks"))
 
   def minhashPairs(docs: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
@@ -81,10 +96,10 @@ object Dedup {
     // strings, and the exact-verify intersection is a linear merge
     // ([[graft.functions.SortedIntersectSize]]) instead of a hash set
     // per pair. xxhash64 collisions within a ~1k-token doc are
-    // vanishingly rare.
-    val toks = docs.select(col("doc_id"),
-      array_sort(array_distinct(transform(tokens(col("text")), t => xxhash64(t))))
-        .as("toks"))
+    // vanishingly rare. Accepts either raw documents or an already
+    // tokenized `(doc_id, toks)` table.
+    val toks =
+      if (docs.columns.contains("toks")) docs else tokenSets(docs)
     minhashPairsFromSets(toks, numHashes, bands, threshold)
   }
 

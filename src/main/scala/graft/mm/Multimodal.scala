@@ -42,6 +42,29 @@ object Multimodal {
       embedding = emb)
   }
 
+  /** Real ingestion path for media: a directory tree of files → typed
+    * [[MediaRecord]]s via Spark's `binaryFile` source (one row per
+    * file; splits parallelize on the file listing, content loads
+    * lazily per task — at 100 TB parallelism is the file count and no
+    * driver ever holds payloads). doc_id is the path hash, mime comes
+    * from the extension.
+    */
+  def readMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val mime = when(ext.isin("png", "jpg", "jpeg", "gif"),
+        concat(lit("image/"), ext))
+      .when(ext.isin("wav", "mp3", "flac"), concat(lit("audio/"), ext))
+      .when(ext.isin("mp4", "avi", "mkv"), concat(lit("video/"), ext))
+      .otherwise(lit("application/octet-stream"))
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        mime.as("mime"),
+        col("content").as("media"))
+      .as[MediaRecord]
+  }
+
   /** Partition-wise media feature extraction — the Spark-side shape a
     * real decoder plugs into: typed input, per-partition setup, typed
     * columnar output.

@@ -205,6 +205,27 @@ class StreamingSpec extends SparkSpec {
     assert(aggQ.except(winQ).isEmpty && winQ.except(aggQ).isEmpty)
   }
 
+  test("binaryFile media ingestion: typed records, mime from extension") {
+    val dir = Files.createTempDirectory("graft_media").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.png"),
+      Array[Byte](1, 2, 3, 4))
+    Files.write(java.nio.file.Paths.get(dir, "b.wav"),
+      Array[Byte](5, 6))
+    Files.write(java.nio.file.Paths.get(dir, "c.bin"),
+      Array[Byte](7))
+    val media = mm.Multimodal.readMedia(spark, dir)
+      .collect().sortBy(_.media.length)
+    assert(media.length == 3)
+    val byMime = media.map(m => m.mime -> m.media.length).toMap
+    assert(byMime == Map("image/png" -> 4, "audio/wav" -> 2,
+      "application/octet-stream" -> 1), byMime)
+    assert(media.map(_.doc_id).distinct.length == 3)
+    // the decode pipeline runs on ingested records unchanged
+    val feats = mm.Multimodal.extractFeatures(
+      mm.Multimodal.readMedia(spark, dir)).collect()
+    assert(feats.length == 3 && feats.forall(_.embedding.length == 8))
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val f1 = mm.Multimodal.mediaFeatures.fn(spark, sfTiny)
     val f2 = mm.Multimodal.mediaFeatures.fn(spark, sfTiny)

@@ -197,9 +197,20 @@ object Recommend {
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // Grid dims come from `spark.graft.als.grid` ("ranks:regs", e.g.
+      // the reference's full ALSTrainer.scala:53-63 sweep is
+      // "100,200,250:1,0.1,0.01,0.001"); the default 2×2 keeps the
+      // bench bounded — the full grid is a conf change, not code.
+      val (ranks, regs) = s.conf.getOption("spark.graft.als.grid") match {
+        case Some(spec) =>
+          val Array(r, l) = spec.split(":")
+          (r.split(",").toSeq.map(_.trim.toInt),
+            l.split(",").toSeq.map(_.trim.toDouble))
+        case None => (Seq(10, 20), Seq(0.01, 0.1))
+      }
       val combos = for {
-        rank <- Seq(10, 20)
-        reg <- Seq(0.01, 0.1)
+        rank <- ranks
+        reg <- regs
       } yield (rank, reg)
       val grid = try Await.result(
         Future.sequence(combos.map { case (rank, reg) =>

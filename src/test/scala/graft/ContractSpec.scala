@@ -25,4 +25,19 @@ class ContractSpec extends SparkSpec {
   test("flagship entry returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("oracle SQL mentions every Spark output column by name") {
+    // The driver's hash compare sorts columns BY NAME before hashing,
+    // so a renamed aggregate on one side hash-mismatches even with
+    // identical values. Guard: every output column of an oracled
+    // query must appear verbatim in its oracle SQL.
+    val misses = SparkEntry.allDefs.filter(_.oracle.isDefined).flatMap {
+      q =>
+        val sql = q.oracle.get.toLowerCase
+        val missing = q.fn(spark, sfTiny).columns
+          .filterNot(c => sql.contains(c.toLowerCase))
+        if (missing.isEmpty) None else Some(s"${q.name}: $missing")
+    }
+    assert(misses.isEmpty, misses.mkString("\n"))
+  }
 }

@@ -135,7 +135,10 @@ class PlanSpec extends SparkSpec {
     // points straddling band edges, incl. exact boundaries and nulls
     val points = Seq(0.0, 9.99, 10.0, 10.01, 19.99, 20.0, 25.0, 99.9, -5.0)
       .toDF("v")
-    val bands = Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0))
+    // band 3 is degenerate (lo > hi): matches nothing, and the rewrite
+    // must not throw from a negative Sequence range
+    val bands = Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0),
+      (3, 50.0, 40.0))
       .toDF("band_id", "lo", "hi")
     def run(): Set[(Double, Int)] = points
       .join(bands, col("v") >= col("lo") && col("v") < col("hi"))

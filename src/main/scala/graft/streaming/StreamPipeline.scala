@@ -103,6 +103,25 @@ object StreamPipeline {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase event joins every
+    * click by the same user within the preceding `horizon` — the
+    * streaming spelling of the as-of/attribution join (q51/q58),
+    * which a batch engine ported naively would re-scan history for.
+    * Both sides carry watermarks and the join condition bounds event
+    * time on BOTH ends, so Spark can evict click state once the
+    * watermark passes `ts + horizon` — state is O(clicks per
+    * horizon), not O(stream). Columns: left (user_id, ts, ...),
+    * right (c_user, c_ts, ...).
+    */
+  def joinRecentClicks(purchases: DataFrame, clicks: DataFrame,
+      horizon: String = "1 hour", lateness: String = "10 minutes")
+      : DataFrame =
+    purchases.withWatermark("ts", lateness)
+      .join(clicks.withWatermark("c_ts", lateness),
+        expr(s"""c_user = user_id AND
+                 c_ts >= ts - interval $horizon AND
+                 c_ts <= ts"""))
+
   /** Streaming exact dedup with BOUNDED state: duplicate keys arriving
     * within the watermark horizon are dropped
     * (`dropDuplicatesWithinWatermark`), and a key's state is evicted

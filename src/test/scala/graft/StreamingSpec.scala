@@ -43,6 +43,28 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
   }
 
+  test("stream-stream interval join: purchases attach clicks in the horizon") {
+    val purchases = MemoryStream[(Long, Timestamp, String)](spark)
+    val clicks = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = StreamPipeline.joinRecentClicks(
+        purchases.toDF().toDF("user_id", "ts", "p"),
+        clicks.toDF().toDF("c_user", "c_ts", "c"),
+        horizon = "100 seconds")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(100), "c_in"), (1L, ts(10), "c_old"),
+        (2L, ts(190), "c_other_user"))
+      purchases.addData((1L, ts(200), "p1"))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("p", "c").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // only user 1's click inside [100, 200] attaches: c_old is
+      // outside the horizon, c_other_user is another key
+      assert(got == Set(("p1", "c_in")), got)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     val input = MemoryStream[RatingEvent](spark)
     val q = StreamPipeline.dedupStream(input.toDF(), Seq("userId", "productId"))

@@ -19,4 +19,35 @@ object Scale {
   def exactPairLimit(s: SparkSession): Long =
     s.conf.getOption("spark.graft.exactPairLimit")
       .map(_.toLong).getOrElse(DefaultExactPairLimit)
+
+  // Decision memo: constructing a cutover query runs a count() job to
+  // pick the branch; memoize per (session, input key, current limit)
+  // so plan-only consumers (schema checks, repeated constructions)
+  // don't re-scan. Keying on the limit keeps conf overrides live.
+  private val decisions = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), java.lang.Boolean]()
+
+  /** True when `count` (evaluated at most once per session/key/limit)
+    * is within the exact-pair limit.
+    */
+  def exactOk(s: SparkSession, key: String, count: => Long): Boolean = {
+    purgeStopped(decisions)
+    decisions.computeIfAbsent((s, key, exactPairLimit(s)),
+      _ => java.lang.Boolean.valueOf(count <= exactPairLimit(s)))
+      .booleanValue()
+  }
+
+  /** Evict cache entries bound to stopped sessions (keys are tuples
+    * whose first element is the SparkSession). The engine's
+    * session-keyed caches call this on access, so same-JVM session
+    * churn cannot grow them unboundedly or pin dead sessions.
+    */
+  def purgeStopped[K <: Product, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit = {
+    val it = m.keySet().iterator()
+    while (it.hasNext) it.next().productElement(0) match {
+      case sess: SparkSession if sess.sparkContext.isStopped => it.remove()
+      case _ => ()
+    }
+  }
 }

@@ -66,7 +66,8 @@ object Dedup {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def verifiedPairs(s: SparkSession, d: String): DataFrame =
+  def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    Scale.purgeStopped(pairsCache)
     pairsCache.computeIfAbsent((s, d), _ => {
       // The token-set table feeds three subtrees (signature build +
       // two candidate re-attach joins); persist it for the one
@@ -80,6 +81,7 @@ object Dedup {
       sets.unpersist()
       p
     })
+  }
 
   /** Distinct word-token sets as SORTED 64-bit hashes — the input
     * shape of every minhash stage (see minhashPairs for why hashes).
@@ -215,8 +217,13 @@ object Dedup {
       val sh = docs.select(col("doc_id"),
         array_sort(transform(shingles(col("text"), 3), x => xxhash64(x)))
           .as("toks"))
+      // NOTE: above the limit the result is deliberately APPROXIMATE
+      // (banded LSH has no recall guarantee in the mid-similarity
+      // range) — the exact oracle applies to the exact regime the
+      // driver gates at; at cutover scale an exact answer would not
+      // finish at all.
       val pairs =
-        if (docs.count() <= Scale.exactPairLimit(s)) {
+        if (Scale.exactOk(s, s"$d#q33_sample", docs.count())) {
           val a = sh.select(col("doc_id").as("doc_a"), col("toks").as("sh_a"))
           val b = sh.select(col("doc_id").as("doc_b"), col("toks").as("sh_b"))
           a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
@@ -262,8 +269,9 @@ object Dedup {
       .replaceAll("\n", "")
   ) { (s, d) =>
       val e = Tables.embeddings(s, d)
+      // same approximate-above-limit contract as q33 (see note there)
       val simPairs =
-        if (e.count() <= Scale.exactPairLimit(s)) {
+        if (Scale.exactOk(s, s"$d#embeddings", e.count())) {
           val a = e.select(col("vec_id").as("vec_a"),
             col("embedding").as("emb_a"))
           val b = e.select(col("vec_id").as("vec_b"),
@@ -272,7 +280,7 @@ object Dedup {
         } else
           // above the exact limit: hyperplane-banded candidates; ids
           // only ride the band join, vectors re-attach by key
-          lshCosinePairs(e, "vec_id", "embedding")
+          lshCosinePairsConf(e, "vec_id", "embedding")
             .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
             .join(e.select(col("vec_id").as("vec_a"),
               col("embedding").as("emb_a")), "vec_a")
@@ -292,6 +300,13 @@ object Dedup {
     * vectors re-attach by key — so this is the scale path every exact
     * cosine cross join cuts over to. Emits `id_a < id_b` (or both
     * directions with `symmetric = true`, for per-row top-K consumers).
+    *
+    * nbits/bands is a corpus-dependent recall-vs-candidates dial (see
+    * the Ann Scaladoc): on clustered data buckets hold mostly true
+    * neighbors; on weakly clustered data wide (few-bit) bands degrade
+    * toward large candidate fractions — raise bits-per-band
+    * (`spark.graft.lsh.nbits` / `spark.graft.lsh.bands` for the conf
+    * entry points) when neighbors sit well above the bulk.
     */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       nbits: Int = 24, bands: Int = 4, symmetric: Boolean = false)
@@ -313,6 +328,22 @@ object Dedup {
         col("id").as("id_b")), Seq("band", "band_val"))
       .filter(keep)
       .select("id_a", "id_b").distinct()
+  }
+
+  /** [[lshCosinePairs]] with banding taken from the session conf
+    * (`spark.graft.lsh.nbits`, `spark.graft.lsh.bands`) — the entry
+    * point the cutover paths use, so the dial is turnable per corpus
+    * without a code change.
+    */
+  def lshCosinePairsConf(df: DataFrame, idCol: String, vecCol: String,
+      symmetric: Boolean = false): DataFrame = {
+    val conf = df.sparkSession.conf
+    lshCosinePairs(df, idCol, vecCol,
+      nbits = conf.getOption("spark.graft.lsh.nbits")
+        .map(_.toInt).getOrElse(24),
+      bands = conf.getOption("spark.graft.lsh.bands")
+        .map(_.toInt).getOrElse(4),
+      symmetric = symmetric)
   }
 
   /** Connected components over an undirected edge list by iterative
@@ -505,13 +536,23 @@ object Dedup {
       | SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
       | FROM hits ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
-    val sh = Tables.documents(s, d)
+    benchShingleHits(Tables.documents(s, d), 97).orderBy("doc_id")
+  }
+
+  /** Per-doc count of word-trigram shingles shared with the held-out
+    * benchmark set (`doc_id % benchMod == 0`); benchmark docs
+    * themselves are excluded from the output. The single shared core
+    * of q60 (reporting) and `pipeline.Curation.decontaminate`
+    * (dropping) — the contamination definition lives here once.
+    */
+  def benchShingleHits(allDocs: DataFrame, benchMod: Int): DataFrame = {
+    val sh = allDocs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-    val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
-    sh.filter(col("doc_id") % 97 =!= 0)
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select("s").distinct()
+    sh.filter(col("doc_id") % benchMod =!= 0)
       .join(broadcast(bench), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_id")
   }
 
   val defs: Seq[QueryDef] =

@@ -61,19 +61,22 @@ object Recommend {
   /** Train-once-per-sfDir (Verify/Bench run several ALS-derived
     * queries in one JVM; retraining per query would be pure waste).
     */
-  def model(spark: SparkSession, dir: String): ALSModel =
+  def model(spark: SparkSession, dir: String): ALSModel = {
+    Scale.purgeStopped(modelCache)
     modelCache.computeIfAbsent((spark, dir), _ => {
       val ratings = Tables.ratings(spark, dir)
         .groupBy("userId", "productId").agg(avg("score").as("score"))
         .cache()
       als.fit(ratings)
     })
+  }
 
   /** The shared seed-42 80/20 evaluation split, materialized once per
     * (session, dir) — every RMSE-style query evaluates on the same
     * held-out set.
     */
-  def evalSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  def evalSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    Scale.purgeStopped(splitCache)
     splitCache.computeIfAbsent((spark, dir), _ => {
       val ratings = Tables.ratings(spark, dir)
         .groupBy("userId", "productId").agg(avg("score").as("score"))
@@ -82,17 +85,20 @@ object Recommend {
       train.cache().count(); test.cache().count()
       (train, test)
     })
+  }
 
   /** Fit-once per (session, dir, rank, reg) on the shared eval split —
     * q23's production-params fit IS one of q24's grid combos, so the
     * grid reuses it instead of fitting the same model twice.
     */
   def fitOnSplit(spark: SparkSession, dir: String, rank: Int,
-      reg: Double): ALSModel =
+      reg: Double): ALSModel = {
+    Scale.purgeStopped(fitCache)
     fitCache.computeIfAbsent((spark, dir, rank, reg), _ => {
       val (train, _) = evalSplit(spark, dir)
       als.setRank(rank).setRegParam(reg).fit(train)
     })
+  }
 
   /** M2/A4 — top-20 recommendations per user, flattened flat table
     * `(user_id, rank, product_id, score)` for stable row output.
@@ -134,16 +140,17 @@ object Recommend {
       val w = Window.partitionBy("product_id")
         .orderBy(desc("sim"), asc("sim_product_id"))
       val pairPool =
-        if (f.count() <= Scale.exactPairLimit(s)) {
+        if (Scale.exactOk(s, s"$d#itemFactors", f.count())) {
           val a = f.select(col("id").as("pid_a"), col("features").as("fa"))
           val b = f.select(col("id").as("pid_b"), col("features").as("fb"))
           a.crossJoin(b).filter(col("pid_a") =!= col("pid_b"))
         } else
           // catalog too big for n²: hyperplane-banded candidates
           // (both directions — the sim matrix is consumed per-row),
-          // factor vectors re-attached by key after the band join
+          // factor vectors re-attached by key after the band join;
+          // results above the limit are approximate by design
           graft.dedup.Dedup
-            .lshCosinePairs(f, "id", "features", symmetric = true)
+            .lshCosinePairsConf(f, "id", "features", symmetric = true)
             .join(f.select(col("id").as("id_a"), col("features").as("fa")),
               "id_a")
             .join(f.select(col("id").as("id_b"), col("features").as("fb")),
@@ -203,9 +210,12 @@ object Recommend {
       // bench bounded — the full grid is a conf change, not code.
       val (ranks, regs) = s.conf.getOption("spark.graft.als.grid") match {
         case Some(spec) =>
-          val Array(r, l) = spec.split(":")
-          (r.split(",").toSeq.map(_.trim.toInt),
-            l.split(",").toSeq.map(_.trim.toDouble))
+          val parts = spec.split(":")
+          require(parts.length == 2,
+            s"spark.graft.als.grid must be 'rank,rank,...:reg,reg,...'" +
+              s" (e.g. '100,200,250:1,0.1,0.01,0.001'), got: $spec")
+          (parts(0).split(",").toSeq.map(_.trim.toInt),
+            parts(1).split(",").toSeq.map(_.trim.toDouble))
         case None => (Seq(10, 20), Seq(0.01, 0.1))
       }
       val combos = for {

@@ -52,10 +52,15 @@ object Multimodal {
   def readMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
-    val mime = when(ext.isin("png", "jpg", "jpeg", "gif"),
-        concat(lit("image/"), ext))
-      .when(ext.isin("wav", "mp3", "flac"), concat(lit("audio/"), ext))
-      .when(ext.isin("mp4", "avi", "mkv"), concat(lit("video/"), ext))
+    // registered IANA types, not extension echoes (jpg -> image/jpeg,
+    // mp3 -> audio/mpeg), so decoder dispatch keyed on standard mimes
+    // matches
+    val mime = when(ext.isin("jpg", "jpeg"), lit("image/jpeg"))
+      .when(ext.isin("png", "gif"), concat(lit("image/"), ext))
+      .when(ext === "mp3", lit("audio/mpeg"))
+      .when(ext.isin("wav", "flac"), concat(lit("audio/"), ext))
+      .when(ext.isin("mp4", "mkv"), concat(lit("video/"), ext))
+      .when(ext === "avi", lit("video/x-msvideo"))
       .otherwise(lit("application/octet-stream"))
     spark.read.format("binaryFile").load(dir)
       .select(

@@ -49,10 +49,15 @@ object Layout {
     // Salt from the row CONTENT, not monotonically_increasing_id():
     // the id is assigned per task attempt, so a retried stage would
     // re-salt rows differently; a content hash is stable across
-    // retries (identical rows co-salt, which only matters if one key
-    // is dominated by exact duplicate rows).
+    // retries. MapType columns are unhashable in Spark and are
+    // excluded. Limitation: a hot key dominated by EXACT duplicate
+    // rows co-salts onto one reducer — for that shape rely on AQE's
+    // skew split, which divides by data size, not key.
+    val hashable = large.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
     val saltedLarge = large.withColumn("_salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(hashable: _*), lit(salts)).cast("int"))
     val replicatedSmall = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")

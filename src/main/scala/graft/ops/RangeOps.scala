@@ -32,9 +32,11 @@ object RangeOps {
   def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
       cond: Column, width: Double): DataFrame = {
     val joined = points.join(intervals, cond)
-    joined.queryExecution.analyzed.foreach {
+    // tag ONLY the outermost Join (the one this call created) —
+    // collectFirst is pre-order, so an inner join inside points/
+    // intervals is never tagged with this width
+    joined.queryExecution.analyzed.collectFirst {
       case j: Join => j.setTagValue(RangeJoinRewrite.WidthTag, width)
-      case _ => ()
     }
     joined
   }

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import graft.{QueryDef, Tables}
-import graft.dedup.Dedup.shingles
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,12 +44,8 @@ object Curation {
     */
   def decontaminate(docs: DataFrame, allDocs: DataFrame,
       benchMod: Int = BenchMod): DataFrame = {
-    val sh = allDocs.select(col("doc_id"),
-      explode(shingles(col("text"), 3)).as("s"))
-    val bench = sh.filter(col("doc_id") % benchMod === 0)
-      .select("s").distinct()
-    val contaminated = sh.join(broadcast(bench), "s")
-      .select("doc_id").distinct()
+    val contaminated = graft.dedup.Dedup
+      .benchShingleHits(allDocs, benchMod).select("doc_id")
     docs.filter(col("doc_id") % benchMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
   }

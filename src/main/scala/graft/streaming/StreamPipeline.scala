@@ -110,8 +110,10 @@ object StreamPipeline {
     * Both sides carry watermarks and the join condition bounds event
     * time on BOTH ends, so Spark can evict click state once the
     * watermark passes `ts + horizon` — state is O(clicks per
-    * horizon), not O(stream). Columns: left (user_id, ts, ...),
-    * right (c_user, c_ts, ...).
+    * horizon), not O(stream). The upper bound is STRICT (`c_ts < ts`)
+    * to match the batch as-of semantics, so streaming output and a
+    * batch backfill agree on same-timestamp pairs. Columns: left
+    * (user_id, ts, ...), right (c_user, c_ts, ...).
     */
   def joinRecentClicks(purchases: DataFrame, clicks: DataFrame,
       horizon: String = "1 hour", lateness: String = "10 minutes")
@@ -120,7 +122,7 @@ object StreamPipeline {
       .join(clicks.withWatermark("c_ts", lateness),
         expr(s"""c_user = user_id AND
                  c_ts >= ts - interval $horizon AND
-                 c_ts <= ts"""))
+                 c_ts < ts"""))
 
   /** Streaming exact dedup with BOUNDED state: duplicate keys arriving
     * within the watermark horizon are dropped

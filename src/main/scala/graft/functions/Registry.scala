@@ -63,5 +63,10 @@ object Registry {
       case Seq(a, b) => SortedIntersectSize(a, b)
       case e => arity("sorted_intersect_size", e.size, "2")
     })
+    ColumnBridge.registerFunction(spark, "minhash_union", {
+      case Seq(a, k) =>
+        MinHashUnion(a, litInt(k, "k")).toAggregateExpression()
+      case e => arity("minhash_union", e.size, "2")
+    })
   }
 }

@@ -2,6 +2,8 @@ package graft.text
 
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup.shingles
+import graft.functions.HashFunctions.{minhash_sig, sig_matches}
+import graft.functions.SketchAggregates.minhash_union
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -304,7 +306,33 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** Corpus-level similarity profile: per-language VOCABULARY minhash
+    * sketch via the custom [[graft.functions.MinHashUnion]] sketch
+    * aggregate (one narrow pass, k·8 bytes of state per group,
+    * map-side partials), then pairwise estimated vocabulary Jaccard
+    * between languages from the sketches alone — no document-pair
+    * work at any corpus size. Engine-specific hashing → rows-only
+    * check; SketchSpec gates the estimate against the exact
+    * vocabulary Jaccard.
+    */
+  val corpusSketch: QueryDef = QueryDef.rowsOnly("q63_corpus_sketch") {
+    (s, d) =>
+      val k = 64
+      val rowSig = minhash_sig(
+        transform(toks(col("text")), t => xxhash64(t)), k)
+      val sk = Tables.documents(s, d)
+        .select(col("lang"), rowSig.as("sig"))
+        .groupBy("lang").agg(minhash_union(col("sig"), k).as("sketch"))
+      val a = sk.select(col("lang").as("lang_a"), col("sketch").as("sk_a"))
+      val b = sk.select(col("lang").as("lang_b"), col("sketch").as("sk_b"))
+      a.join(b, col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          round(sig_matches(col("sk_a"), col("sk_b")).cast("double") / k, 4)
+            .as("est_vocab_jaccard"))
+        .orderBy("lang_a", "lang_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
-    chunk, stratifiedSample, piiRedact, topTerms)
+    chunk, stratifiedSample, piiRedact, topTerms, corpusSketch)
 }

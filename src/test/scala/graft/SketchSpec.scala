@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.HashFunctions.{minhash_sig, sig_matches}
+import graft.functions.SketchAggregates.minhash_union
+import org.apache.spark.sql.functions._
+
+/** The MinHashUnion sketch aggregate: union semantics, merge
+  * associativity under repartitioning, and estimate quality against
+  * the exact corpus-level Jaccard.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 64
+
+  test("union sketch equals the sketch of the concatenated set") {
+    // sketch(A) merged with sketch(B) == sketch(A ++ B), per slot
+    val rows = Seq(
+      (1, Seq("a", "b", "c")), (1, Seq("c", "d")),
+      (1, Seq("e"))).toDF("g", "toks")
+    val sig = minhash_sig(transform(col("toks"), t => xxhash64(t)), k)
+    val merged = rows.select(col("g"), sig.as("s"))
+      .groupBy("g").agg(minhash_union(col("s"), k).as("sk"))
+      .select(col("sk")).head.getSeq[Long](0)
+    val direct = Seq((1, Seq("a", "b", "c", "c", "d", "e")))
+      .toDF("g", "toks")
+      .select(minhash_sig(transform(col("toks"), t => xxhash64(t)), k)
+        .as("sk"))
+      .head.getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("sketch is invariant to partitioning (merge associativity)") {
+    val docs = Tables.documents(spark, sfSmall)
+    def sketch(parts: Int) = docs.repartition(parts)
+      .select(col("lang"),
+        minhash_sig(transform(split(col("text"), " "), t => xxhash64(t)), k)
+          .as("s"))
+      .groupBy("lang").agg(minhash_union(col("s"), k).as("sk"))
+      .orderBy("lang").collect().map(r => r.getSeq[Long](1)).toSeq
+    assert(sketch(1) == sketch(13))
+  }
+
+  test("q63 estimated vocab jaccard tracks the exact value within 4 sigma") {
+    val est = text.TextAnalysis.corpusSketch.fn(spark, sfSmall)
+    val toks = Tables.documents(spark, sfSmall)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .distinct()
+    val sizes = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+    val inter = toks.select(col("lang").as("lang_a"), col("t"))
+      .join(toks.select(col("lang").as("lang_b"), col("t")), "t")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("lang").as("lang_a"), col("n").as("na")),
+        "lang_a")
+      .join(sizes.select(col("lang").as("lang_b"), col("n").as("nb")),
+        "lang_b")
+      .select(col("lang_a"), col("lang_b"),
+        (col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni"))).as("exact"))
+    val joined = est.join(inter, Seq("lang_a", "lang_b")).collect()
+    assert(joined.length == 10) // 5 langs -> 10 pairs
+    joined.foreach { r =>
+      val e = r.getAs[Double]("est_vocab_jaccard")
+      val x = r.getAs[Double]("exact")
+      val bound = 4.0 * math.sqrt(x * (1 - x) / k) + 1e-9
+      assert(math.abs(e - x) <= bound,
+        s"${r.getAs[String]("lang_a")}/${r.getAs[String]("lang_b")}: " +
+          s"est=$e exact=$x bound=$bound")
+    }
+  }
+
+  test("minhash_union is SQL-registered") {
+    graft.functions.Registry.register(spark)
+    Tables.documents(spark, sfTiny).createOrReplaceTempView("docs_sk")
+    val n = spark.sql(
+      s"""SELECT lang, minhash_union(
+         |  minhash_sig(transform(split(text, ' '), t -> xxhash64(t)), $k),
+         |  $k) AS sk
+         |FROM docs_sk GROUP BY lang""".stripMargin)
+      .collect()
+    assert(n.nonEmpty && n.forall(_.getSeq[Long](1).length == k))
+  }
+}

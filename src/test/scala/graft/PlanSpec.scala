@@ -130,6 +130,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q63: the sketch aggregate has a map-side partial phase") {
+    val p = text.TextAnalysis.corpusSketch.fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_minhashunion"),
+      "sketch aggregate lost its partial phase:\n" + p)
+  }
+
   test("q53: bucketed rewrite returns exactly the naive join's rows") {
     import spark.implicits._
     // points straddling band edges, incl. exact boundaries and nulls

@@ -140,6 +140,14 @@ object StreamPipeline {
   /** Idempotent keyed upsert: last write per key wins, batch replays
     * converge (the reference's per-doc findAndRemove+insert,
     * `StreamingRecommender.scala:254-263`, minus the RPC-per-record).
+    *
+    * Known limit: plain parquet has no MERGE, so each micro-batch
+    * rewrites the whole table — O(table size) per trigger. Correct
+    * and idempotent at this sandbox's scale; for a 100 TB serving
+    * table the same call sites swap in a MERGE-capable table format
+    * (Iceberg/Delta `MERGE INTO` on the key) or partition-scoped
+    * overwrite (`partitionOverwriteMode=dynamic` with key-bucketed
+    * partitions) — the upsert contract here is format-agnostic.
     */
   def upsertByKey(updates: DataFrame, key: String, dir: String): Unit = {
     val spark = updates.sparkSession

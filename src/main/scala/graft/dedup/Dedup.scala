@@ -260,12 +260,15 @@ object Dedup {
     */
   val embeddingCosine: QueryDef = QueryDef.sql(
     "q34_embedding_neardup",
+    // ORDER BY p.sim (qualified = the RAW value): a bare `sim` binds
+    // to the SELECT's rounded alias, which reorders rounded-tied pairs
+    // differently from the Spark side's raw-sim sort.
     """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |    CAST(b.embedding AS DOUBLE[])) AS sim
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       | SELECT vec_a, vec_b, round(sim, 4) AS sim
-      | FROM p ORDER BY sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
+      | FROM p ORDER BY p.sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
       .replaceAll("\n", "")
   ) { (s, d) =>
       val e = Tables.embeddings(s, d)

@@ -60,7 +60,13 @@ object Tables {
     events(spark, dir).select(
       col("user_id").cast("int").as("userId"),
       (col("event_id") % NumProducts).cast("int").as("productId"),
-      // value is 0.01..~500 with 2 decimals; fold onto 0.5..5.0
-      (round(pmod(col("value"), lit(4.5)), 1) + lit(0.5)).as("score"),
+      // value is 0.01..~500 with 2 decimals; fold onto 0.5..5.0.
+      // Quantize in INTEGER cents: round(value,1)-style decimal
+      // rounding of a binary double sits exactly on .X5 half-ties for
+      // 2-decimal inputs, where engines' tie rules differ (Spark
+      // BigDecimal HALF_UP vs multiply-based) — integer math is
+      // bit-identical everywhere.
+      ((floor((pmod(round(col("value") * 100).cast("long"), lit(450L)) + 5)
+        / 10).cast("double") / 10) + lit(0.5)).as("score"),
       col("ts"))
 }

@@ -39,7 +39,8 @@ object Rescoring {
     // quadratic in history length, so an uncapped power user with 10⁵
     // events would emit 10¹⁰ pairs; capped, every user contributes at
     // most K² regardless of corpus scale.
-    val w = Window.partitionBy("userId").orderBy(desc("ts"), asc("productId"))
+    val w = Window.partitionBy("userId")
+      .orderBy(desc("ts"), asc("productId"), asc("score"))
     val capped = ratings.withColumn("crn", row_number().over(w))
       .filter(col("crn") <= recentK)
       .select("userId", "productId")
@@ -100,11 +101,13 @@ object Rescoring {
     "q25_stream_rescore_batch",
     s"""WITH ratings AS (
        |  SELECT user_id AS userId, event_id % ${Tables.NumProducts} AS productId,
-       |         round(fmod(value, 4.5), 1) + 0.5 AS score, ts
+       |         CAST((CAST(round(value * 100) AS BIGINT) % 450 + 5) // 10
+       |           AS DOUBLE) / 10 + 0.5 AS score, ts
        |  FROM events),
        | recent AS (
        |  SELECT userId, productId, score, row_number() OVER
-       |    (PARTITION BY userId ORDER BY ts DESC, productId) AS rrn
+       |    (PARTITION BY userId
+       |     ORDER BY ts DESC, productId, score) AS rrn
        |  FROM ratings),
        | capped AS (
        |  SELECT userId, productId FROM recent WHERE rrn <= $RecentK),
@@ -146,8 +149,12 @@ object Rescoring {
        | ORDER BY user_id, rank""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
     val ratings = Tables.ratings(s, d)
+    // score is the LAST tiebreak: (ts, productId) alone is not a total
+    // order — same-microsecond events for one user can repeat a
+    // productId with different scores, and an ambiguous pick at the
+    // recent-K boundary changes rec_score (bit at sf0.1)
     val recentW = Window.partitionBy("userId")
-      .orderBy(desc("ts"), asc("productId"))
+      .orderBy(desc("ts"), asc("productId"), asc("score"))
     val recent = ratings
       .withColumn("rrn", row_number().over(recentW))
       .filter(col("rrn") <= RecentK)

@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+/** Stage invariants for the curation pipeline — q62's oracle gates the
+  * composed VALUES; these pin the algebraic properties each stage must
+  * keep regardless of corpus.
+  */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfSmall)
+
+  test("exactDedup is idempotent and keeps one doc per distinct text") {
+    val once = Curation.exactDedup(docs)
+    val twice = Curation.exactDedup(once)
+    assert(once.count() == twice.count())
+    assert(once.count() == docs.select("text").distinct().count())
+    // keeper set == the min doc_id of every text group
+    val keepers = once.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = docs.groupBy("text").agg(min("doc_id").as("mn"))
+      .select("mn").collect().map(_.getLong(0)).toSet
+    assert(keepers == expected)
+  }
+
+  test("stratify keeps at most K per stratum and is deterministic") {
+    val s1 = Curation.stratify(docs, k = 7)
+    val over = s1.groupBy("lang", "source").count().filter(col("count") > 7)
+    assert(over.isEmpty)
+    val s2 = Curation.stratify(docs, k = 7)
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).isEmpty)
+  }
+
+  test("decontaminate drops exactly the benchmark and overlapping docs") {
+    val clean = Curation.decontaminate(docs, docs)
+    // no benchmark doc survives
+    assert(clean.filter(col("doc_id") % Curation.BenchMod === 0).isEmpty)
+    // no survivor shares a trigram with the benchmark set
+    val hits = graft.dedup.Dedup.benchShingleHits(docs, Curation.BenchMod)
+    assert(clean.join(hits, Seq("doc_id"), "left_semi").isEmpty)
+    // and everything else survives
+    val expected = docs.filter(col("doc_id") % Curation.BenchMod =!= 0)
+      .join(hits, Seq("doc_id"), "left_anti").count()
+    assert(clean.count() == expected)
+  }
+
+  test("quality filter boundary: exactly >= MinWords words survive") {
+    val kept = Curation.qualityFilter(docs, minWords = 40)
+    val n = docs.filter(size(split(col("text"), " ")) >= 40).count()
+    assert(kept.count() == n)
+    assert(kept.filter(size(split(col("text"), " ")) < 40).isEmpty)
+  }
+}

@@ -207,7 +207,7 @@ object Dedup {
       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
       |  len(a.sh) AS la, len(b.sh) AS lb
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      | SELECT doc_a, doc_b, round(inter / (la + lb - inter), 4) AS jaccard
+      | SELECT doc_a, doc_b, inter / (la + lb - inter) AS jaccard
       | FROM p ORDER BY inter / (la + lb - inter) DESC, doc_a, doc_b
       | LIMIT 50""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
@@ -239,10 +239,14 @@ object Dedup {
           // appear in a top-50-most-similar answer), never all pairs
           minhashPairsFromSets(sh, numHashes = 64, bands = 8,
             threshold = 0.5)
+      // jaccard emitted unrounded (small-int ratio — exact both
+      // engines; rounding risks decimal half-ties). The LSH branch's
+      // values arrive pre-rounded, which is fine: above the limit the
+      // result is approximate by contract.
       pairs
         .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
         .limit(50)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Word n-gram shingle set of a text column. */

@@ -57,17 +57,20 @@ object Statistics {
     */
   val averageScore: QueryDef = QueryDef.sql(
     "q03_avg_score",
+    // UNROUNDED quotient on purpose: decimal-sum / count is a ratio of
+    // exact quantities, bit-identical through IEEE division on both
+    // engines — while round(...,4) of such rationals can sit exactly
+    // on a decimal half-tie where engine rounding rules diverge.
     s"""SELECT event_id % ${Tables.NumProducts} AS product_id,
-       | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
        | AS avg_score FROM events GROUP BY product_id
        | ORDER BY product_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
     Tables.events(s, d)
       .select(prodId, col("value"))
       .groupBy("product_id")
-      .agg(round(
-        sum(col("value").cast("decimal(18,2)")).cast("double") /
-          count(lit(1)), 4).as("avg_score"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_score"))
       .orderBy("product_id")
   }
 

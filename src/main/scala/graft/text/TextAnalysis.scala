@@ -26,10 +26,12 @@ object TextAnalysis {
     */
   val textStats: QueryDef = QueryDef.sql(
     "q37_text_stats",
+    // chars_per_word unrounded: an int/int quotient is bit-identical
+    // across engines, while rounding it risks decimal half-ties
     """SELECT doc_id, n_chars, length(text) AS len,
       | len(string_split(text, ' ')) AS n_words,
       | len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
-      | round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
+      | CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
       | AS chars_per_word
       | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
@@ -39,7 +41,7 @@ object TextAnalysis {
       size(toks(col("text"))).cast("long").as("n_words"),
       size(array_distinct(toks(col("text")))).cast("long")
         .as("n_distinct_words"),
-      round(length(col("text")).cast("double") / size(toks(col("text"))), 4)
+      (length(col("text")).cast("double") / size(toks(col("text"))))
         .as("chars_per_word"))
       .orderBy("doc_id")
   }
@@ -51,7 +53,7 @@ object TextAnalysis {
     "q38_lang_stats",
     """SELECT lang, source, count(*) AS n_docs,
       | CAST(sum(n_chars) AS BIGINT) AS total_chars,
-      | round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+      | CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
       | FROM documents GROUP BY lang, source
       | ORDER BY lang, source""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
@@ -60,8 +62,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_chars").as("total_chars"),
-        round(sum("n_chars").cast("double") / count(lit(1)), 4)
-          .as("avg_chars"))
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
       .orderBy("lang", "source")
   }
 
@@ -97,12 +98,11 @@ object TextAnalysis {
        |   t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))
        |   AS stop_cnt,
        | len(string_split(text, ' ')) AS n_words,
-       | round(
        |   0.5 * (CAST(len(list_filter(string_split(text, ' '),
        |     t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))
        |     AS DOUBLE) / len(string_split(text, ' ')))
        | + 0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
-       |     1.0), 4) AS quality
+       |     1.0) AS quality
        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
     val t = toks(col("text"))
@@ -112,10 +112,12 @@ object TextAnalysis {
       col("doc_id"),
       stopCnt.cast("long").as("stop_cnt"),
       nWords.cast("long").as("n_words"),
-      round(
-        lit(0.5) * (stopCnt.cast("double") / nWords) +
-          lit(0.5) * least(nWords.cast("double") / 100.0, lit(1.0)),
-        4).as("quality"))
+      // unrounded: every term is an exact-input IEEE op (int ratios,
+      // power-of-two scalars), bit-identical across engines — see the
+      // q03 note on decimal half-ties
+      (lit(0.5) * (stopCnt.cast("double") / nWords) +
+        lit(0.5) * least(nWords.cast("double") / 100.0, lit(1.0)))
+        .as("quality"))
       .orderBy("doc_id")
   }
 
@@ -332,7 +334,37 @@ object TextAnalysis {
         .orderBy("lang_a", "lang_b")
   }
 
+  /** Repetition scoring — the Gopher-style quality rule that flags
+    * template/spam documents by how much their mode token dominates:
+    * rep_ratio = max term frequency / token count. Two grouped
+    * aggregates, both keyed by doc_id, so Catalyst reuses one
+    * partitioning; no joins, no windows.
+    */
+  val repetition: QueryDef = QueryDef.sql(
+    "q64_repetition",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      | tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+      | agg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tf,
+      |  CAST(sum(c) AS BIGINT) AS n_toks FROM tf GROUP BY doc_id)
+      | SELECT doc_id, max_tf, n_toks,
+      |  CAST(max_tf AS DOUBLE) / n_toks AS rep_ratio
+      | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("max_tf"), sum("c").as("n_toks"))
+      .select(col("doc_id"), col("max_tf"), col("n_toks"),
+        // unrounded on purpose: k/n of small integers can sit exactly
+        // on a decimal half-tie where engines' round() rules diverge;
+        // the raw IEEE quotient is bit-identical everywhere
+        (col("max_tf").cast("double") / col("n_toks")).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
-    chunk, stratifiedSample, piiRedact, topTerms, corpusSketch)
+    chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition)
 }

@@ -36,6 +36,18 @@ case class MinHashUnion(
   require(numHashes > 0 && numHashes <= 1024,
     "numHashes must be in 1..1024")
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"minhash_union expects array<bigint>, got ${other.sql}")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
@@ -46,11 +58,18 @@ case class MinHashUnion(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val n = math.min(numHashes, arr.numElements())
+      // a signature of the wrong width would silently leave slots at
+      // Long.MaxValue and inflate every cross-sketch agreement — fail
+      // loudly instead
+      require(arr.numElements() == numHashes,
+        s"minhash_union(k=$numHashes) got a signature of length " +
+          s"${arr.numElements()} — the minhash_sig k must match")
       var i = 0
-      while (i < n) {
-        val x = arr.getLong(i)
-        if (x < buf(i)) buf(i) = x
+      while (i < numHashes) {
+        if (!arr.isNullAt(i)) {
+          val x = arr.getLong(i)
+          if (x < buf(i)) buf(i) = x
+        }
         i += 1
       }
     }

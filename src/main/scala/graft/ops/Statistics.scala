@@ -61,6 +61,10 @@ object Statistics {
     // exact quantities, bit-identical through IEEE division on both
     // engines — while round(...,4) of such rationals can sit exactly
     // on a decimal half-tie where engine rounding rules diverge.
+    // Exactness of the decimal→double cast assumes the group's cent
+    // sum stays below 2^53 (~9e13 cents per product) — beyond that,
+    // engines may double-round differently and the parity contract
+    // needs a DECIMAL-typed output instead.
     s"""SELECT event_id % ${Tables.NumProducts} AS product_id,
        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
        | AS avg_score FROM events GROUP BY product_id

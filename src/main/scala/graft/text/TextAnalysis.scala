@@ -329,16 +329,19 @@ object TextAnalysis {
       val b = sk.select(col("lang").as("lang_b"), col("sketch").as("sk_b"))
       a.join(b, col("lang_a") < col("lang_b"))
         .select(col("lang_a"), col("lang_b"),
-          round(sig_matches(col("sk_a"), col("sk_b")).cast("double") / k, 4)
+          // m/k with k a power of two is binary-exact — emit raw per
+          // the rounding-parity discipline
+          (sig_matches(col("sk_a"), col("sk_b")).cast("double") / k)
             .as("est_vocab_jaccard"))
         .orderBy("lang_a", "lang_b")
   }
 
   /** Repetition scoring — the Gopher-style quality rule that flags
     * template/spam documents by how much their mode token dominates:
-    * rep_ratio = max term frequency / token count. Two grouped
-    * aggregates, both keyed by doc_id, so Catalyst reuses one
-    * partitioning; no joins, no windows.
+    * rep_ratio = max term frequency / token count. Two shuffles — on
+    * (doc_id, term) for the frequency table, then on doc_id over the
+    * already-collapsed per-term rows (distinct terms per doc, not
+    * tokens) — no joins, no windows.
     */
   val repetition: QueryDef = QueryDef.sql(
     "q64_repetition",
@@ -352,7 +355,7 @@ object TextAnalysis {
       | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max("c").as("max_tf"), sum("c").as("n_toks"))

@@ -70,6 +70,20 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("minhash_union rejects signature-width mismatches loudly") {
+    val rows = Seq((1, Seq("a", "b"))).toDF("g", "toks")
+    val e = intercept[Exception] {
+      rows.select(col("g"),
+          minhash_sig(transform(col("toks"), t => xxhash64(t)), 32).as("s"))
+        .groupBy("g").agg(minhash_union(col("s"), k).as("sk"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("minhash_union")), e.toString)
+  }
+
   test("minhash_union is SQL-registered") {
     graft.functions.Registry.register(spark)
     Tables.documents(spark, sfTiny).createOrReplaceTempView("docs_sk")

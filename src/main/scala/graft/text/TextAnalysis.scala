@@ -367,7 +367,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM surprisal — the model-based quality signal every
+    * curation pipeline layers on top of the heuristic rules: docs are
+    * scored by the mean negative log-probability of their tokens
+    * under the corpus unigram distribution (high = unusual/garbled,
+    * low = templated). The "model" is one grouped count; scoring is a
+    * broadcast join of that vocabulary back onto the token stream —
+    * at 100 TB the vocab table is tiny relative to the corpus, so the
+    * corpus shuffles only for the (doc) aggregate. The per-doc log
+    * sum goes through DECIMAL(28,12) (order-independent), and the
+    * output rounds at 4 (log10 is libm-derived — rounding absorbs ulp
+    * differences per the parity discipline).
+    */
+  val surprisal: QueryDef = QueryDef.sql(
+    "q65_unigram_surprisal",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      | tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      | tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tf),
+      | scored AS (SELECT tok.doc_id,
+      |  CAST(log10(CAST(tf.c AS DOUBLE)) AS DECIMAL(28,12)) AS lg
+      |  FROM tok JOIN tf ON tok.t = tf.t),
+      | agg AS (SELECT doc_id, count(*) AS n_toks,
+      |  CAST(sum(lg) AS DOUBLE) AS sum_lg FROM scored GROUP BY doc_id)
+      | SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |  round(log10((SELECT CAST(n AS DOUBLE) FROM tot)) - sum_lg / n_toks,
+      |    4) AS surprisal
+      | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum("c")).head.getLong(0)
+    tok.join(broadcast(tf), "t")
+      .select(col("doc_id"),
+        log10(col("c").cast("double")).cast("decimal(28,12)").as("lg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("lg").cast("double").as("sum_lg"))
+      .select(col("doc_id"), col("n_toks"),
+        round(log10(lit(total.toDouble)) - col("sum_lg") / col("n_toks"), 4)
+          .as("surprisal"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
-    chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition)
+    chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
+    surprisal)
 }

@@ -35,7 +35,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Cutover-aware oracle dump: a query that ran its approximate
+    // branch (LSH regime above spark.graft.exactPairLimit) must get a
+    // rows-only check, not a doomed exact-hash compare. The queries
+    // above already warmed the Scale.exactOk memo, so this re-check
+    // runs no extra jobs.
+    val approx = SparkEntry.allDefs
+      .filter(qd => qd.oracle.isDefined && qd.isApproximateFor(spark, sfDir))
+      .map(_.name).toSet
+    approx.foreach(n => System.err.println(
+      s"[verify] $n ran its approximate branch at $sfDir; oracle withheld"))
     val json = SparkEntry.oracleSql
+      .filterNot { case (k, _) => approx.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

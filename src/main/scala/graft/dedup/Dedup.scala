@@ -52,7 +52,9 @@ object Dedup {
     * 100 TB — mostly never reaches a bucket.
     */
   val minhashLsh: QueryDef = QueryDef.rowsOnly("q31_dedup_minhash_lsh") {
-    (s, d) => verifiedPairs(s, d).orderBy("doc_a", "doc_b")
+    (s, d) => verifiedPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Compute-once-per-sfDir verified near-dup pairs (same pattern as
@@ -159,7 +161,11 @@ object Dedup {
         col("inter") /
           (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // RAW quotient, consistent with the exact branches that share
+      // consumers (q33): jaccard of integer counts is exact on both
+      // engines, so rounding is representation change, not parity —
+      // display-rounding is the consumer's call (q31 rounds).
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature (codegen'd
@@ -180,7 +186,13 @@ object Dedup {
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      // first-match-band dedup (q31's trick, packed-signature form):
+      // a pair colliding in m bands survives only in its first shared
+      // band, so the `distinct` over the pair blowup — and the extra
+      // shuffle it cost — disappears; dedup pipelines inside the join
+      // stage itself.
+      .filter(first_equal_packed_band(col("sig_a"), col("sig_b"),
+        bands = 4, bandBits = 16) === col("band"))
       .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= 8)
       .select("doc_a", "doc_b", "hamming")
@@ -192,7 +204,7 @@ object Dedup {
     * LSH variants above are the full-corpus plan. Emits the top-50
     * most-similar pairs.
     */
-  val ngramJaccard: QueryDef = QueryDef.sql(
+  val ngramJaccard: QueryDef = QueryDef.sqlCutover(
     "q33_ngram_jaccard",
     // Direct string-shingle Jaccard: same semantics as the Spark
     // spelling's hashed shingles (xxhash64 is injective in practice on
@@ -211,6 +223,11 @@ object Dedup {
       | FROM p ORDER BY inter / (la + lb - inter) DESC, doc_a, doc_b
       | LIMIT 50""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
+    // same memo key/count as the branch pick below, so this never
+    // re-scans once the query has been constructed
+    !Scale.exactOk(s, s"$d#q33_sample",
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0).count())
+  } { (s, d) =>
       val docs = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
       // shingles as sorted 64-bit hashes: the all-pairs verify becomes
       // a linear merge per pair instead of two string hash-sets
@@ -240,9 +257,9 @@ object Dedup {
           minhashPairsFromSets(sh, numHashes = 64, bands = 8,
             threshold = 0.5)
       // jaccard emitted unrounded (small-int ratio — exact both
-      // engines; rounding risks decimal half-ties). The LSH branch's
-      // values arrive pre-rounded, which is fine: above the limit the
-      // result is approximate by contract.
+      // engines; rounding risks decimal half-ties). Both branches now
+      // emit the raw quotient, so the value representation no longer
+      // depends on which regime ran.
       pairs
         .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
         .limit(50)
@@ -262,7 +279,7 @@ object Dedup {
     * here (bounded corpus); the banded-LSH scale path is
     * `graft.search.Ann.lshTopK`.
     */
-  val embeddingCosine: QueryDef = QueryDef.sql(
+  val embeddingCosine: QueryDef = QueryDef.sqlCutover(
     "q34_embedding_neardup",
     // ORDER BY p.sim (qualified = the RAW value): a bare `sim` binds
     // to the SELECT's rounded alias, which reorders rounded-tied pairs
@@ -275,6 +292,8 @@ object Dedup {
       | FROM p ORDER BY p.sim DESC, vec_a, vec_b LIMIT 50""".stripMargin
       .replaceAll("\n", "")
   ) { (s, d) =>
+    !Scale.exactOk(s, s"$d#embeddings", Tables.embeddings(s, d).count())
+  } { (s, d) =>
       val e = Tables.embeddings(s, d)
       // same approximate-above-limit contract as q33 (see note there)
       val simPairs =

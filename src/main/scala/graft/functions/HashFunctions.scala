@@ -432,4 +432,23 @@ object HashFunctions {
     import org.apache.spark.sql.functions.bit_count
     bit_count(a.bitwiseXOR(b))
   }
+
+  /** Index of the first band (of `bands` slices of `bandBits` bits
+    * each, LSB-first) where two PACKED integer signatures agree, or
+    * -1. The single-long analogue of [[first_equal_band]]: an LSH
+    * bucket self-join keeps the joined row iff its bucket's band ==
+    * this index, emitting each candidate pair exactly once WITHOUT a
+    * `distinct` over the per-bucket pair blowup. A short `when` chain
+    * over the XOR (bands ≤ 8 here) stays inside whole-stage codegen.
+    */
+  def first_equal_packed_band(a: Column, b: Column, bands: Int,
+      bandBits: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftrightunsigned, when}
+    val x = a.bitwiseXOR(b)
+    val mask = (1L << bandBits) - 1
+    (0 until bands).foldRight(lit(-1): Column) { (i, rest) =>
+      when(shiftrightunsigned(x, i * bandBits).bitwiseAND(lit(mask)) === 0,
+        lit(i)).otherwise(rest)
+    }
+  }
 }

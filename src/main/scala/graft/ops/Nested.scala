@@ -16,12 +16,26 @@ object Nested {
 
   /** A4/A5 nested output: per-customer top-3 orders as an
     * array-of-struct column (sorted by rank inside the array).
-    * Rows-only: nested arrays are not portably hash-comparable
-    * through the flat-parquet oracle; the flat projection of the
-    * same data is oracle-checked as q11/q27.
+    * The emitted frame flattens the array to a deterministic
+    * `rank:orderkey:price` string (price through DECIMAL(12,2), which
+    * is exact — the synthetic prices are 2-decimal — and renders
+    * identically on both engines, unlike raw double-to-string or JSON
+    * float formatting); callers wanting the typed array-of-struct
+    * drop that projection.
     */
-  val nestedTopOrders: QueryDef = QueryDef.rowsOnly("q46_nested_recs") {
-    (s, d) =>
+  val nestedTopOrders: QueryDef = QueryDef.sql(
+    "q46_nested_recs",
+    """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, row_number()
+      | OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      | AS rn FROM orders)
+      | SELECT o_custkey,
+      |  string_agg(rn || ':' || o_orderkey || ':' ||
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+      |    '|' ORDER BY rn) AS recs,
+      |  count(*) AS n_recs
+      | FROM r WHERE rn <= 3 GROUP BY o_custkey
+      | ORDER BY o_custkey""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       Tables.orders(s, d)
@@ -29,12 +43,13 @@ object Nested {
         .filter(col("rn") <= 3)
         .groupBy("o_custkey")
         .agg(sort_array(collect_list(struct(
-          col("rn"), col("o_orderkey"), col("o_totalprice")))).as("recs"))
+          col("rn"), col("o_orderkey"), col("o_totalprice")))).as("recs_arr"))
         .select(col("o_custkey"),
-          // stringified for the flat-result check; callers wanting the
-          // typed array-of-struct drop this projection
-          to_json(col("recs")).as("recs"),
-          size(col("recs")).as("n_recs"))
+          array_join(transform(col("recs_arr"), r =>
+            concat_ws(":", r.getField("rn"), r.getField("o_orderkey"),
+              r.getField("o_totalprice").cast("decimal(12,2)"))), "|")
+            .as("recs"),
+          size(col("recs_arr")).cast("long").as("n_recs"))
         .orderBy("o_custkey")
   }
 

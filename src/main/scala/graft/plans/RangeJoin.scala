@@ -144,6 +144,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
+/** Tripwire for the per-plan opt-in: a Join still carrying
+  * [[RangeJoinRewrite.WidthTag]] at physical planning means the
+  * optimizer rule never rewrote it (unrecognized condition shape, or
+  * the rule was not installed) and the query is about to run as a
+  * nested-loop. Logs a warning and plans nothing, so the fallback
+  * still executes — degraded, but no longer silently. (A Catalyst
+  * rule that rebuilds the Join via its constructor drops the tag and
+  * escapes this check too; PlanSpec pins the rewritten plan shape per
+  * Spark upgrade for that case.)
+  */
+object RangeJoinWarnStrategy
+    extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = plan match {
+    case j: Join if j.getTagValue(RangeJoinRewrite.WidthTag).isDefined =>
+      logWarning(
+        "graft: a bucketedRangeJoin-tagged join reached physical planning " +
+          "un-rewritten; it will execute as a nested-loop join. Check that " +
+          "GraftExtensions is installed and the join condition is a " +
+          "recognized range shape (v >= lo AND v </<= hi).")
+      Nil
+    case _ => Nil
+  }
+}
+
 /** `spark.sql.extensions` entry point installing the engine's
   * planner/optimizer extensions.
   */
@@ -151,5 +176,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => RangeJoinWarnStrategy)
   }
 }

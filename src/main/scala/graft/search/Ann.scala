@@ -1,7 +1,7 @@
 package graft.search
 
 import graft.{QueryDef, Tables}
-import graft.functions.HashFunctions.hyperplane_sig
+import graft.functions.HashFunctions.{first_equal_packed_band, hyperplane_sig}
 import graft.functions.VectorFunctions.cosine_sim
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -80,27 +80,35 @@ object Ann {
   val lshTopK: QueryDef = QueryDef.rowsOnly("q36_ann_lsh") { (s, d) =>
     val bandBits = LshBits / LshBands
     val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, vecCol: String, idAs: String) =
+    def banded(df: DataFrame, vecCol: String, idAs: String,
+        sigAs: String) =
       df.select(col(idAs), col(vecCol),
-          hyperplane_sig(col(vecCol), LshBits).as("sig"))
-        .select(col(idAs), col(vecCol),
+          hyperplane_sig(col(vecCol), LshBits).as(sigAs))
+        .select(col(idAs), col(vecCol), col(sigAs),
           posexplode(array((0 until LshBands).map(i =>
-            shiftrightunsigned(col("sig"), i * bandBits)
+            shiftrightunsigned(col(sigAs), i * bandBits)
               .bitwiseAND(lit(mask))): _*))
             .as(Seq("band", "band_val")))
     val q = banded(
       Tables.embeddings(s, d).filter(col("vec_id") < NumQueries)
         .withColumnRenamed("vec_id", "query_id")
-        .withColumnRenamed("embedding", "qv"), "qv", "query_id")
+        .withColumnRenamed("embedding", "qv"), "qv", "query_id", "sig_q")
     val c = banded(
       Tables.embeddings(s, d)
         .withColumnRenamed("vec_id", "neighbor_id"), "embedding",
-      "neighbor_id")
+      "neighbor_id", "sig_c")
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
     broadcast(q).join(c, Seq("band", "band_val"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qv", "embedding").distinct()
+      // first-match-band dedup replaces the old `distinct()` that
+      // carried BOTH vectors (qv + embedding) through a shuffle: a
+      // (query, neighbor) pair colliding in m bands survives only in
+      // its first shared band, so nothing after the broadcast join
+      // shuffles payload arrays at all — the window below shuffles
+      // only (query_id, neighbor_id, sim).
+      .filter(first_equal_packed_band(col("sig_q"), col("sig_c"),
+        LshBands, bandBits) === col("band"))
       .select(col("query_id"), col("neighbor_id"),
         cosine_sim(col("qv"), col("embedding")).as("sim"))
       .withColumn("rank", row_number().over(w))

@@ -148,7 +148,10 @@ object Rescoring {
        | FROM ranked WHERE rank <= $OutK
        | ORDER BY user_id, rank""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
-    val ratings = Tables.ratings(s, d)
+    // cachedRatings: the derived table feeds three subtrees (recent
+    // window, cooc self-join, rated anti-set) — persisted once, the
+    // events scan + derivation runs once instead of three times.
+    val ratings = Tables.cachedRatings(s, d)
     // score is the LAST tiebreak: (ts, productId) alone is not a total
     // order — same-microsecond events for one user can repeat a
     // productId with different scores, and an ambiguous pick at the
@@ -159,8 +162,11 @@ object Rescoring {
       .withColumn("rrn", row_number().over(recentW))
       .filter(col("rrn") <= RecentK)
       .select("userId", "productId", "score")
+    // distinct pre-aggregation shrinks the anti-join build side from
+    // |ratings| rows to |user×product| pairs before the hash relation
+    // is built (NOT EXISTS semantics are set-based anyway).
     rescore(recent, coocSims(ratings),
-        ratings.select("userId", "productId"))
+        ratings.select("userId", "productId").distinct())
       .select(col("userId").as("user_id"), col("candidate").as("product_id"),
         col("rec_score"), col("rank"))
       .orderBy("user_id", "rank")

@@ -34,8 +34,11 @@ class ContractSpec extends SparkSpec {
     val misses = SparkEntry.allDefs.filter(_.oracle.isDefined).flatMap {
       q =>
         val sql = q.oracle.get.toLowerCase
+        // word-boundary match, not substring: 'sim' must not be
+        // satisfied by an unrelated 'similarity' in the SQL
         val missing = q.fn(spark, sfTiny).columns
-          .filterNot(c => sql.contains(c.toLowerCase))
+          .filterNot(c => ("(?i)\\b" + java.util.regex.Pattern.quote(c) +
+            "\\b").r.findFirstIn(sql).isDefined)
         if (missing.isEmpty) None else Some(s"${q.name}: $missing")
     }
     assert(misses.isEmpty, misses.mkString("\n"))

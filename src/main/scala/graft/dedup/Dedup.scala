@@ -114,8 +114,33 @@ object Dedup {
     */
   def minhashPairsFromSets(sets: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
-    val rows = numHashes / bands
     val toks = sets
+    candidatePairs(toks, numHashes, bands, threshold)
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
+      .withColumn("inter",
+        sorted_intersect_size(col("toks_a"), col("toks_b")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      // RAW quotient, consistent with the exact branches that share
+      // consumers (q33): jaccard of integer counts is exact on both
+      // engines, so rounding is representation change, not parity —
+      // display-rounding is the consumer's call (q31 rounds).
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** LSH candidate id pairs `(doc_a, doc_b)` over pre-hashed sorted
+    * sets — the banded-bucket stage of [[minhashPairsFromSets]],
+    * split out so the profiler can time candidate generation apart
+    * from exact verification.
+    */
+  def candidatePairs(toks: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val rows = numHashes / bands
     // K minhash values in one codegen'd pass ([[MinHashSignature]]);
     // band b hashes its `rows` consecutive minhashes
     val sig = toks.select(col("doc_id"), size(col("toks")).as("sz"),
@@ -143,29 +168,13 @@ object Dedup {
       col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("mh").as("mh_b"))
     val estJaccard =
       sig_matches(col("mh_a"), col("mh_b")).cast("double") / numHashes
-    val candidates = a.join(b, Seq("band", "band_hash"))
+    a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
         greatest(col("sz_a"), col("sz_b")) * threshold)
       .filter(first_equal_band(col("mh_a"), col("mh_b"), bands) === col("band"))
       .filter(estJaccard >= threshold - 0.25)
       .select("doc_a", "doc_b")
-    candidates
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
-        "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
-        "doc_b")
-      .withColumn("inter",
-        sorted_intersect_size(col("toks_a"), col("toks_b")).cast("double"))
-      .withColumn("jaccard",
-        col("inter") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      // RAW quotient, consistent with the exact branches that share
-      // consumers (q33): jaccard of integer counts is exact on both
-      // engines, so rounding is representation change, not parity —
-      // display-rounding is the consumer's call (q31 rounds).
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature (codegen'd

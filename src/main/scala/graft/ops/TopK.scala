@@ -1,19 +1,23 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
+import graft.functions.TopKAgg.top_k_agg
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Bounded per-group top-K as a typed `Aggregator`: the optimized
-  * rewrite of the reference's `groupByKey` + in-memory
-  * `sortWith(_._2 > _._2).take(20)` (`OfflineRecommender.scala:77-84`,
-  * A4/A5/O2). A window `row_number <= K` is the declarative spelling
-  * (q11); this aggregator is the partial-aggregation spelling — each
-  * map-side partial keeps at most K elements, so the shuffle carries
-  * ≤K rows per (partition, group) instead of every row of every
-  * group. At 100 TB with hot groups that difference is the job.
+/** Bounded per-group top-K, partial-aggregation spellings of the
+  * reference's `groupByKey` + in-memory `sortWith(_._2 > _._2)
+  * .take(20)` (`OfflineRecommender.scala:77-84`, A4/A5/O2). A window
+  * `row_number <= K` is the declarative spelling (q11); the
+  * aggregates here keep at most K elements per map-side partial, so
+  * the shuffle carries ≤K rows per (partition, group) instead of
+  * every row of every group — at 100 TB with hot groups that
+  * difference is the job. Two spellings: the production
+  * [[graft.functions.TopKAgg]] (`TypedImperativeAggregate`, no row
+  * encoders — q27 runs this) and the typed-`Aggregator` below (the
+  * Dataset-API spelling, kept as the §2.11 typed-UDAF surface).
   */
 object TopK {
 
@@ -50,7 +54,14 @@ object TopK {
   }
 
   /** Same semantics (and the same oracle) as q11's window top-k,
-    * executed through the typed-aggregator partial-agg path instead.
+    * executed through the partial-aggregation path instead: the
+    * `TypedImperativeAggregate` keeps ≤K entries per (partition,
+    * group) map-side, so a hot group shuffles K rows instead of all
+    * of them. Round 2 ran this through the typed `Aggregator` (kept
+    * below as the documented Dataset-API spelling) — its per-row
+    * encoder ser/de made it ~4× slower than the window; the
+    * imperative aggregate runs on `InternalRow` directly like a
+    * built-in.
     */
   val topKAggQuery: QueryDef = QueryDef.sql(
     "q27_topk_aggregator",
@@ -60,20 +71,14 @@ object TopK {
       | AS rn FROM orders) t WHERE rn <= 3
       | ORDER BY o_custkey, rn""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
-    import s.implicits._
-    val topk = new TopKAggregator(3).toColumn.name("topk")
     Tables.orders(s, d)
-      .select(col("o_custkey").as("key"), col("o_orderkey").as("id"),
-        col("o_totalprice").as("score"))
-      .as[KeyedScored]
-      .groupByKey(_.key)
-      .agg(topk)
-      .flatMap { case (cust, recs) =>
-        recs.iterator.zipWithIndex.map { case (r, i) =>
-          (cust, r.id, r.score, i + 1)
-        }
-      }
-      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .groupBy(col("o_custkey"))
+      .agg(top_k_agg(col("o_orderkey"), col("o_totalprice"), 3).as("topk"))
+      .select(col("o_custkey"),
+        posexplode(col("topk")).as(Seq("idx", "rec")))
+      .select(col("o_custkey"), col("rec.id").as("o_orderkey"),
+        col("rec.score").as("o_totalprice"),
+        (col("idx") + 1).cast("int").as("rn"))
       .orderBy("o_custkey", "rn")
   }
 

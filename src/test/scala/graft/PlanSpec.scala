@@ -130,6 +130,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q27: the top-k aggregate has a map-side partial phase") {
+    val p = ops.TopK.topKAggQuery.fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_top_k_agg"),
+      "top-k aggregate lost its partial phase:\n" + p)
+  }
+
   test("q63: the sketch aggregate has a map-side partial phase") {
     val p = text.TextAnalysis.corpusSketch.fn(spark, sfTiny)
       .queryExecution.executedPlan.toString

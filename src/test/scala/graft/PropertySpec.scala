@@ -175,4 +175,29 @@ class PropertySpec extends SparkSpec {
       labels.forall { case (node, label) => label == reachMin(node) }
     }, n = 60)
   }
+
+  test("property: chain graphs far longer than maxIter converge to one " +
+      "component through the distributed solve") {
+    // Adversarial diameter: a path graph of length ≫ maxIter(=20). The
+    // per-round pointer jump composes the label map with itself, so
+    // label reach grows exponentially (~2^rounds), not linearly —
+    // this property is the measured guarantee that long chains don't
+    // need a large-star/small-star rewrite at these iteration caps.
+    // localSolveLimit=0 forces the distributed loop (the driver
+    // union-find would otherwise absorb any contracted chain).
+    val old = spark.conf.getOption("spark.graft.cc.localSolveLimit")
+    spark.conf.set("spark.graft.cc.localSolveLimit", "0")
+    try {
+      check(Prop.forAll(Gen.choose(500, 2500)) { n =>
+        val edges = spark.range(n - 1)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val labels = dedup.Dedup.connectedComponents(edges)
+        labels.count() == n &&
+          labels.filter(col("label") =!= 0L).isEmpty
+      }, n = 3)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.cc.localSolveLimit", v)
+      case None => spark.conf.unset("spark.graft.cc.localSolveLimit")
+    }
+  }
 }

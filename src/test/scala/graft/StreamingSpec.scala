@@ -138,6 +138,84 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("e2e with wire dedup: redelivered lines don't double-count, " +
+      "dedup state evicts under watermark advance") {
+    val dir = Files.createTempDirectory("graft_stream_dedup").toString
+    val sims = Seq((1, 100, 0.9)).toDF("pa", "pb", "sim")
+    val rated = spark.emptyDataFrame
+      .select(lit(0).as("userId"), lit(0).as("productId")).limit(0)
+    val input = MemoryStream[String](spark)
+    val query = StreamPipeline.start(spark, input.toDF(), sims, rated,
+      s"$dir/recs", s"$dir/ckpt", dedupWire = true)
+    try {
+      // the same wire record three times (at-least-once redelivery):
+      // state must see ONE rating for user 7, so rec_score counts
+      // incr=1, not 3 (base 0.9*5.0, one high rating -> +log10(2))
+      val line = "x PRODUCT_RATING_PREFIX:7|1|5.0|1395676800"
+      input.addData(line, line)
+      query.processAllAvailable()
+      input.addData(line) // redelivery in a later batch
+      query.processAllAvailable()
+      val rec = spark.read.parquet(s"$dir/recs")
+        .filter(col("userId") === 7).head
+      assert(math.abs(rec.getAs[Double]("rec_score") -
+        (4.5 + math.log10(2.0))) < 1e-3, rec)
+      // advance the event-time watermark past the first record's ts +
+      // horizon (1 h): its dedup state row must be evicted
+      input.addData("x PRODUCT_RATING_PREFIX:9|1|4.0|1395684000")
+      query.processAllAvailable()
+      input.addData("x PRODUCT_RATING_PREFIX:9|1|4.0|1395690000")
+      query.processAllAvailable()
+      // one more batch: eviction applies the watermark computed at the
+      // END of the previous batch, so it lands one trigger later
+      input.addData("x PRODUCT_RATING_PREFIX:9|1|4.0|1395697200")
+      query.processAllAvailable()
+      val dedupState = query.lastProgress.stateOperators
+        .filter(_.operatorName.contains("dedupe"))
+      assert(dedupState.nonEmpty, query.lastProgress.stateOperators
+        .map(_.operatorName).mkString(","))
+      assert(dedupState.exists(_.numRowsRemoved > 0),
+        dedupState.map(s => s"${s.operatorName}: total=${s.numRowsTotal} " +
+          s"removed=${s.numRowsRemoved}").mkString(","))
+    } finally query.stop()
+  }
+
+  test("interval-join click state evicts once the watermark passes the " +
+      "horizon") {
+    val purchases = MemoryStream[(Long, Timestamp, String)](spark)
+    val clicks = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = StreamPipeline.joinRecentClicks(
+        purchases.toDF().toDF("user_id", "ts", "p"),
+        clicks.toDF().toDF("c_user", "c_ts", "c"),
+        horizon = "100 seconds", lateness = "10 seconds")
+      .writeStream.format("memory").queryName("ssj_evict")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(100), "c1"))
+      purchases.addData((1L, ts(150), "p1"))
+      q.processAllAvailable()
+      // march BOTH watermarks far past c1's eviction bound
+      // (c_ts + horizon + lateness): click state must shrink
+      clicks.addData((2L, ts(5000), "c_late"))
+      purchases.addData((2L, ts(5000), "p_late"))
+      q.processAllAvailable()
+      clicks.addData((3L, ts(6000), "c_later"))
+      purchases.addData((3L, ts(6000), "p_later"))
+      q.processAllAvailable()
+      val joinState = q.lastProgress.stateOperators
+        .filter(_.operatorName.toLowerCase.contains("join"))
+      assert(joinState.nonEmpty,
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+      assert(joinState.exists(_.numRowsRemoved > 0),
+        joinState.map(s => s"${s.operatorName}: total=${s.numRowsTotal} " +
+          s"removed=${s.numRowsRemoved}").mkString(","))
+      // and the in-horizon pair did attach
+      val got = spark.table("ssj_evict").select("p", "c").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got.contains(("p1", "c1")), got)
+    } finally q.stop()
+  }
+
   test("upsertByKey is idempotent under replay") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
     val v1 = Seq((1, "a"), (2, "b")).toDF("userId", "v")

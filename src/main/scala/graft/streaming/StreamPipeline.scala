@@ -158,6 +158,57 @@ object StreamPipeline {
     * overwrite (`partitionOverwriteMode=dynamic` with key-bucketed
     * partitions) — the upsert contract here is format-agnostic.
     */
+  /** Partition-scoped keyed upsert — the O(touched)/trigger upsert
+    * that [[upsertByKey]]'s doc promises at scale, on plain parquet:
+    * the table is laid out in `buckets` hash partitions of the key
+    * (`__bucket=N/` directories), and each micro-batch merges + is
+    * rewritten ONLY into the partitions its keys hash to (dynamic
+    * partition overwrite). Cost per trigger is O(rows in touched
+    * buckets), not O(table); with a MERGE-capable format
+    * (Iceberg/Delta, no jars in this sandbox) the same call site
+    * swaps the write for `MERGE INTO ... ON key`.
+    *
+    * Same contract as [[upsertByKey]]: last write per key wins, batch
+    * replays converge. `buckets` must stay constant for a table's
+    * lifetime (it defines the layout); readers see the extra
+    * `__bucket` partition column.
+    */
+  def upsertByKeyPartitioned(updates: DataFrame, key: String, dir: String,
+      buckets: Int = 64): Unit = {
+    val spark = updates.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = updates
+      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
+    val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
+    val merged =
+      if (!exists) staged
+      else {
+        val touched = staged.select("__bucket").distinct()
+        spark.read.parquet(dir)
+          // only the touched partitions are read (partition pruning
+          // via the semi join's dynamic filter is not guaranteed on
+          // V1 parquet, so prune explicitly with an IN over the
+          // collected bucket ids — ≤ `buckets` small ints)
+          .filter(col("__bucket").isin(
+            touched.collect().map(_.getInt(0)).toSeq: _*))
+          .join(staged.select(key).distinct(), Seq(key), "left_anti")
+          .unionByName(staged)
+      }
+    // materialize BEFORE the overwrite: the merged plan reads the very
+    // files dynamic overwrite will replace
+    val pinned = merged.localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try pinned.write.mode("overwrite").partitionBy("__bucket").parquet(dir)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   def upsertByKey(updates: DataFrame, key: String, dir: String): Unit = {
     val spark = updates.sparkSession
     val path = new org.apache.hadoop.fs.Path(dir)

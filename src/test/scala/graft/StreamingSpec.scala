@@ -216,6 +216,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("partitioned upsert: replay-idempotent, rewrites only touched " +
+      "buckets") {
+    val dir = Files.createTempDirectory("graft_upsert_part").toString + "/t"
+    def fileSet(): Map[String, Long] = {
+      val base = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(base).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    StreamPipeline.upsertByKeyPartitioned(batch1, "k", dir, buckets = 8)
+    // update key 1 only; key 2's bucket partition must not be rewritten
+    val before = fileSet()
+    val batch2 = Seq((1L, "a2")).toDF("k", "v")
+    StreamPipeline.upsertByKeyPartitioned(batch2, "k", dir, buckets = 8)
+    val after = fileSet()
+    val table = spark.read.parquet(dir)
+    assert(table.count() == 2)
+    assert(table.filter(col("k") === 1).head.getString(1) == "a2")
+    assert(table.filter(col("k") === 2).head.getString(1) == "b")
+    // key 2's file survived byte-identical (same path, same mtime)
+    val k2files = before.keys.filter { p =>
+      val b2 = spark.read.parquet(dir).filter(col("k") === 2)
+      // its bucket dir is the one NOT touched by batch2
+      !p.contains(s"__bucket=${batch2.select(
+        pmod(hash(col("k")), lit(8))).head.getInt(0)}")
+    }
+    assert(k2files.nonEmpty)
+    k2files.foreach(p => assert(after.get(p).contains(before(p)),
+      s"untouched partition file rewritten: $p"))
+    // replay of batch2 converges (same table)
+    StreamPipeline.upsertByKeyPartitioned(batch2, "k", dir, buckets = 8)
+    val replayed = spark.read.parquet(dir)
+    assert(replayed.count() == 2)
+    assert(replayed.filter(col("k") === 1).head.getString(1) == "a2")
+  }
+
   test("upsertByKey is idempotent under replay") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
     val v1 = Seq((1, "a"), (2, "b")).toDF("userId", "v")

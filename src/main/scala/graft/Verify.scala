@@ -40,8 +40,21 @@ object Verify {
     // rows-only check, not a doomed exact-hash compare. The queries
     // above already warmed the Scale.exactOk memo, so this re-check
     // runs no extra jobs.
+    // Guarded per query: a failing approxWhen (e.g. an unreadable
+    // table whose count the memo never warmed) must degrade to "keep
+    // the oracle" for that ONE query — an escaped exception here
+    // would skip writing oracle_sql.json entirely and zero the whole
+    // round's correctness, the exact total-loss mode the per-query
+    // try/catch above exists to prevent.
     val approx = SparkEntry.allDefs
-      .filter(qd => qd.oracle.isDefined && qd.isApproximateFor(spark, sfDir))
+      .filter(qd => qd.oracle.isDefined && {
+        try qd.isApproximateFor(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[verify] ${qd.name} approx check failed: ${e.getMessage}")
+          false
+        }
+      })
       .map(_.name).toSet
     approx.foreach(n => System.err.println(
       s"[verify] $n ran its approximate branch at $sfDir; oracle withheld"))

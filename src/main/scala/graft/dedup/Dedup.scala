@@ -149,7 +149,7 @@ object Dedup {
     val prefLen = math.min(numHashes, 32)
     // K minhash values in one codegen'd pass ([[MinHashSignature]]);
     // band b hashes its `rows` consecutive minhashes. Only the band
-    // hashes (`bands` longs) and the estimate prefix (≤16 longs) ride
+    // hashes (`bands` longs) and the estimate prefix (≤32 longs) ride
     // the bucket join — NOT the K-long signature: at K=64 that is a
     // ~3× cut in both shuffled bytes and per-combo filter work, the
     // dominant cost on a clique-heavy corpus where every bucket pair
@@ -177,7 +177,7 @@ object Dedup {
     //    HASHES — the very values that define bucket membership —
     //    keeps dedup exactly consistent with the join key;
     //  * size-ratio is a necessary condition for J ≥ t (J ≤ min/max);
-    //  * signature agreement estimates J (Broder) from the 16-hash
+    //  * signature agreement estimates J (Broder) from the 32-hash
     //    prefix, discarding the mid-similarity bulk before the exact
     //    verify join.
     // Token sets re-attach by key only for surviving candidates.

@@ -69,6 +69,25 @@ object Recommend {
     new ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
   private val fitCache =
     new ConcurrentHashMap[(SparkSession, String, Int, Double), ALSModel]()
+  private val aggCache =
+    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The deduplicated `(userId, productId, avg score)` training table,
+    * derived from [[Tables.cachedRatings]] and cached ONCE per
+    * (session, dir) — every hyperparameter combo trains on the same
+    * materialization instead of re-scanning and re-pinning a copy per
+    * (rank, reg) cache miss.
+    */
+  private def aggRatings(spark: SparkSession, dir: String): DataFrame = {
+    Scale.purgeStopped(aggCache)
+    aggCache.computeIfAbsent((spark, dir), _ => {
+      val r = Tables.cachedRatings(spark, dir)
+        .groupBy("userId", "productId").agg(avg("score").as("score"))
+        .cache()
+      r.count()
+      r
+    })
+  }
 
   private def als: ALS = new ALS()
     .setUserCol("userId").setItemCol("productId").setRatingCol("score")
@@ -81,12 +100,8 @@ object Recommend {
   def model(spark: SparkSession, dir: String): ALSModel = {
     Scale.purgeStopped(modelCache)
     val (rank, reg) = (effRank(spark), effReg(spark))
-    modelCache.computeIfAbsent((spark, dir, rank, reg), _ => {
-      val ratings = Tables.ratings(spark, dir)
-        .groupBy("userId", "productId").agg(avg("score").as("score"))
-        .cache()
-      als.setRank(rank).setRegParam(reg).fit(ratings)
-    })
+    modelCache.computeIfAbsent((spark, dir, rank, reg), _ =>
+      als.setRank(rank).setRegParam(reg).fit(aggRatings(spark, dir)))
   }
 
   /** The shared seed-42 80/20 evaluation split, materialized once per
@@ -96,10 +111,8 @@ object Recommend {
   def evalSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     Scale.purgeStopped(splitCache)
     splitCache.computeIfAbsent((spark, dir), _ => {
-      val ratings = Tables.ratings(spark, dir)
-        .groupBy("userId", "productId").agg(avg("score").as("score"))
       val Array(train, test) =
-        ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+        aggRatings(spark, dir).randomSplit(Array(0.8, 0.2), seed = 42L)
       train.cache().count(); test.cache().count()
       (train, test)
     })

@@ -70,14 +70,19 @@ object StreamPipeline {
     import spark.implicits._
     val parsed = Rescoring.extractRatings(logLines)
     // Kafka delivers at-least-once: with dedupWire the redelivered
-    // wire records (same user/product/ts) are dropped in bounded
-    // state before they can double-count in the recent-K ring buffer.
-    // exactly one watermark definition per stream: dedupStream stamps
+    // wire records are dropped in bounded state before they can
+    // double-count in the recent-K ring buffer. The dedup key is the
+    // FULL record (score included): same-microsecond re-ratings with
+    // different scores are real distinct events (the batch path keeps
+    // them — Rescoring's recent-K tiebreak exists because of them);
+    // only an identical wire record is a redelivery.
+    // Exactly one watermark definition per stream: dedupStream stamps
     // its own (same 1-hour horizon); re-stamping downstream trips
     // "Redefining watermark is disallowed" under multiple stateful
-    // operators
+    // operators.
     val events =
-      (if (dedupWire) dedupStream(parsed, Seq("userId", "productId", "ts"))
+      (if (dedupWire)
+        dedupStream(parsed, Seq("userId", "productId", "score", "ts"))
        else parsed.withWatermark("ts", "1 hour"))
         .as[RatingEvent]
     recentRatings(events).toDF()
@@ -176,11 +181,17 @@ object StreamPipeline {
   def upsertByKeyPartitioned(updates: DataFrame, key: String, dir: String,
       buckets: Int = 64): Unit = {
     val spark = updates.sparkSession
+    // Empty micro-batches (common on startup/replay) must be no-ops:
+    // writing one would create a _SUCCESS-only directory that the
+    // next call can neither schema-infer nor merge with.
+    if (updates.isEmpty) return
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = updates
       .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
-    val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
+    // "exists" means data partitions exist, not just write markers
+    val exists = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith("__bucket="))
     val merged =
       if (!exists) staged
       else {

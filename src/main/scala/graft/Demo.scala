@@ -36,6 +36,27 @@ object Demo {
     println("plan (expect WholeStageCodegen around the cross join + cosine):")
     sims.explain("formatted")
 
+    // bounded top-K as a first-class aggregate: partial_top_k_agg in
+    // the plan means a hot group ships ≤K rows per map partition
+    val topOrders = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(functions.TopKAgg.top_k_agg(
+        col("o_orderkey"), col("o_totalprice"), 3).as("top3"))
+    println(s"top_k_agg -> ${topOrders.count()} customers")
+    topOrders.show(2, truncate = false)
+
+    // partition-scoped upsert: second batch rewrites only the hash
+    // buckets its keys land in
+    import spark.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_demo_upsert").toString + "/t"
+    streaming.StreamPipeline.upsertByKeyPartitioned(
+      Seq((1L, "first"), (2L, "keep")).toDF("k", "v"), "k", tbl)
+    streaming.StreamPipeline.upsertByKeyPartitioned(
+      Seq((1L, "updated")).toDF("k", "v"), "k", tbl)
+    println("partitioned upsert (k=1 updated in place, k=2 untouched):")
+    spark.read.parquet(tbl).orderBy("k").show()
+
     val flagship = SparkEntry.entry(spark)
     println(s"flagship entry() -> ${flagship.count()} rows")
     flagship.show(truncate = false)

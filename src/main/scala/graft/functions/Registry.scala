@@ -68,5 +68,10 @@ object Registry {
         MinHashUnion(a, litInt(k, "k")).toAggregateExpression()
       case e => arity("minhash_union", e.size, "2")
     })
+    ColumnBridge.registerFunction(spark, "top_k_agg", {
+      case Seq(id, score, k) =>
+        TopKAgg(id, score, litInt(k, "k")).toAggregateExpression()
+      case e => arity("top_k_agg", e.size, "3")
+    })
   }
 }

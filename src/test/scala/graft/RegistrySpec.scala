@@ -36,6 +36,22 @@ class RegistrySpec extends SparkSpec {
     assert(r.getInt(2) == 3)
   }
 
+  test("top_k_agg is callable from SQL with a partial phase") {
+    Registry.register(spark)
+    Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (1L, 12L, 3.0), (2L, 20L, 1.0))
+      .toDF("g", "id", "s").createOrReplaceTempView("vt")
+    val df = spark.sql(
+      "SELECT g, top_k_agg(id, s, 2) AS topk FROM vt GROUP BY g ORDER BY g")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("partial_top_k_agg"))
+    val rows = df.collect()
+    val g1 = rows(0).getAs[scala.collection.Seq[
+      org.apache.spark.sql.Row]]("topk")
+    assert(g1.map(_.getLong(0)) == Seq(11L, 10L), g1.toString)
+    assert(rows(1).getAs[scala.collection.Seq[
+      org.apache.spark.sql.Row]]("topk").map(_.getLong(0)) == Seq(20L))
+  }
+
   test("hyperplane_sig rejects non-literal nbits") {
     Registry.register(spark)
     Seq((Seq(1f, 0f), 8)).toDF("x", "n").createOrReplaceTempView("v2")

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.streaming.{Rescoring, StreamPipeline, RatingEvent}
+import graft.streaming.{NearDup, Rescoring, StreamPipeline, RatingEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -213,6 +213,53 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("ssj_evict").select("p", "c").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(got.contains(("p1", "c1")), got)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup: colliding docs emit candidates, bucket " +
+      "state evicts under watermark advance") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearText = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
+    val otherText = (1 to 60).map(i => s"other$i").mkString(" ")
+    val q = NearDup.nearDupCandidatesStream(
+        input.toDF().toDF("doc_id", "text", "ts"),
+        horizon = "100 seconds", minEst = 0.6)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, text, ts(10)), (3L, otherText, ts(11)))
+      q.processAllAvailable()
+      input.addData((2L, nearText, ts(20)))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), pairs)
+      val est = spark.table("neardup_out").select("est_jaccard").head
+        .getDouble(0)
+      assert(est >= 0.6 && est <= 1.0, est.toString)
+      // march the watermark far past doc 1/2's horizon; their bucket
+      // state must be evicted, so a later near-dup of doc 1 pairs
+      // with NOTHING (the batch path is the completeness backfill)
+      input.addData((50L, otherText + " filler", ts(1000)))
+      q.processAllAvailable()
+      input.addData((51L, otherText + " filler2", ts(2000)))
+      q.processAllAvailable()
+      input.addData((4L, text + " w", ts(2100)))
+      q.processAllAvailable()
+      val later = spark.table("neardup_out")
+        .filter(col("doc_b") === 4L).count()
+      assert(later == 0, s"evicted bucket still produced $later pairs")
+      // removal lands in whichever batch the watermark crossing was
+      // processed in — sum across recent progresses, not just the last
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .filter(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0,
+        q.recentProgress.flatMap(_.stateOperators)
+          .map(s => s"${s.operatorName}: total=${s.numRowsTotal} " +
+            s"removed=${s.numRowsRemoved}").mkString(","))
     } finally q.stop()
   }
 

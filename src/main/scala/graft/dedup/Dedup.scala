@@ -77,9 +77,12 @@ object Dedup {
       // release — the cached PAIRS are what later stages (q49) reuse.
       val sets = tokenSets(Tables.documents(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint (eager), not cache(): the exact-dup-collapse
+      // pair plan is a union of join subtrees, and the CC consumer
+      // (q49) re-analyzes the full lineage in every iterative round —
+      // a leaf plan keeps that analysis O(1) instead of O(plan size)
       val p = minhashPairs(sets, numHashes = 64,
-        bands = 8, threshold = 0.9).cache()
-      p.count()
+        bands = 8, threshold = 0.9).localCheckpoint()
       sets.unpersist()
       p
     })
@@ -115,10 +118,27 @@ object Dedup {
   def minhashPairsFromSets(sets: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
     val toks = sets
-    candidatePairs(toks, numHashes, bands, threshold)
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+    // Exact-duplicate collapse BEFORE the LSH pass: crawl-scale
+    // corpora are exact-dup-heavy, and a clique of identical sets
+    // costs the bucket join m² combos in EVERY band. Identical sets
+    // have identical signatures, hence identical candidacy and
+    // identical Jaccard against everything — so running LSH on one
+    // representative per distinct set and expanding afterwards emits
+    // EXACTLY the pairs the direct pass would (intra-group pairs are
+    // Jaccard 1.0 and always collide; cross-group pairs inherit the
+    // representatives' value verbatim). Grouping is by xxhash64 of
+    // the hashed-token array — ids+hash shuffle only, the token
+    // payload never moves (same injectivity-in-practice assumption
+    // as the token hashing itself).
+    val hashed = toks.select(col("doc_id"), xxhash64(col("toks")).as("sh"))
+    val groups = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
+    val mem = hashed.join(groups, "sh").select(col("rep"), col("doc_id"))
+    val reps = toks.join(
+      groups.select(col("rep").as("doc_id")), "doc_id")
+    val repPairs = candidatePairs(reps, numHashes, bands, threshold)
+      .join(reps.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
         "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+      .join(reps.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
         "doc_b")
       .withColumn("inter",
         sorted_intersect_size(col("toks_a"), col("toks_b")).cast("double"))
@@ -131,6 +151,22 @@ object Dedup {
       // engines, so rounding is representation change, not parity —
       // display-rounding is the consumer's call (q31 rounds).
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // intra-group: every member pair of a distinct-set group is an
+    // exact dup (Jaccard 1.0 — the same bits the direct verify
+    // computes for identical sets)
+    val intra = mem.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(mem.select(col("rep"), col("doc_id").as("doc_b")), "rep")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    // cross-group: expand representative pairs to all member pairs
+    val cross = repPairs
+      .join(mem.select(col("rep").as("doc_a"), col("doc_id").as("ma")),
+        "doc_a")
+      .join(mem.select(col("rep").as("doc_b"), col("doc_id").as("mb")),
+        "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    intra.unionByName(cross)
   }
 
   /** LSH candidate id pairs `(doc_a, doc_b)` over pre-hashed sorted

@@ -53,6 +53,37 @@ class DedupSpec extends SparkSpec {
       s"64x8 LSH missed $missed64 of $nExact")
   }
 
+  test("exact-dup collapse: expanded pairs == direct pairs, dups at 1.0") {
+    import spark.implicits._
+    // corpus with exact-dup groups (identical token SETS, some via
+    // reordering/multiplicity) plus near-dups and unrelated docs
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> base,
+      2L -> base.split(" ").reverse.mkString(" "), // same set, reordered
+      3L -> (base + " " + base),                   // same set, repeated
+      4L -> ((1 to 38).map(i => s"w$i").mkString(" ") + " x y"), // near
+      5L -> (1 to 40).map(i => s"v$i").mkString(" "),            // far
+      6L -> (1 to 40).map(i => s"v$i").mkString(" ")             // dup of 5
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, 64, 8, 0.9)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every intra-group pair present at exactly 1.0
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)).foreach { p =>
+      assert(pairs.get(p).contains(1.0), s"$p -> ${pairs.get(p)}")
+    }
+    // cross-group near-dup: every member of {1,2,3} pairs with 4 at
+    // the SAME value (inherited from the representative)
+    val v14 = pairs.get((1L, 4L))
+    assert(v14.exists(j => j >= 0.9 && j < 1.0), v14.toString)
+    assert(pairs.get((2L, 4L)) == v14 && pairs.get((3L, 4L)) == v14,
+      pairs.toString)
+    // nothing pairs across the unrelated groups
+    assert(!pairs.keySet.exists { case (a, b) => a <= 4 && b >= 5 },
+      pairs.keySet.toString)
+  }
+
   test("minhash signature expressions: agreement estimates jaccard") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),

@@ -23,6 +23,15 @@ object Registry {
       s"$what must be a long literal, got $other")
   }
 
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   private def arity(name: String, got: Int, want: String): Nothing =
     throw new IllegalArgumentException(
       s"$name expects $want argument(s), got $got")
@@ -67,6 +76,12 @@ object Registry {
       case Seq(a, k) =>
         MinHashUnion(a, litInt(k, "k")).toAggregateExpression()
       case e => arity("minhash_union", e.size, "2")
+    })
+    ColumnBridge.registerFunction(spark, "kll_quantiles", {
+      case e if e.size >= 3 =>
+        KllQuantiles(e.head, litInt(e(1), "k"),
+          e.drop(2).map(litDouble(_, "prob"))).toAggregateExpression()
+      case e => arity("kll_quantiles", e.size, "3 or more")
     })
     ColumnBridge.registerFunction(spark, "top_k_agg", {
       case Seq(id, score, k) =>

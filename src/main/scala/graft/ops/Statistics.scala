@@ -123,7 +123,29 @@ object Statistics {
       .orderBy("l_returnflag")
   }
 
+  /** The scale tier of q55: grouped quantiles from the mergeable
+    * [[graft.functions.KllQuantiles]] sketch — O(k·log(n/k)) state per
+    * group, map-side partials, only sketches cross the shuffle (the
+    * exact spelling sorts each whole group on one reducer). Estimates
+    * are approximate → rows-only here; QuantileSpec gates the rank
+    * error against the exact sort.
+    */
+  val quantileSketch: QueryDef = QueryDef.rowsOnly("q66_quantile_sketch") {
+    (s, d) =>
+      import graft.functions.QuantileSketch.kll_quantiles
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(kll_quantiles(col("l_extendedprice"), 256,
+          Seq(0.25, 0.5, 0.75, 0.95)).as("qs"))
+        .select(col("l_returnflag"),
+          col("qs").getItem(0).as("p25"),
+          col("qs").getItem(1).as("p50"),
+          col("qs").getItem(2).as("p75"),
+          col("qs").getItem(3).as("p95"))
+        .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(rateMoreProducts, rateMoreRecently, averageScore, dateConvert,
-      quantiles)
+      quantiles, quantileSketch)
 }

@@ -144,6 +144,13 @@ class PlanSpec extends SparkSpec {
       "sketch aggregate lost its partial phase:\n" + p)
   }
 
+  test("q66: the quantile sketch aggregate has a map-side partial phase") {
+    val p = ops.Statistics.quantileSketch.fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_kllquantiles"),
+      "quantile sketch lost its partial phase:\n" + p)
+  }
+
   test("q53: bucketed rewrite returns exactly the naive join's rows") {
     import spark.implicits._
     // points straddling band edges, incl. exact boundaries and nulls

@@ -652,7 +652,37 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The broadcast-bloom tier of decontamination: fold the held-out
+    * benchmark's shingle hashes into ONE fixed-size bloom filter
+    * ([[graft.functions.BloomBuild]]) and probe each corpus doc's
+    * shingle array against the broadcast bits in a codegen'd scalar
+    * expression. Versus q60's shingle-join: the corpus side never
+    * explodes, joins, or shuffles — a full-scan filter whatever the
+    * corpus size, at the price of a false-POSITIVE rate (safe
+    * direction: extra docs dropped, never a benchmark line leaked).
+    * Default 2^23 bits ≈ 1 MB holds ~10^6 shingles at ~1e-7 per-key
+    * FP (size by m ≈ -n·ln p/ln²2, conf `spark.graft.bloom.bits`);
+    * DedupSpec gates zero false negatives vs q60 and the measured
+    * doc-level FP rate.
+    */
+  val decontaminateBloom: QueryDef =
+    QueryDef.rowsOnly("q68_decontaminate_bloom") { (s, d) =>
+      import graft.functions.BloomFilters._
+      val numBits =
+        s.conf.getOption("spark.graft.bloom.bits").map(_.toInt)
+          .getOrElse(1 << 23)
+      val k = 7
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        transform(shingles(col("text"), 3), x => xxhash64(x)).as("sh"))
+      val bloom = docs.filter(col("doc_id") % 97 === 0)
+        .agg(bloom_build(col("sh"), numBits, k).as("bf"))
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(bloom))
+        .filter(bloom_contains_any(col("bf"), col("sh"), k))
+        .select("doc_id").orderBy("doc_id")
+    }
+
   val defs: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine, clusters,
-      decontaminate)
+      decontaminate, decontaminateBloom)
 }

@@ -77,6 +77,17 @@ object Registry {
         MinHashUnion(a, litInt(k, "k")).toAggregateExpression()
       case e => arity("minhash_union", e.size, "2")
     })
+    ColumnBridge.registerFunction(spark, "bloom_build", {
+      case Seq(keys, bits, k) =>
+        BloomBuild(keys, litInt(bits, "numBits"), litInt(k, "k"))
+          .toAggregateExpression()
+      case e => arity("bloom_build", e.size, "3")
+    })
+    ColumnBridge.registerFunction(spark, "bloom_contains_any", {
+      case Seq(bloom, keys, k) =>
+        BloomContainsAny(bloom, keys, litInt(k, "k"))
+      case e => arity("bloom_contains_any", e.size, "3")
+    })
     ColumnBridge.registerFunction(spark, "kll_quantiles", {
       case e if e.size >= 3 =>
         KllQuantiles(e.head, litInt(e(1), "k"),

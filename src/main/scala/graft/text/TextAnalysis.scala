@@ -410,8 +410,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — assign documents to fixed-token-budget
+    * training shards: a deterministic global order (bucket-major, so
+    * the order itself is parallelizable), a running token total over
+    * it, and `shard = floor(start_offset / budget)` (next-fit with
+    * straddle: a doc crossing a budget boundary belongs to the shard
+    * it starts in).
+    *
+    * The running total is the classic TWO-PHASE distributed prefix
+    * sum — intra-bucket window (shuffles on the bucket key, scales
+    * out) plus a bucket-offset table computed from the P per-bucket
+    * totals (the ONLY single-partition window runs over P=32 rows,
+    * constant at any corpus size, then broadcasts back). A naive
+    * `SUM OVER (ORDER BY ...)` with no PARTITION BY — the oracle's
+    * spelling — would funnel 100 TB through one task.
+    */
+  val packShards: QueryDef = {
+    val budget = 1024L // tokens per shard
+    val nBuckets = 32
+    QueryDef.sql(
+      "q67_pack_shards",
+      s"""SELECT doc_id, ntok,
+         | CAST(FLOOR((cum - ntok) / $budget) AS BIGINT) AS shard
+         | FROM (SELECT doc_id, ntok,
+         |   SUM(ntok) OVER (ORDER BY doc_id % $nBuckets, doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS ntok
+         |   FROM documents))
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+    ) { (s, d) =>
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("ntok"),
+        pmod(col("doc_id"), lit(nBuckets)).as("bucket"))
+      val wIntra = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val intra = base.withColumn("icum", sum("ntok").over(wIntra))
+      // P rows total: the exclusive prefix of per-bucket sums
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy("bucket").agg(sum("ntok").as("btot"))
+        .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+        .select("bucket", "off")
+      intra.join(broadcast(offsets), "bucket")
+        .select(col("doc_id"), col("ntok"),
+          // integer-valued longs below 2^53: the double quotient and
+          // its floor are exact, matching DuckDB's float division
+          floor((col("icum") + col("off") - col("ntok")) / lit(budget))
+            .cast("long").as("shard"))
+        .orderBy("doc_id")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
-    surprisal)
+    surprisal, packShards)
 }

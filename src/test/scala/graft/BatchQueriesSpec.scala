@@ -56,4 +56,28 @@ class BatchQueriesSpec extends SparkSpec {
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q67 packing matches a sequential reference; shards are dense") {
+    val budget = 1024L
+    val got = text.TextAnalysis.packShards.fn(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sequential reference: walk docs in the same bucket-major order,
+    // accumulate tokens, shard = floor(start / budget)
+    var cum = 0L
+    val want = got.map { case (id, ntok, _) => (id, ntok) }
+      .sortBy { case (id, _) => (id % 32, id) }
+      .map { case (id, ntok) =>
+        val shard = cum / budget
+        cum += ntok
+        (id, shard)
+      }.toMap
+    got.foreach { case (id, _, shard) =>
+      assert(shard == want(id), s"doc $id: got $shard want ${want(id)}")
+    }
+    // the corpus' docs are all shorter than the budget, so no shard
+    // index is skipped by a straddling doc and ids are dense 0..max
+    assert(got.forall(_._2 < budget))
+    val maxShard = got.map(_._3).max
+    assert(got.map(_._3).distinct.sorted.toSeq == (0L to maxShard))
+  }
 }

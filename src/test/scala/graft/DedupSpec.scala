@@ -242,4 +242,53 @@ class DedupSpec extends SparkSpec {
     assert(l.filter(col("predicted_lang").isNull).isEmpty)
     assert(l.count() == Tables.documents(spark, sfTiny).count())
   }
+
+  test("bloom build/probe: inserted keys always hit, strangers rarely") {
+    import spark.implicits._
+    import graft.functions.BloomFilters._
+    val numBits = 1 << 16
+    val k = 7
+    val ins = (1L to 2000L).map(i => i * 0x9e3779b97f4a7c15L)
+    val bloom = Seq(ins).toDF("ks")
+      .agg(bloom_build(col("ks"), numBits, k).as("bf"))
+    // no false negatives, by construction — every inserted key hits
+    val hits = Seq.tabulate(2000)(i => Seq(ins(i))).toDF("ks")
+      .crossJoin(broadcast(bloom))
+      .filter(bloom_contains_any(col("bf"), col("ks"), k)).count()
+    assert(hits == 2000L)
+    // strangers: m=64Ki bits, n=2000, k=7 -> per-key fp ~3e-5
+    val misses = (1L to 2000L).map(i => Seq(-i)).toDF("ks")
+      .crossJoin(broadcast(bloom))
+      .filter(bloom_contains_any(col("bf"), col("ks"), k)).count()
+    assert(misses <= 10, s"$misses false positives of 2000")
+  }
+
+  test("bloom roundtrips through serialize and merges by OR") {
+    import spark.implicits._
+    import graft.functions.BloomFilters._
+    // 64 single-key rows across 16 partitions: every partial holds a
+    // few keys, so the final bloom exists only if serialize/merge work
+    val keys = (1L to 64L).map(i => Seq(i * 0x517cc1b727220a95L))
+    val bloom = keys.toDF("ks").repartition(16)
+      .agg(bloom_build(col("ks"), 1 << 12, 5).as("bf"))
+    val all = keys.toDF("ks").crossJoin(broadcast(bloom))
+      .filter(bloom_contains_any(col("bf"), col("ks"), 5)).count()
+    assert(all == 64L)
+  }
+
+  test("q68 bloom decontamination: zero false negatives vs exact q60") {
+    val exact = Dedup.benchShingleHits(
+      Tables.documents(spark, sfSmall), 97)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.decontaminateBloom.fn(spark, sfSmall)
+      .collect().map(_.getLong(0)).toSet
+    val leaked = exact -- flagged
+    assert(leaked.isEmpty,
+      s"${leaked.size} contaminated docs NOT flagged: ${leaked.take(5)}")
+    val clean = Tables.documents(spark, sfSmall)
+      .filter(col("doc_id") % 97 =!= 0).count() - exact.size
+    val fp = (flagged -- exact).size.toDouble / clean
+    info(f"bloom decontamination false-positive rate: $fp%.5f")
+    assert(fp <= 0.02, f"doc-level FP rate $fp%.4f above 2%%")
+  }
 }

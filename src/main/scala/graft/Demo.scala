@@ -57,6 +57,30 @@ object Demo {
     println("partitioned upsert (k=1 updated in place, k=2 untouched):")
     spark.read.parquet(tbl).orderBy("k").show()
 
+    // sketch tier: mergeable grouped quantiles (only k·log(n/k)
+    // doubles per group cross the shuffle)
+    val quant = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(functions.QuantileSketch.kll_quantiles(
+        col("l_extendedprice"), 256, Seq(0.5, 0.95)).as("p50_p95"))
+    println("kll_quantiles per returnflag:")
+    quant.orderBy("l_returnflag").show(3, truncate = false)
+
+    // broadcast-bloom anti-membership: benchmark keys fold to one bit
+    // array; the probe side filters without a join
+    import functions.BloomFilters._
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"),
+      array(xxhash64(col("text"))).as("ks"))
+    val bloom = keyed.filter(col("doc_id") % 7 === 0)
+      .agg(bloom_build(col("ks"), 1 << 16, 7).as("bf"))
+    val flagged = keyed.crossJoin(broadcast(bloom))
+      .filter(bloom_contains_any(col("bf"), col("ks"), 7))
+    println(s"bloom flags ${flagged.count()} docs (exact texts of the 1-in-7 held-out set)")
+
+    // sequence packing: fixed-token-budget training shards
+    println("pack_shards sample (doc -> shard by running token count):")
+    text.TextAnalysis.packShards.fn(spark, dir).show(3)
+
     val flagship = SparkEntry.entry(spark)
     println(s"flagship entry() -> ${flagship.count()} rows")
     flagship.show(truncate = false)

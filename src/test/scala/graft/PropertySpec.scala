@@ -200,4 +200,58 @@ class PropertySpec extends SparkSpec {
       case None => spark.conf.unset("spark.graft.cc.localSolveLimit")
     }
   }
+
+  test("property: kll conserves weight; median rank holds for any split") {
+    import graft.functions.KllBuffer
+    check(Prop.forAll(
+      Gen.listOf(Gen.choose(-1e9, 1e9)), Gen.choose(0, 500)) {
+      (xs, splitAt) =>
+        val (l, r) = xs.splitAt(math.min(splitAt, xs.size))
+        val a = new KllBuffer(64); l.foreach(a.insert)
+        val b = new KllBuffer(64); r.foreach(b.insert)
+        a.mergeWith(b)
+        a.n == xs.size && (xs.isEmpty || {
+          // two-sided rank bracket — point-rank distance breaks on
+          // discrete mass (n=1: the only value has rank 1.0). k=64 at
+          // ScalaCheck sizes is far inside this bound; the tight
+          // empirical gate lives in QuantileSpec
+          val est = a.quantile(0.5)
+          val below = xs.count(_ < est).toDouble / xs.size
+          val atOrBelow = xs.count(_ <= est).toDouble / xs.size
+          below <= 0.7 && atOrBelow >= 0.3
+        })
+    })
+  }
+
+  test("property: kll serialize/deserialize preserves every estimate") {
+    import graft.functions.{KllBuffer, KllQuantiles}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val kq = KllQuantiles(Literal(0.0d), 64, Seq(0.1, 0.5, 0.9))
+    check(Prop.forAll(Gen.listOf(Gen.choose(-1e6, 1e6))) { xs =>
+      val buf = new KllBuffer(64); xs.foreach(buf.insert)
+      val rt = kq.deserialize(kq.serialize(buf))
+      rt.n == buf.n &&
+        (buf.isEmpty || Seq(0.1, 0.5, 0.9).forall(p =>
+          rt.quantile(p) == buf.quantile(p)))
+    })
+  }
+
+  test("property: bloom has no false negatives for any keys and split") {
+    import graft.functions.{BloomBuild, BloomMath}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val bb = BloomBuild(
+      Literal.create(null, ArrayType(LongType)), 4096, 7)
+    check(Prop.forAll(
+      Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.choose(0, 500)) { (ks, splitAt) =>
+      val (l, r) = ks.splitAt(math.min(splitAt, ks.size))
+      val w1 = bb.createAggregationBuffer()
+      l.foreach(BloomMath.set(w1, _, 7))
+      val w2 = bb.createAggregationBuffer()
+      r.foreach(BloomMath.set(w2, _, 7))
+      val bytes = bb.serialize(bb.merge(w1, w2))
+      ks.forall(BloomMath.mightContain(bytes, _, 7))
+    })
+  }
 }

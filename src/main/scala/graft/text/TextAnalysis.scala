@@ -462,8 +462,73 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus mixing to target proportions — the reweighting step of a
+    * training mix: given integer weights per language (en 4 : de 2 :
+    * fr 2 : es 1 : zh 1, tenths), take the LARGEST total the corpus
+    * can supply at exactly those proportions (t = min over strata of
+    * n·10/w), then select each stratum's quota deterministically by
+    * md5 order. All integer-exact arithmetic, so the selection is
+    * oracle-able.
+    *
+    * The per-stratum rank does NOT use one window partition per
+    * language — at corpus scale a single language is a large fraction
+    * of all rows and a per-lang window funnels it through one
+    * reducer. Instead the q67 two-phase pattern per stratum: rank
+    * within (lang, md5-prefix-bucket) — 256-way parallel — plus a
+    * lang×256-row offset table; string order of md5 makes
+    * bucket-major order equal flat md5 order, so the result matches
+    * the oracle's naive single-window spelling row-for-row.
+    */
+  val mixProportions: QueryDef = {
+    val mix = Seq("en" -> 4, "de" -> 2, "fr" -> 2, "es" -> 1, "zh" -> 1)
+    val mixVals = mix.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+    QueryDef.sql(
+      "q69_mix_proportions",
+      s"""WITH w(lang, wt) AS (VALUES $mixVals),
+         | c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         | t AS (SELECT min(floor(n * 10 / wt)) AS t FROM c JOIN w USING (lang)),
+         | caps AS (SELECT lang, CAST(floor(wt * t / 10) AS BIGINT) AS cap
+         |   FROM w, t),
+         | r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         | SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+         | FROM r JOIN caps USING (lang) WHERE rk <= cap
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+    ) { (s, d) =>
+      val wdf = {
+        import s.implicits._
+        mix.toDF("lang", "wt")
+      }
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val t = counts.join(wdf, "lang")
+        .agg(min(floor(col("n") * 10 / col("wt"))).as("t"))
+      val caps = wdf.crossJoin(broadcast(t))
+        .select(col("lang"),
+          floor(col("wt") * col("t") / lit(10)).cast("long").as("cap"))
+      val hashed = docs
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+      val wIntra = Window.partitionBy("lang", "bkt")
+        .orderBy(col("h"), col("doc_id"))
+      val intra = hashed.withColumn("irk", row_number().over(wIntra))
+      val wOff = Window.partitionBy("lang").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = hashed.groupBy("lang", "bkt").agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
+        .select("lang", "bkt", "off")
+      intra.join(broadcast(offs), Seq("lang", "bkt"))
+        .withColumn("rk", col("off") + col("irk"))
+        .join(broadcast(caps), "lang")
+        .filter(col("rk") <= col("cap"))
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("doc_id")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
-    surprisal, packShards)
+    surprisal, packShards, mixProportions)
 }

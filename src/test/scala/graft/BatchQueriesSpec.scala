@@ -80,4 +80,18 @@ class BatchQueriesSpec extends SparkSpec {
     val maxShard = got.map(_._3).max
     assert(got.map(_._3).distinct.sorted.toSeq == (0L to maxShard))
   }
+
+  test("q69 mixing hits exact per-lang quotas at the max feasible total") {
+    val mix = Map("en" -> 4, "de" -> 2, "fr" -> 2, "es" -> 1, "zh" -> 1)
+    val n = Tables.documents(spark, sfTiny).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = mix.map { case (l, w) => math.floor(n(l) * 10.0 / w).toLong }.min
+    val caps = mix.map { case (l, w) =>
+      l -> math.floor(w * t / 10.0).toLong
+    }.filter(_._2 > 0)
+    val got = text.TextAnalysis.mixProportions.fn(spark, sfTiny)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == caps, s"got $got want $caps")
+  }
 }

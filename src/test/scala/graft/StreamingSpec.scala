@@ -418,4 +418,27 @@ class StreamingSpec extends SparkSpec {
     assert(f1.exceptAll(f2).isEmpty)
     assert(f1.filter(col("width") < 16 || col("channels") < 2).isEmpty)
   }
+
+  test("kll sketch aggregates incrementally in a streaming groupBy") {
+    // the TypedImperativeAggregate must fold correctly under the
+    // incremental state-store merge path, not just batch partials:
+    // two batches of the same group end in ONE sketch covering both
+    import graft.functions.QuantileSketch.kll_quantiles
+    val input = MemoryStream[(String, Double)](spark)
+    val agg = input.toDS().toDF("g", "x")
+      .groupBy("g").agg(kll_quantiles(col("x"), 256, Seq(0.5)).as("q"))
+    val query = agg.writeStream.format("memory").queryName("kll_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 100).map(i => ("a", i.toDouble)): _*)
+      query.processAllAvailable()
+      input.addData((101 to 200).map(i => ("a", i.toDouble)): _*)
+      query.processAllAvailable()
+      val got = spark.table("kll_out").collect()
+      assert(got.length == 1)
+      // 200 values < k=256: the sketch is exact — median of 1..200
+      // must be 100.0, which REQUIRES batch-2 state to have merged
+      assert(got(0).getSeq[Double](1) == Seq(100.0), got(0).toString)
+    } finally query.stop()
+  }
 }

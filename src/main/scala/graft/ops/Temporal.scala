@@ -139,12 +139,14 @@ object Temporal {
        | ORDER BY product_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
     val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
-    val now = ev.agg(max("ts")).collect()(0).getTimestamp(0)
-    // Timestamp.getTime is millis; keep the sub-milli micros
-    val nowMicros = now.getTime / 1000 * 1000000L + now.getNanos / 1000
-    ev.select((col("event_id") % Tables.NumProducts).as("product_id"),
+    // "now" = max event time, folded in as a broadcast single-row
+    // join rather than a driver collect: one job, and the corpus
+    // scan+filter isn't re-derived for a scalar
+    val mx = ev.agg(max("ts").as("now_ts"))
+    ev.crossJoin(broadcast(mx))
+      .select((col("event_id") % Tables.NumProducts).as("product_id"),
         (col("value") * pow(lit(0.5),
-          (lit(nowMicros) - unix_micros(col("ts")))
+          (unix_micros(col("now_ts")) - unix_micros(col("ts")))
             / 86400000000.0 / 7.0)).cast("decimal(28,12)").as("w"))
       .groupBy("product_id")
       .agg(round(sum("w").cast("double"), 4).as("decay_score"),

@@ -398,14 +398,17 @@ object TextAnalysis {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    val total = tf.agg(sum("c")).head.getLong(0)
+    // corpus token total rides in as a broadcast single-row join, not
+    // a driver .head — the tf derivation isn't re-run for a scalar
+    val total = tf.agg(sum("c").as("total"))
     tok.join(broadcast(tf), "t")
       .select(col("doc_id"),
         log10(col("c").cast("double")).cast("decimal(28,12)").as("lg"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum("lg").cast("double").as("sum_lg"))
+      .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_toks"),
-        round(log10(lit(total.toDouble)) - col("sum_lg") / col("n_toks"), 4)
+        round(log10(col("total").cast("double")) - col("sum_lg") / col("n_toks"), 4)
           .as("surprisal"))
       .orderBy("doc_id")
   }

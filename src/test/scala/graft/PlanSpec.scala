@@ -151,6 +151,15 @@ class PlanSpec extends SparkSpec {
       "quantile sketch lost its partial phase:\n" + p)
   }
 
+  test("q67/q69: prefix-sum offset tables broadcast, never sort-merge") {
+    for (q <- Seq(text.TextAnalysis.packShards,
+        text.TextAnalysis.mixProportions)) {
+      val p = q.fn(spark, sfTiny).queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"${q.name} shuffled a " +
+        s"constant-size offset/cap table:\n$p")
+    }
+  }
+
   test("q53: bucketed rewrite returns exactly the naive join's rows") {
     import spark.implicits._
     // points straddling band edges, incl. exact boundaries and nulls

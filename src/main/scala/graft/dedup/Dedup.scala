@@ -610,6 +610,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware keeper selection over cluster labels: re-pick each
+    * cluster's keeper as the argmax of `scoreCol` (ties → min
+    * doc_id) instead of the structural min-id default. This is how a
+    * curation pipeline keeps the BEST near-dup variant, not an
+    * arbitrary one. Input is any `(doc_id, cluster_id, ...)` labeling
+    * (e.g. q49's) joined with a per-doc score table; one shuffle on
+    * cluster_id, and WindowGroupLimit keeps the rank bounded —
+    * clusters are numerous and small, so the window partitioning
+    * scales out.
+    */
+  def keepBest(labels: DataFrame, scores: DataFrame,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(desc(scoreCol), asc("doc_id"))
+    labels.drop("is_keeper")
+      .join(scores.select(col("doc_id"), col(scoreCol)), "doc_id")
+      .withColumn("is_keeper", row_number().over(w) === 1)
+  }
+
   /** Benchmark decontamination — the training-data hygiene pass that
     * flags corpus documents sharing any word-trigram with a held-out
     * benchmark set (here: doc_id % 97 == 0 stands in for the eval

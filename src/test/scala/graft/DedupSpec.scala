@@ -243,6 +243,34 @@ class DedupSpec extends SparkSpec {
     assert(l.count() == Tables.documents(spark, sfTiny).count())
   }
 
+  test("keepBest re-picks each cluster's keeper as the score argmax") {
+    val labels = Dedup.clusters.fn(spark, sfTiny)
+    val scores = text.TextAnalysis.qualityScore.fn(spark, sfTiny)
+      .select(col("doc_id"), col("quality"))
+    val kept = Dedup.keepBest(labels, scores, "quality")
+    // exactly one keeper per cluster
+    val perCluster = kept.groupBy("cluster_id")
+      .agg(sum(when(col("is_keeper"), 1).otherwise(0)).as("k"),
+        max("quality").as("mx"))
+    assert(perCluster.filter(col("k") =!= 1).isEmpty)
+    // and it carries the cluster-max score
+    val bad = kept.filter(col("is_keeper"))
+      .join(perCluster.select(col("cluster_id"), col("mx")), "cluster_id")
+      .filter(col("quality") =!= col("mx"))
+    assert(bad.isEmpty)
+    // deterministic re-pick: the mid-id doc wins on score, and a tie
+    // falls back to min id
+    import spark.implicits._
+    val syn = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val sscores = Seq((1L, 0.1), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7))
+      .toDF("doc_id", "q")
+    val picked = Dedup.keepBest(syn, sscores, "q")
+      .filter(col("is_keeper")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == Set(2L, 4L), picked.toString)
+  }
+
   test("bloom build/probe: inserted keys always hit, strangers rarely") {
     import spark.implicits._
     import graft.functions.BloomFilters._

@@ -696,9 +696,17 @@ object Dedup {
         transform(shingles(col("text"), 3), x => xxhash64(x)).as("sh"))
       val bloom = docs.filter(col("doc_id") % 97 === 0)
         .agg(bloom_build(col("sh"), numBits, k).as("bf"))
+      // the filter rides as a SCALAR SUBQUERY, not a crossJoin +
+      // filter: predicate pushdown folds the latter into a
+      // BroadcastNestedLoopJoin condition, putting a join operator on
+      // the corpus path for what is semantically a per-row predicate.
+      // As a subquery the bloom executes once and the probe is a
+      // plain Filter pipelined with the scan (PlanSpec pins the
+      // shape; note the shingle lambdas are higher-order functions —
+      // CodegenFallback — so this stage evaluates interpreted either
+      // way)
       docs.filter(col("doc_id") % 97 =!= 0)
-        .crossJoin(broadcast(bloom))
-        .filter(bloom_contains_any(col("bf"), col("sh"), k))
+        .filter(bloom_contains_any(bloom.scalar(), col("sh"), k))
         .select("doc_id").orderBy("doc_id")
     }
 

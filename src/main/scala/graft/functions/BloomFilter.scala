@@ -184,6 +184,7 @@ case class BloomBuild(
 case class BloomContainsAny(left: Expression, right: Expression,
     numHashFns: Int) extends BinaryExpression {
 
+  override def prettyName: String = "bloom_contains_any"
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): TypeCheckResult =

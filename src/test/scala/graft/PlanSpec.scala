@@ -151,6 +151,23 @@ class PlanSpec extends SparkSpec {
       "quantile sketch lost its partial phase:\n" + p)
   }
 
+  test("q68: bloom build has map-side partials; probe is a plain filter") {
+    val p = dedup.Dedup.decontaminateBloom.fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_bloombuild"),
+      "bloom build lost its partial phase:\n" + p)
+    // the probe must be a scalar-subquery Filter pipelined with the
+    // scan — NOT pushed into a BroadcastNestedLoopJoin condition,
+    // which would put a join operator on the corpus path. (A codegen
+    // star is unattainable here either way: the shingle lambdas are
+    // higher-order functions, which are CodegenFallback.)
+    val probeLine = p.linesIterator
+      .find(_.contains("bloom_contains_any")).getOrElse("")
+    assert(probeLine.contains("Filter") &&
+      !probeLine.contains("BroadcastNestedLoopJoin"),
+      "bloom probe left the filter position:\n" + p)
+  }
+
   test("q67/q69: prefix-sum offset tables broadcast, never sort-merge") {
     for (q <- Seq(text.TextAnalysis.packShards,
         text.TextAnalysis.mixProportions)) {

@@ -419,6 +419,40 @@ class StreamingSpec extends SparkSpec {
     assert(f1.filter(col("width") < 16 || col("channels") < 2).isEmpty)
   }
 
+  test("a batch-built bloom filters a stream as a pure scalar predicate") {
+    // the decontamination artifact handoff: fold the benchmark set
+    // into a bloom ONCE in batch, then drop contaminated records
+    // from a live stream with a stateless per-row probe — no join,
+    // no state store, just a broadcast-size literal
+    import graft.functions.BloomFilters._
+    import graft.dedup.Dedup.shingles
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bloomBytes = bench
+      .select(transform(shingles(col("text"), 3), x => xxhash64(x))
+        .as("sh"))
+      .agg(bloom_build(col("sh"), 1 << 12, 7).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val input = MemoryStream[(Long, String)](spark)
+    val flagged = input.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        transform(shingles(col("text"), 3), x => xxhash64(x)).as("sh"))
+      .filter(bloom_contains_any(lit(bloomBytes), col("sh"), 7))
+      .select("doc_id")
+    val query = flagged.writeStream.format("memory")
+      .queryName("bloom_stream_out").outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "alpha beta gamma more words here"), // shares a trigram
+        (11L, "totally unrelated stream text row"),
+        (12L, "ends with delta epsilon zeta"))     // shares a trigram
+      query.processAllAvailable()
+      val got = spark.table("bloom_stream_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(10L, 12L), got.toString)
+    } finally query.stop()
+  }
+
   test("kll sketch aggregates incrementally in a streaming groupBy") {
     // the TypedImperativeAggregate must fold correctly under the
     // incremental state-store merge path, not just batch partials:

@@ -67,4 +67,16 @@ class RegistrySpec extends SparkSpec {
       spark.sql("SELECT cosine_sim(a, b) FROM v3").collect()
     }
   }
+
+  test("bloom build and probe are callable from SQL") {
+    Registry.register(spark)
+    spark.range(1, 101).selectExpr("array(id * 7) AS ks")
+      .createOrReplaceTempView("vb")
+    val hits = spark.sql(
+      """WITH bf AS (SELECT bloom_build(ks, 4096, 7) AS b FROM vb)
+        |SELECT count(*) AS n FROM vb, bf
+        |WHERE bloom_contains_any(b, ks, 7)""".stripMargin)
+      .head.getLong(0)
+    assert(hits == 100L, s"inserted keys must all hit, got $hits")
+  }
 }

@@ -530,8 +530,60 @@ object TextAnalysis {
     }
   }
 
+  /** Sub-document boilerplate removal (the CCNet/RefinedWeb-style
+    * pass that document-level dedup can't do): split every doc into
+    * non-overlapping 32-token chunks, count how many DISTINCT docs
+    * each exact chunk occurs in, and drop chunks that recur across
+    * documents — headers, footers, templates. Reported per doc as
+    * kept/boilerplate chunk counts and surviving token count.
+    *
+    * Scale shape: one narrow chunking pass, one hash-agg on the chunk
+    * hash (map-side partials), one equi-join back on the hash, one
+    * doc rollup. The chunk-hash shuffle is the cost — ids+hash only,
+    * never chunk text.
+    */
+  val boilerplate: QueryDef = {
+    val W = 32
+    QueryDef.sql(
+      "q70_boilerplate",
+      s"""WITH c AS (
+         | SELECT doc_id, md5(array_to_string(toks[off + 1 : off + $W], ' ')) AS h,
+         |   len(toks[off + 1 : off + $W]) AS n
+         | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |  LATERAL (SELECT unnest(generate_series(0, len(toks) - 1, $W)) AS off)),
+         | df AS (SELECT h, count(DISTINCT doc_id) AS docs FROM c GROUP BY h)
+         | SELECT c.doc_id,
+         |  CAST(count(*) FILTER (WHERE docs = 1) AS BIGINT) AS kept_chunks,
+         |  CAST(count(*) FILTER (WHERE docs > 1) AS BIGINT) AS boiler_chunks,
+         |  CAST(COALESCE(sum(n) FILTER (WHERE docs = 1), 0) AS BIGINT) AS kept_tokens
+         | FROM c JOIN df USING (h)
+         | GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+        .replaceAll("\n", "")
+    ) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(W)))
+            .as("off"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("toks"), col("off") + 1, lit(W)), " "))
+            .as("h"),
+          size(slice(col("toks"), col("off") + 1, lit(W))).as("n"))
+      val freq = c.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("docs"))
+      c.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("docs") === 1, 1).otherwise(0)).as("kept_chunks"),
+          sum(when(col("docs") > 1, 1).otherwise(0)).as("boiler_chunks"),
+          sum(when(col("docs") === 1, col("n")).otherwise(0))
+            .cast("long").as("kept_tokens"))
+        .orderBy("doc_id")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
-    surprisal, packShards, mixProportions)
+    surprisal, packShards, mixProportions, boilerplate)
 }

@@ -62,30 +62,64 @@ object Dedup {
     * clustering (q49) are stages of one curation pipeline and share
     * the LSH pass when run in one session.
     */
+  /** The two checkpointed artifacts of one shared LSH pass: exact-dup
+    * group membership (`mem`: rep → doc_id, every doc exactly once)
+    * and verified REPRESENTATIVE pairs. The m²-per-clique pair
+    * expansion is q31's reporting contract, not a clustering cost —
+    * so consumers pick their shape: q31 expands, q49 takes the sparse
+    * star+rep edge set with identical connectivity.
+    */
+  private[dedup] case class CollapsedPairs(mem: DataFrame,
+      repPairs: DataFrame)
+
   // Keyed by (session, dir): a cached DataFrame is bound to the
   // session that built it, so a same-JVM session restart misses
   // instead of returning a handle into a stopped session.
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), CollapsedPairs]()
 
-  def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private def collapsedPairs(s: SparkSession, d: String): CollapsedPairs = {
     Scale.purgeStopped(pairsCache)
     pairsCache.computeIfAbsent((s, d), _ => {
       // The token-set table feeds three subtrees (signature build +
-      // two candidate re-attach joins); persist it for the one
-      // materializing count so the scan+hash+sort runs once, then
-      // release — the cached PAIRS are what later stages (q49) reuse.
+      // two candidate re-attach joins); persist it while the
+      // artifacts materialize, then release.
       val sets = tokenSets(Tables.documents(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // localCheckpoint (eager), not cache(): the exact-dup-collapse
-      // pair plan is a union of join subtrees, and the CC consumer
-      // (q49) re-analyzes the full lineage in every iterative round —
-      // a leaf plan keeps that analysis O(1) instead of O(plan size)
-      val p = minhashPairs(sets, numHashes = 64,
-        bands = 8, threshold = 0.9).localCheckpoint()
+      // localCheckpoint (eager), not cache(): the CC consumer (q49)
+      // re-analyzes the full lineage in every iterative round — a
+      // leaf plan keeps that analysis O(1) instead of O(plan size)
+      val (mem, reps) = collapseGroups(sets)
+      val out = CollapsedPairs(
+        mem.localCheckpoint(),
+        verifyRepPairs(reps, numHashes = 64, bands = 8, threshold = 0.9)
+          .localCheckpoint())
       sets.unpersist()
-      p
+      out
     })
+  }
+
+  /** Compute-once-per-sfDir verified near-dup pairs, fully expanded
+    * (q31's contract; RecallSpec gates them). Expansion runs over the
+    * two checkpointed leaves — ids-only joins.
+    */
+  def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val cp = collapsedPairs(s, d)
+    expandPairs(cp.mem, cp.repPairs)
+  }
+
+  /** Sparse near-dup edge set with the SAME connectivity as
+    * [[verifiedPairs]]: one star edge per exact-dup clique member
+    * (rep → member, m−1 edges instead of m²/2 pairs) plus the
+    * representative pairs. The right input for connected components —
+    * a crawl-scale clique of 10⁴ identical docs contributes 10⁴
+    * edges, not 5·10⁷.
+    */
+  def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val cp = collapsedPairs(s, d)
+    val star = cp.mem.filter(col("rep") =!= col("doc_id"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    star.unionByName(cp.repPairs.select("doc_a", "doc_b"))
   }
 
   /** Distinct word-token sets as SORTED 64-bit hashes — the input
@@ -117,25 +151,41 @@ object Dedup {
     */
   def minhashPairsFromSets(sets: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
-    val toks = sets
-    // Exact-duplicate collapse BEFORE the LSH pass: crawl-scale
-    // corpora are exact-dup-heavy, and a clique of identical sets
-    // costs the bucket join m² combos in EVERY band. Identical sets
-    // have identical signatures, hence identical candidacy and
-    // identical Jaccard against everything — so running LSH on one
-    // representative per distinct set and expanding afterwards emits
-    // EXACTLY the pairs the direct pass would (intra-group pairs are
-    // Jaccard 1.0 and always collide; cross-group pairs inherit the
-    // representatives' value verbatim). Grouping is by xxhash64 of
-    // the hashed-token array — ids+hash shuffle only, the token
-    // payload never moves (same injectivity-in-practice assumption
-    // as the token hashing itself).
+    val (mem, reps) = collapseGroups(sets)
+    expandPairs(mem, verifyRepPairs(reps, numHashes, bands, threshold))
+  }
+
+  /** Exact-duplicate collapse BEFORE the LSH pass: crawl-scale
+    * corpora are exact-dup-heavy, and a clique of identical sets
+    * costs the bucket join m² combos in EVERY band. Identical sets
+    * have identical signatures, hence identical candidacy and
+    * identical Jaccard against everything — so LSH runs on one
+    * representative per distinct set and pairs expand afterwards,
+    * emitting EXACTLY what the direct pass would (intra-group pairs
+    * are Jaccard 1.0 and always collide; cross-group pairs inherit
+    * the representatives' value verbatim). Grouping is by xxhash64 of
+    * the hashed-token array — ids+hash shuffle only, the token
+    * payload never moves (same injectivity-in-practice assumption as
+    * the token hashing itself). Returns (membership rep→doc_id for
+    * every doc, representative rows with their token sets).
+    */
+  private[dedup] def collapseGroups(
+      toks: DataFrame): (DataFrame, DataFrame) = {
     val hashed = toks.select(col("doc_id"), xxhash64(col("toks")).as("sh"))
     val groups = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
     val mem = hashed.join(groups, "sh").select(col("rep"), col("doc_id"))
     val reps = toks.join(
       groups.select(col("rep").as("doc_id")), "doc_id")
-    val repPairs = candidatePairs(reps, numHashes, bands, threshold)
+    (mem, reps)
+  }
+
+  /** Banded candidates over the representatives, exact-verified by
+    * merge-intersect; emits `(doc_a, doc_b, jaccard)` at or above the
+    * threshold.
+    */
+  private[dedup] def verifyRepPairs(reps: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame =
+    candidatePairs(reps, numHashes, bands, threshold)
       .join(reps.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
         "doc_a")
       .join(reps.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
@@ -151,6 +201,10 @@ object Dedup {
       // engines, so rounding is representation change, not parity —
       // display-rounding is the consumer's call (q31 rounds).
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Expand representative pairs to the full member-pair listing. */
+  private[dedup] def expandPairs(mem: DataFrame,
+      repPairs: DataFrame): DataFrame = {
     // intra-group: every member pair of a distinct-set group is an
     // exact dup (Jaccard 1.0 — the same bits the direct verify
     // computes for identical sets)

@@ -163,17 +163,24 @@ object Dedup {
     * representative per distinct set and pairs expand afterwards,
     * emitting EXACTLY what the direct pass would (intra-group pairs
     * are Jaccard 1.0 and always collide; cross-group pairs inherit
-    * the representatives' value verbatim). Grouping is by xxhash64 of
-    * the hashed-token array — ids+hash shuffle only, the token
-    * payload never moves (same injectivity-in-practice assumption as
-    * the token hashing itself). Returns (membership rep→doc_id for
-    * every doc, representative rows with their token sets).
+    * the representatives' value verbatim). Grouping is by a 128-bit
+    * key — TWO independent xxhash64 passes over the hashed-token
+    * array (the second salted) — because a single 64-bit key is a
+    * birthday bound over ALL docs (unlike the ~1k-item per-doc token
+    * hashing): at 10⁹ docs P(any collision) ≈ 2.7%, and one collision
+    * silently merges two different docs (false Jaccard-1.0 pair, one
+    * doc dropped from LSH representation). At 128 bits the same bound
+    * is ~10⁻²⁰. Only ids+two longs ride the shuffle; the token
+    * payload never moves. Returns (membership rep→doc_id for every
+    * doc, representative rows with their token sets).
     */
   private[dedup] def collapseGroups(
       toks: DataFrame): (DataFrame, DataFrame) = {
-    val hashed = toks.select(col("doc_id"), xxhash64(col("toks")).as("sh"))
-    val groups = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
-    val mem = hashed.join(groups, "sh").select(col("rep"), col("doc_id"))
+    val hashed = toks.select(col("doc_id"), xxhash64(col("toks")).as("sh"),
+      xxhash64(lit(0x5851f42dL), col("toks")).as("sh2"))
+    val groups = hashed.groupBy("sh", "sh2").agg(min("doc_id").as("rep"))
+    val mem = hashed.join(groups, Seq("sh", "sh2"))
+      .select(col("rep"), col("doc_id"))
     val reps = toks.join(
       groups.select(col("rep").as("doc_id")), "doc_id")
     (mem, reps)

@@ -38,17 +38,38 @@ final class KllBuffer(val k: Int) {
   val levels: ArrayBuffer[ArrayBuffer[Double]] =
     ArrayBuffer(new ArrayBuffer[Double](k))
 
-  // xorshift64 — a private coin per buffer; sketch randomness affects
-  // only which half of a sorted level survives compaction, and the
-  // spec gates the resulting rank error, so no cross-buffer
-  // coordination is needed
+  // xorshift64 — a private coin per buffer. KLL's unbiasedness
+  // argument assumes compaction coins are independent ACROSS buffers:
+  // a constant seed would give every partition/group-side buffer the
+  // identical offset sequence, correlating first compactions into a
+  // small systematic rank bias. So the seed mixes in the first
+  // inserted value (fmix64-style finalizer) — per-buffer entropy that
+  // stays deterministic for a given partition's data, so replays and
+  // resumes reproduce bit-identical sketches.
   private var rng: Long = 0x9e3779b97f4a7c15L
+  private var seeded: Boolean = false
   private def nextBit(): Boolean = {
     rng ^= rng << 13; rng ^= rng >>> 7; rng ^= rng << 17
     (rng & 1L) == 1L
   }
 
+  /** Re-derive the coin seed after deserialization (the wire format
+    * carries only data, not rng state) — same per-buffer-entropy
+    * guarantee, still deterministic for a given sketch content.
+    */
+  private[functions] def reseed(bits: Long): Unit = mixSeed(bits)
+
+  private def mixSeed(bits: Long): Unit = {
+    var h = rng ^ bits
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    rng = h | 1L // never zero: xorshift's absorbing state
+    seeded = true
+  }
+
   def insert(x: Double): Unit = {
+    if (!seeded) mixSeed(java.lang.Double.doubleToLongBits(x))
     levels(0) += x
     n += 1
     if (levels(0).length >= k) compact(0)
@@ -209,6 +230,11 @@ case class KllQuantiles(
       var j = 0
       while (j < len) { lvl += bb.getDouble(); j += 1 }
       i += 1
+    }
+    if (out.n > 0) {
+      val first = out.levels.find(_.nonEmpty)
+        .map(l => java.lang.Double.doubleToLongBits(l.head)).getOrElse(0L)
+      out.reseed(out.n ^ first)
     }
     out
   }

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Typed event/state records for the streaming rescorer. */
@@ -163,6 +164,29 @@ object StreamPipeline {
     * overwrite (`partitionOverwriteMode=dynamic` with key-bucketed
     * partitions) — the upsert contract here is format-agnostic.
     */
+  /** Intra-batch key resolution. The upsert's unit of replacement is
+    * the KEY GROUP: all rows a batch carries for a key land together,
+    * replacing every prior row of that key (that is how the rescorer
+    * upserts a user's whole rec list in one trigger). When the caller
+    * instead wants scalar last-write-wins WITHIN the batch — a batch
+    * can carry the same key twice, and without resolution both rows
+    * would survive the anti-join+union merge — pass `orderCol`: the
+    * row with the greatest value wins ("last" in the caller's event
+    * order; ties break deterministically on the remaining columns, so
+    * replays converge).
+    */
+  private def onePerKey(batch: DataFrame, key: String,
+      orderCol: Option[String]): DataFrame = orderCol match {
+    case None => batch
+    case Some(oc) =>
+      val others = batch.columns.filter(c => c != key && c != oc)
+        .map(col(_).desc)
+      val order = col(oc).desc +: others
+      batch.withColumn("__rn",
+          row_number().over(Window.partitionBy(key).orderBy(order: _*)))
+        .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Partition-scoped keyed upsert — the O(touched)/trigger upsert
     * that [[upsertByKey]]'s doc promises at scale, on plain parquet:
     * the table is laid out in `buckets` hash partitions of the key
@@ -173,13 +197,16 @@ object StreamPipeline {
     * (Iceberg/Delta, no jars in this sandbox) the same call site
     * swaps the write for `MERGE INTO ... ON key`.
     *
-    * Same contract as [[upsertByKey]]: last write per key wins, batch
-    * replays converge. `buckets` must stay constant for a table's
-    * lifetime (it defines the layout); readers see the extra
-    * `__bucket` partition column.
+    * Same contract as [[upsertByKey]]: last-written KEY GROUP wins
+    * (a batch's rows for a key replace all prior rows of that key;
+    * pass `orderCol` to additionally resolve duplicate keys WITHIN a
+    * batch to the single greatest-`orderCol` row — e.g. an event
+    * timestamp or Kafka offset), and batch replays converge.
+    * `buckets` must stay constant for a table's lifetime (it defines
+    * the layout); readers see the extra `__bucket` partition column.
     */
   def upsertByKeyPartitioned(updates: DataFrame, key: String, dir: String,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64, orderCol: Option[String] = None): Unit = {
     val spark = updates.sparkSession
     // Empty micro-batches (common on startup/replay) must be no-ops:
     // writing one would create a _SUCCESS-only directory that the
@@ -187,7 +214,7 @@ object StreamPipeline {
     if (updates.isEmpty) return
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = updates
+    val staged = onePerKey(updates, key, orderCol)
       .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
     // "exists" means data partitions exist, not just write markers
     val exists = fs.exists(path) &&
@@ -209,30 +236,32 @@ object StreamPipeline {
     // materialize BEFORE the overwrite: the merged plan reads the very
     // files dynamic overwrite will replace
     val pinned = merged.localCheckpoint()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try pinned.write.mode("overwrite").partitionBy("__bucket").parquet(dir)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, NOT a session-conf toggle: a global
+    // set/restore races with any concurrent partitioned write on the
+    // same session (one of them finishes under the wrong mode and
+    // clobbers untouched partitions); the writer option scopes
+    // dynamic overwrite to exactly this write
+    pinned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(dir)
   }
 
-  def upsertByKey(updates: DataFrame, key: String, dir: String): Unit = {
+  def upsertByKey(updates: DataFrame, key: String, dir: String,
+      orderCol: Option[String] = None): Unit = {
     val spark = updates.sparkSession
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (updates.isEmpty) return
+    val deduped = onePerKey(updates, key, orderCol)
     val current =
       if (fs.exists(path) && fs.listStatus(path).nonEmpty)
         Some(spark.read.parquet(dir))
       else None
     val merged = current match {
       case Some(cur) =>
-        cur.join(updates.select(key).distinct(), Seq(key), "left_anti")
-          .unionByName(updates)
-      case None => updates
+        cur.join(deduped.select(key).distinct(), Seq(key), "left_anti")
+          .unionByName(deduped)
+      case None => deduped
     }
     val tmp = dir + "_staged"
     merged.write.mode("overwrite").parquet(tmp)

@@ -300,6 +300,33 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.filter(col("k") === 1).head.getString(1) == "a2")
   }
 
+  test("upsert reduces a batch carrying a key twice to one row " +
+      "(orderCol winner)") {
+    // a micro-batch can legitimately carry the same key twice (two
+    // events for one user inside a trigger) — only the orderCol-max
+    // row may land
+    val dir = Files.createTempDirectory("graft_upsert_dup").toString + "/t"
+    val batch = Seq((1L, "old", 10L), (1L, "new", 20L), (2L, "x", 5L))
+      .toDF("k", "v", "ts")
+    StreamPipeline.upsertByKeyPartitioned(batch, "k", dir, buckets = 8,
+      orderCol = Some("ts"))
+    val got = spark.read.parquet(dir).drop("__bucket")
+      .orderBy("k").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(1) == "new")
+    // same contract on the whole-table-rewrite variant
+    val dir2 = Files.createTempDirectory("graft_upsert_dup2").toString + "/t"
+    StreamPipeline.upsertByKey(batch, "k", dir2, orderCol = Some("ts"))
+    val got2 = spark.read.parquet(dir2).orderBy("k").collect()
+    assert(got2.length == 2)
+    assert(got2(0).getString(1) == "new")
+    // no orderCol: group-replace semantics — the key's batch rows
+    // land together (the rescorer's whole-rec-list-per-user upsert)
+    val dir3 = Files.createTempDirectory("graft_upsert_dup3").toString + "/t"
+    StreamPipeline.upsertByKeyPartitioned(batch, "k", dir3, buckets = 8)
+    assert(spark.read.parquet(dir3).count() == 3)
+  }
+
   test("upsertByKey is idempotent under replay") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
     val v1 = Seq((1, "a"), (2, "b")).toDF("userId", "v")

@@ -722,13 +722,40 @@ object Dedup {
     * themselves are excluded from the output. The single shared core
     * of q60 (reporting) and `pipeline.Curation.decontaminate`
     * (dropping) — the contamination definition lives here once.
+    *
+    * Two tiers, exact result: the q68 broadcast-bloom probe runs
+    * FIRST as a prefilter — a bloom has no false negatives, so every
+    * contaminated doc survives it — and the exact shingle
+    * explode+join+count runs only on the surviving candidates
+    * (contaminated docs plus a ~1e-7-per-key trickle of false
+    * positives, which the exact join then zero-counts away). The
+    * corpus-wide cost drops from "explode every doc's shingles
+    * through a join" to "one scalar probe per doc" — the same
+    * full-scan-only shape as q68 — while the emitted counts stay
+    * bit-identical to the naive single-tier oracle.
     */
   def benchShingleHits(allDocs: DataFrame, benchMod: Int): DataFrame = {
-    val sh = allDocs
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-    val bench = sh.filter(col("doc_id") % benchMod === 0)
-      .select("s").distinct()
-    sh.filter(col("doc_id") % benchMod =!= 0)
+    import graft.functions.BloomFilters._
+    val spark = allDocs.sparkSession
+    val numBits = spark.conf.getOption("spark.graft.bloom.bits")
+      .map(_.toInt).getOrElse(1 << 23)
+    val k = 7
+    // hashed shingles built INLINE in each operator (not projected to
+    // an attribute): an attribute would be referenced by the probe
+    // filter, the inferred size()>0 under the later Generate, and the
+    // explode — and pushdown substitutes its defining expression into
+    // each, re-evaluating the shingle tree 2-3× per corpus row.
+    // Inline, the probe stage evaluates it exactly once — and as the
+    // fused [[graft.functions.ShingleHashes]] pass, not three levels
+    // of interpreted lambdas.
+    def hashedSh = shingle_hashes(col("text"), 3)
+    val bloom = allDocs.filter(col("doc_id") % benchMod === 0)
+      .agg(bloom_build(hashedSh, numBits, k).as("bf"))
+    val candidates = allDocs.filter(col("doc_id") % benchMod =!= 0)
+      .filter(bloom_contains_any(bloom.scalar(), hashedSh, k))
+    val bench = allDocs.filter(col("doc_id") % benchMod === 0)
+      .select(explode(shingles(col("text"), 3)).as("s")).distinct()
+    candidates.select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
       .join(broadcast(bench), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
@@ -754,7 +781,7 @@ object Dedup {
           .getOrElse(1 << 23)
       val k = 7
       val docs = Tables.documents(s, d).select(col("doc_id"),
-        transform(shingles(col("text"), 3), x => xxhash64(x)).as("sh"))
+        shingle_hashes(col("text"), 3).as("sh"))
       val bloom = docs.filter(col("doc_id") % 97 === 0)
         .agg(bloom_build(col("sh"), numBits, k).as("bf"))
       // the filter rides as a SCALAR SUBQUERY, not a crossJoin +

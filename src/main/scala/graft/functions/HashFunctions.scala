@@ -404,6 +404,84 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_size"
 }
 
+/** xxhash64 of every word `n`-gram of a text column, fused into one
+  * codegen'd pass per row: tokenize on single spaces (empty tokens
+  * kept — regex-`" "`-split-with-limit=-1 parity), slide the n-token
+  * window (a document shorter than `n` tokens contributes its whole
+  * token list as one shingle, matching `Dedup.shingles`' `greatest(…,
+  * 1)` floor), hash each joined window's UTF-8 bytes with seed-42
+  * XXH64. The declarative spelling —
+  * `transform(array_distinct(transform(sequence…, array_join(slice…))),
+  * xxhash64)` — runs three levels of interpreted lambdas per document
+  * and dominated the decontamination probe scan; this is its hot-path
+  * replacement for BLOOM/membership probing, where duplicate hashes
+  * are harmless (build and probe must simply agree, which they do by
+  * construction: a shared word n-gram yields equal bytes, hence an
+  * equal hash, on both sides). The exact-count tier keeps the
+  * string-shingle spelling (counts need `array_distinct` semantics).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0 && n <= 16, "shingle width must be in 1..16")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects string, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashes.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        toks.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = toks.size
+    val cnt = math.max(m - n + 1, 1)
+    val out = new Array[Long](cnt)
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    while (w < cnt) {
+      sb.setLength(0)
+      var j = w
+      val end = math.min(w + n, m)
+      while (j < end) {
+        if (j > w) sb.append(' ')
+        sb.append(toks.get(j))
+        j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object HashFunctions {
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
@@ -414,6 +492,9 @@ object HashFunctions {
 
   def minhash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), k))
+
+  def shingle_hashes(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
 
   def sig_matches(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -60,6 +60,10 @@ object Registry {
       case Seq(a, k) => MinHashSignature(a, litInt(k, "k"))
       case e => arity("minhash_sig", e.size, "2")
     })
+    ColumnBridge.registerFunction(spark, "shingle_hashes", {
+      case Seq(t, n) => ShingleHashes(t, litInt(n, "n"))
+      case e => arity("shingle_hashes", e.size, "2")
+    })
     ColumnBridge.registerFunction(spark, "sig_matches", {
       case Seq(a, b) => SignatureMatches(a, b)
       case e => arity("sig_matches", e.size, "2")

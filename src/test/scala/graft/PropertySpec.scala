@@ -121,6 +121,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: shingle_hashes == xxhash64 over the declarative " +
+      "shingle spelling for any text") {
+    // the fused expression must agree hash-for-hash with the
+    // transform(shingles(...), xxhash64) tree it replaces (as a SET —
+    // the declarative side runs array_distinct on the strings, the
+    // fused side keeps duplicates, which bloom build/probe ignore);
+    // includes empty strings, repeated/leading/trailing spaces, and
+    // docs shorter than the shingle width
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "", "d e"))
+    } yield toks.mkString(" ")
+    val texts = (Gen.listOfN(300, textGen).sample.get :+ "" :+ " " :+
+      "one two").toDF("text")
+    val got = texts.select(
+      array_sort(array_distinct(shingle_hashes(col("text"), 3))).as("fused"),
+      array_sort(transform(graft.dedup.Dedup.shingles(col("text"), 3),
+        x => xxhash64(x))).as("declarative")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1).distinct.sorted,
+        s"mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("property: minhash signature agreement tracks jaccard within 4 sigma") {
     // build pairs with known overlap; est = matches/K must stay within
     // 4·sqrt(J(1-J)/K) of true J (binomial concentration)

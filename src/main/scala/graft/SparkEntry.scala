@@ -15,7 +15,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs ++
       ops.Analytics.defs ++ ops.Nested.defs ++ ops.TopK.defs ++
-      ops.Temporal.defs ++ ops.RangeOps.defs ++
+      ops.Temporal.defs ++ ops.RangeOps.defs ++ ops.Cdc.defs ++
       ml.Recommend.defs ++
       dedup.Dedup.defs ++
       search.Ann.defs ++ text.TextAnalysis.defs ++

@@ -268,6 +268,84 @@ object Recommend {
         .orderBy("rmse", "rank", "reg_param")
   }
 
+  /** q72 — co-occurrence item-item similarity, the model-free
+    * counterpart of q22's factor cosine (classic item-CF: two
+    * products are similar when the same users interact with both;
+    * sim = c(a,b) / √(c(a)·c(b)), the cosine of the binary
+    * interaction vectors). The reference computes its streaming-side
+    * sim matrix offline from ALS factors; this is the spelling that
+    * needs NO trained model and updates with a pure count refresh.
+    *
+    * Scale shape: the pair generation self-joins the DISTINCT
+    * (user, product) table on user — per-user cost is d² in the
+    * user's distinct-product count, the well-known co-occurrence
+    * blowup. The standard mitigation (cap each user's contribution
+    * at the K most-interacted products; whale users add noise, not
+    * signal) is plumbed via `spark.graft.cooccur.userCap` — the
+    * DEFAULT leaves it off so the oracle compare stays exact (the
+    * test corpus tops out at ~80 products/user). Counts are exact
+    * integers and √/÷ are single IEEE ops on them, so the doubles
+    * hash-match the oracle bit-for-bit unrounded.
+    */
+  val coOccurSims: QueryDef = QueryDef.sql(
+    "q72_cooccur_sim",
+    s"""WITH up AS (SELECT DISTINCT user_id,
+       |   event_id % ${Tables.NumProducts} AS p FROM events),
+       | cnt AS (SELECT p, count(*) AS c FROM up GROUP BY p),
+       | pairs AS (SELECT u1.p AS pa, u2.p AS pb, count(*) AS cab
+       |  FROM up u1 JOIN up u2 ON u1.user_id = u2.user_id AND u1.p <> u2.p
+       |  GROUP BY u1.p, u2.p),
+       | sims AS (SELECT pa AS product_id, pb AS sim_product_id,
+       |   CAST(cab AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS sim
+       |  FROM pairs JOIN cnt ca ON pairs.pa = ca.p
+       |   JOIN cnt cb ON pairs.pb = cb.p),
+       | ranked AS (SELECT product_id, sim_product_id, sim, row_number()
+       |   OVER (PARTITION BY product_id
+       |         ORDER BY sim DESC, sim_product_id) AS rank FROM sims)
+       | SELECT product_id, sim_product_id, sim, CAST(rank AS INT) AS rank
+       | FROM ranked WHERE rank <= ${TopK}
+       | ORDER BY product_id, rank""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val userCap = s.conf.getOption("spark.graft.cooccur.userCap")
+      .map(_.toInt)
+    val upAll = Tables.events(s, d)
+      .select(col("user_id"),
+        (col("event_id") % Tables.NumProducts).as("p"))
+      .distinct()
+    val up = userCap match {
+      case None => upAll
+      case Some(cap) =>
+        // whale-user cap: keep each user's K most-recent products
+        // (deterministic id order here — interaction recency in a
+        // real deployment); bounds the pair blowup at K² per user
+        val w = Window.partitionBy("user_id").orderBy(col("p"))
+        upAll.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
+    val cnt = up.groupBy("p").agg(count(lit(1)).as("c"))
+    // both directions come out of ONE join pass (`=!=`, not `<` +
+    // re-symmetrizing union: a union's branches each re-evaluate the
+    // shared pair pipeline) — 2× pair rows through one shuffle beats
+    // the whole upstream computed twice
+    val pairs = up.select(col("user_id"), col("p").as("pa"))
+      .join(up.select(col("user_id"), col("p").as("pb")), "user_id")
+      .filter(col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+    val sims = pairs
+      .join(broadcast(cnt.select(col("p").as("pa"), col("c").as("ca"))),
+        "pa")
+      .join(broadcast(cnt.select(col("p").as("pb"), col("c").as("cb"))),
+        "pb")
+      .select(col("pa").as("product_id"), col("pb").as("sim_product_id"),
+        (col("cab").cast("double") /
+          sqrt((col("ca") * col("cb")).cast("double"))).as("sim"))
+    val w = Window.partitionBy("product_id")
+      .orderBy(desc("sim"), asc("sim_product_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("product_id", "rank")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(userRecs, itemFactors, itemSims, alsRmse, gridSearch)
+    Seq(userRecs, itemFactors, itemSims, alsRmse, gridSearch, coOccurSims)
 }

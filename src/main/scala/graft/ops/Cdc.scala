@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot differencing — the change-data-capture primitive a
+  * training-data pipeline needs the moment its corpus is refreshed
+  * in place: given two versions of a keyed table, classify every key
+  * as `insert` / `delete` / `update` (unchanged keys are dropped —
+  * they are the overwhelming bulk at scale and carrying them defeats
+  * the point of a diff).
+  *
+  * Scale shape: ONE full-outer equi join on the key — Catalyst plans
+  * a shuffle on the key for both sides (or a zero-shuffle sort-merge
+  * when both snapshots are bucketed by the key, the layout a
+  * snapshot store would use). Non-key columns ride the join packed
+  * into a single struct each, and change detection is one null-safe
+  * struct comparison (`<=>`), not N per-column predicates — the
+  * comparison width doesn't change the plan shape. No driver
+  * materialization at any point.
+  *
+  * The reference has no versioned store (Mongo collections are
+  * overwritten in place, `DataLoader.scala:76-90`); this is the
+  * operator that makes such an overwrite observable downstream.
+  */
+object Cdc {
+
+  /** Generic diff: `(keys..., op)` for every key whose row was
+    * inserted, deleted, or changed between `oldSnap` and `newSnap`.
+    * Both inputs must share the schema; `keys` must be unique per
+    * snapshot (a snapshot is a keyed table, not an event log).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = oldSnap.columns.filterNot(keys.contains)
+    val o = oldSnap.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("__old"): _*)
+    val n = newSnap.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("__new"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("__old").isNull, lit("insert"))
+          .when(col("__new").isNull, lit("delete"))
+          .when(!(col("__old") <=> col("__new")), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op"): _*)
+  }
+
+  /** q71 — snapshot diff over two deterministic versions of `orders`:
+    * version A drops keys ≡ 0 (mod 97), version B drops keys ≡ 0
+    * (mod 89) and rewrites status/price for keys ≡ 0 (mod 13). The
+    * modifications are integer-keyed and the floating add is applied
+    * identically on both engines, so the oracle compare is exact.
+    */
+  val snapshotDiffQ: QueryDef = QueryDef.sql(
+    "q71_snapshot_diff",
+    """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+      | b AS (SELECT o_orderkey, o_custkey,
+      |   CASE WHEN o_orderkey % 13 = 0 THEN 'R' ELSE o_orderstatus END
+      |     AS o_orderstatus,
+      |   CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+      |     ELSE o_totalprice END AS o_totalprice,
+      |   o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 89 <> 0),
+      | d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |   CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |        WHEN b.o_orderkey IS NULL THEN 'delete'
+      |        WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+      |          OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+      |          OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+      |          OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+      |          OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+      |        THEN 'update' END AS op
+      |  FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+      | SELECT o_orderkey, op FROM d WHERE op IS NOT NULL
+      | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val a = orders.filter(col("o_orderkey") % 97 =!= 0)
+    val b = orders.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 13 === 0, lit("R"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    snapshotDiff(a, b, Seq("o_orderkey")).orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(snapshotDiffQ)
+}

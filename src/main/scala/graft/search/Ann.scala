@@ -136,9 +136,21 @@ object Ann {
     val nprobe = 8
     val emb = Tables.embeddings(s, d)
       .withColumn("fv", array_to_vector(col("embedding")))
-    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+    // Coarse-quantizer training: few Lloyd iterations (cell boundaries
+    // only gate candidate routing, and nprobe/k oversampling absorbs
+    // imperfect centroids; random init measurably cost 2pts of recall
+    // on this corpus, so k-means|| init stays). At corpus scale
+    // the fit also runs on a bounded SAMPLE — the standard IVF recipe:
+    // centroids stabilize at O(100·k) training points, so training cost
+    // stays flat while assignment remains a full single pass.
+    val trainCap = 250 * k
+    val n = emb.count()
+    val train =
+      if (n <= trainCap) emb
+      else emb.sample(withReplacement = false, trainCap.toDouble / n, 42L)
+    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(emb)
+    val model = km.fit(train)
     val assigned = model.transform(emb)
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("cell"))
@@ -170,5 +182,73 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, ivfTopK)
+  /** q73 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): cluster
+    * the embedding space with a k-means coarse quantizer, then drop,
+    * WITHIN each cluster, any vector whose cosine to an
+    * already-kept lower-id vector reaches τ. Semantic near-dups (a
+    * paraphrase, a re-encode) land in the same cell, so the O(n²)
+    * comparison collapses to per-cluster work; pairs straddling a
+    * cell boundary are the (small, paper-measured) recall loss.
+    *
+    * Scale shape: the paper's own recipe — k grows with n so the
+    * EXPECTED CLUSTER SIZE stays constant (n/k ≈ 1000 here), the
+    * quantizer trains on a bounded sample, and the greedy intra-
+    * cluster scan runs as one `flatMapGroups` task per cluster:
+    * memory per task is O(cluster·dim), constant by construction,
+    * and clusters fan out across executors. No stage touches n².
+    */
+  val semDedup: QueryDef = QueryDef.rowsOnly("q73_semdedup") { (s, d) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val tau = s.conf.getOption("spark.graft.semdedup.tau")
+      .map(_.toDouble).getOrElse(0.95)
+    val emb = Tables.embeddings(s, d)
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val n = emb.count()
+    val k = math.max(4, (n / 1000L).toInt)
+    val trainCap = 250 * k
+    val train =
+      if (n <= trainCap) emb
+      else emb.sample(withReplacement = false, trainCap.toDouble / n, 42L)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .as[(Long, Array[Float], Int)]
+    assigned.groupByKey(_._3)
+      .flatMapGroups { (cell, it) =>
+        val members = it.toArray.sortBy(_._1)
+        val kept = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+        members.iterator.map { case (id, v, _) =>
+          var dupOf = -1L
+          val i = kept.iterator
+          while (dupOf < 0 && i.hasNext) {
+            val (kid, kv) = i.next()
+            if (cosineArr(v, kv) >= tau) dupOf = kid
+          }
+          if (dupOf < 0) kept += ((id, v))
+          (id, cell, dupOf < 0, if (dupOf < 0) id else dupOf)
+        }
+      }
+      .toDF("vec_id", "cell", "is_kept", "dup_of")
+      .orderBy("vec_id")
+  }
+
+  /** Plain-Scala cosine used inside per-cluster greedy scans (the
+    * columnar codegen'd twin is [[graft.functions.CosineSimilarity]]).
+    */
+  private[search] def cosineArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, ivfTopK, semDedup)
 }

@@ -582,8 +582,76 @@ object TextAnalysis {
     }
   }
 
+  /** q74 — bigram-LM surprisal, the second-order refinement of q65:
+    * docs scored by the mean negative log-probability of their
+    * bigrams under an add-one-smoothed corpus bigram model,
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V). A unigram model calls
+    * repeated rare words "surprising" even in fluent context; the
+    * bigram model scores TRANSITIONS, which is what separates
+    * garbled/shuffled text from merely unusual vocabulary — the
+    * standard pre-perplexity quality gate when no trained LM is at
+    * hand.
+    *
+    * Same scale shape as q65: the bigram and context-count tables are
+    * vocabulary-sized (tiny vs the corpus) and broadcast back onto
+    * the token stream; V rides as a broadcast one-row cross join, not
+    * a driver collect; the only corpus-wide shuffle is the per-doc
+    * aggregate. Log sums go through DECIMAL(28,12) (order-
+    * independent), output rounds at 4 (absorbs libm ulps). Docs with
+    * fewer than two tokens have no bigrams and drop out (both
+    * engines, by construction of the inner join).
+    */
+  val bigramSurprisal: QueryDef = QueryDef.sql(
+    "q74_bigram_surprisal",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      | bg AS (SELECT doc_id, unnest([toks[i-1] || ' ' || toks[i]
+      |   for i in generate_series(2, len(toks))]) AS b FROM t),
+      | c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+      | c1 AS (SELECT w, count(*) AS c1 FROM
+      |   (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      | v AS (SELECT count(*) AS v FROM c1),
+      | scored AS (SELECT bg.doc_id,
+      |   CAST(log10(CAST(c2.c2 + 1 AS DOUBLE) /
+      |     CAST(c1.c1 + (SELECT v FROM v) AS DOUBLE))
+      |    AS DECIMAL(28,12)) AS lg
+      |  FROM bg JOIN c2 ON bg.b = c2.b
+      |   JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w),
+      | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |   CAST(sum(lg) AS DOUBLE) AS sum_lg FROM scored GROUP BY doc_id)
+      | SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  round(-sum_lg / n_bigrams, 4) AS surprisal
+      | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+    val bg = t.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(2), size(col("toks"))),
+        i => concat_ws(" ", element_at(col("toks"), i - 1),
+          element_at(col("toks"), i)))).as("b"))
+    val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+    val c1 = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    bg.join(broadcast(c2), "b")
+      .join(broadcast(c1.withColumnRenamed("w", "w1")),
+        substring_index(col("b"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log10((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double"))
+          .cast("decimal(28,12)").as("lg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("lg").cast("double").as("sum_lg"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lg") / col("n_bigrams"), 4).as("surprisal"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
-    surprisal, packShards, mixProportions, boilerplate)
+    surprisal, packShards, mixProportions, boilerplate, bigramSurprisal)
 }

@@ -25,6 +25,22 @@ class BatchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff classifies inserts/deletes/updates, null-safe") {
+    import spark.implicits._
+    val a = Seq((1L, Some("x"), 10), (2L, None: Option[String], 20),
+      (3L, Some("z"), 30), (4L, Some("w"), 40))
+      .toDF("k", "s", "n")
+    val b = Seq((1L, Some("x"), 10),          // unchanged -> absent
+      (2L, Some("now-set"), 20),              // null -> value = update
+      (3L, None: Option[String], 30),         // value -> null = update
+      (5L, Some("new"), 50))                  // insert; 4 deleted
+      .toDF("k", "s", "n")
+    val got = ops.Cdc.snapshotDiff(a, b, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "update", 3L -> "update",
+      4L -> "delete", 5L -> "insert"), got.toString)
+  }
+
   test("q01 counts sum to total events") {
     val total = Tables.events(spark, sfTiny).count()
     val summed = ops.Statistics.rateMoreProducts.fn(spark, sfTiny)

@@ -271,6 +271,45 @@ class DedupSpec extends SparkSpec {
     assert(picked == Set(2L, 4L), picked.toString)
   }
 
+  test("semdedup drops planted near-identical vectors, keeps one per " +
+      "semantic group") {
+    import spark.implicits._
+    // 3 well-separated base directions in R^4, 40 vectors each with
+    // tiny jitter (intra-group cosine ~1, cross-group ≤ ~0.1), plus
+    // an exact duplicate of vector 0 planted at a high id
+    val rnd = new scala.util.Random(7)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = (0 until 120).map { i =>
+      (i.toLong, jitter(bases(i % 3)))
+    } :+ (999L, bases(0).clone())
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semdedup").toString
+    emb.write.parquet(s"$dir/embeddings.parquet")
+    val out = Ann.semDedup.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3)))
+    // each jitter-group collapses to (roughly) one keeper; the exact
+    // duplicate of 0 must be dropped against a smaller-id keeper
+    val kept = out.filter(_._2).map(_._1).toSet
+    assert(kept.size <= 12, s"kept ${kept.size} of 121 near-identical")
+    val dup = out.find(_._1 == 999L).get
+    assert(!dup._2 && dup._3 < 999L,
+      s"planted duplicate survived: $dup")
+    // dropped rows always cite a kept, smaller-id vector
+    out.filterNot(_._2).foreach { case (id, _, of) =>
+      assert(of < id && kept.contains(of), s"bad dup_of for $id -> $of")
+    }
+    // no over-dropping: every semantic group keeps a representative
+    // (vector i belongs to direction i % 3; cross-group cosine ≈ 0
+    // sits far under τ, so groups can never collapse into each other)
+    val keptDirs = kept.filter(_ != 999L).map(_ % 3)
+    assert(keptDirs == Set(0L, 1L, 2L), s"lost a group: $keptDirs")
+  }
+
   test("bloom build/probe: inserted keys always hit, strangers rarely") {
     import spark.implicits._
     import graft.functions.BloomFilters._

@@ -235,14 +235,22 @@ object Dedup {
     * split out so the profiler can time candidate generation apart
     * from exact verification.
     */
-  def candidatePairs(toks: DataFrame, numHashes: Int, bands: Int,
-      threshold: Double): DataFrame = {
+  /** Banded minhash signature table `(doc_id, sz, pref, bh, band,
+    * band_hash)` — the LSH index representation. In a production
+    * incremental pipeline this is exactly the table you PERSIST as
+    * the corpus index (it is ids + a few dozen longs per doc; the
+    * token payload stays in the store) and re-read when a new batch
+    * arrives ([[incrementalPairs]]).
+    *
+    * Estimate-prefix length: 32 minhash samples bound the Broder
+    * estimator's σ at √(p(1-p)/32) ≈ 0.053, so a `threshold - 0.25`
+    * cut sits ~4.7σ under a true pair (miss ≈ 2e-6 — a 16-hash
+    * prefix measurably dropped 0.5% of true pairs) while the
+    * join-side payload still shrinks ~40% vs carrying all K hashes.
+    */
+  private[dedup] def bandedSig(toks: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rows = numHashes / bands
-    // Estimate-prefix length: 32 minhash samples bound the Broder
-    // estimator's σ at √(p(1-p)/32) ≈ 0.053, so the `threshold - 0.25`
-    // cut below sits ~4.7σ under a true pair (miss ≈ 2e-6 — a 16-hash
-    // prefix measurably dropped 0.5% of true pairs) while the
-    // join-side payload still shrinks ~40% vs carrying all K hashes.
     val prefLen = math.min(numHashes, 32)
     // K minhash values in one codegen'd pass ([[MinHashSignature]]);
     // band b hashes its `rows` consecutive minhashes. Only the band
@@ -262,9 +270,15 @@ object Dedup {
     // and inlines the whole minhash+tokenize tree 64× into the filter
     // (measured 8× the query). The duplicate 8 xxhash64-of-long calls
     // (bh column + explode input) are noise by comparison.
-    val banded = sig.select(col("doc_id"), col("sz"),
+    sig.select(col("doc_id"), col("sz"),
       slice(col("mh"), 1, prefLen).as("pref"), bandHashArr.as("bh"),
       posexplode(bandHashArr).as(Seq("band", "band_hash")))
+  }
+
+  def candidatePairs(toks: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val prefLen = math.min(numHashes, 32)
+    val banded = bandedSig(toks, numHashes, bands)
     // Bucket self-join. Only `banded` (n×bands rows) is shuffled — the
     // m²-per-bucket pair blowup happens join-side and is filtered in
     // the same stage, never materialized or re-shuffled:
@@ -294,6 +308,85 @@ object Dedup {
       .filter(estJaccard >= threshold - 0.25)
       .select("doc_a", "doc_b")
   }
+
+  /** Incremental near-dup: verified pairs TOUCHING A NEW BATCH —
+    * new↔corpus and new↔new, never corpus↔corpus (the corpus is
+    * already deduplicated; re-pairing it is the cost incremental
+    * ingestion exists to avoid). Emits exactly the pairs a full
+    * [[minhashPairs]] run over `new ∪ corpus` would emit restricted
+    * to pairs with a new-side member (DedupSpec pins this pair-for-
+    * pair) — candidate generation is per-pair-local, so skipping
+    * corpus↔corpus changes cost, not results.
+    *
+    * Scale shape: the batch side is banded fresh (it's a batch);
+    * the corpus side's banded table is the PERSISTED index
+    * ([[bandedSig]] — recomputed here from tokens because the
+    * sandbox has no index store, one narrow scan). The bucket join
+    * is batch-bands × all-bands: each bucket contributes (batch
+    * members × bucket size) combos instead of size², and only
+    * surviving candidates re-attach token payloads by key.
+    */
+  def incrementalPairs(newToks: DataFrame, corpusToks: DataFrame,
+      numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    val prefLen = math.min(numHashes, 32)
+    val bNew = bandedSig(newToks, numHashes, bands)
+    // the batch side rides into two subtrees (probe side + union) —
+    // batches are small by definition, so the double evaluation is a
+    // second narrow pass over the batch, not the corpus
+    val bAll = bandedSig(corpusToks, numHashes, bands)
+      .withColumn("is_new", lit(false))
+      .unionByName(bNew.withColumn("is_new", lit(true)))
+    val a = bNew.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+      col("pref").as("pref_a"), col("bh").as("bh_a"))
+    val b = bAll.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("pref").as("pref_b"), col("bh").as("bh_b"), col("is_new"))
+    val estJaccard =
+      sig_matches(col("pref_a"), col("pref_b")).cast("double") / prefLen
+    val cands = a.join(b, Seq("band", "band_hash"))
+      // new↔new pairs appear in both orientations (both sides are in
+      // the probe table) — keep one; new↔corpus appears only with the
+      // new doc on the probe side
+      .filter(!col("is_new") || (col("doc_a") < col("doc_b")))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        greatest(col("sz_a"), col("sz_b")) * threshold)
+      .filter(first_equal_band(col("bh_a"), col("bh_b"), bands)
+        === col("band"))
+      .filter(estJaccard >= threshold - 0.25)
+      .select("doc_a", "doc_b")
+    val toks = newToks.unionByName(corpusToks)
+    cands
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
+      .withColumn("inter",
+        sorted_intersect_size(col("toks_a"), col("toks_b")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+  }
+
+  /** q75 — the incremental-ingestion spelling of q31: docs with
+    * `doc_id ≡ 0 (mod 7)` stand in for the newly-arrived batch, the
+    * rest for the already-deduplicated indexed corpus.
+    */
+  val incrementalNearDup: QueryDef =
+    QueryDef.rowsOnly("q75_incremental_neardup") { (s, d) =>
+      val sets = tokenSets(Tables.documents(s, d))
+      incrementalPairs(
+        sets.filter(col("doc_id") % 7 === 0),
+        sets.filter(col("doc_id") % 7 =!= 0))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
 
   /** SimHash near-dup pairs: 64-bit signature (codegen'd
     * [[graft.functions.SimHash64]]), blocked on 4×16-bit bands,
@@ -800,5 +893,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine, clusters,
-      decontaminate, decontaminateBloom)
+      decontaminate, decontaminateBloom, incrementalNearDup)
 }

@@ -3,7 +3,7 @@ package graft.search
 import graft.{QueryDef, Tables}
 import graft.functions.HashFunctions.{first_equal_packed_band, hyperplane_sig}
 import graft.functions.VectorFunctions.cosine_sim
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -250,5 +250,48 @@ object Ann {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, ivfTopK, semDedup)
+  /** q76 — per-vector scalar quantization to int8 codes, the storage
+    * tier every embedding index at 100 TB sits on (a 768-dim float32
+    * vector is 3 KB; its uint8 codes + two floats are ~770 B — a 4×
+    * cut before any ANN structure is built). Codes are
+    * `floor((x−mn)/(mx−mn)·255)` per vector; reconstruction error is
+    * bounded by one step, gated in VectorFunctionsSpec. Every
+    * operation is an exact IEEE double op on float-exact inputs, so
+    * the codes — emitted stringified, like q46's recs — hash-match
+    * the DuckDB oracle bit-for-bit. Narrow, shuffle-free, pipelined
+    * with the scan.
+    */
+  val quantize: QueryDef = QueryDef.sql(
+    "q76_embedding_quantize",
+    """WITH q AS (SELECT vec_id,
+      |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+      |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+      |  embedding FROM embeddings)
+      | SELECT vec_id, mn, mx, array_to_string(
+      |  [CAST(CASE WHEN mx = mn THEN 0 ELSE
+      |     floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255)
+      |   END AS INT) for x in embedding], ',') AS codes
+      | FROM q ORDER BY vec_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val mn = array_min(col("embedding")).cast("double")
+    val mx = array_max(col("embedding")).cast("double")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), mn.as("mn"), mx.as("mx"),
+        concat_ws(",", transform(col("embedding"), x =>
+          when(mx === mn, lit(0)).otherwise(
+            floor((x.cast("double") - mn) / (mx - mn) * 255))
+            .cast("int").cast("string"))).as("codes"))
+      .orderBy("vec_id")
+  }
+
+  /** Dequantized reconstruction of [[quantize]]'s codes — the read
+    * path (`x̂ = mn + code/255·(mx−mn)`), for VectorFunctionsSpec's
+    * error gate and any consumer scoring against quantized storage.
+    */
+  def dequantize(codes: Column, mn: Column, mx: Column): Column =
+    transform(codes, c =>
+      (mn + c.cast("double") / 255.0 * (mx - mn)).cast("float"))
+
+  val defs: Seq[QueryDef] =
+    Seq(bruteForce, lshTopK, ivfTopK, semDedup, quantize)
 }

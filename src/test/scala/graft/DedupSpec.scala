@@ -310,6 +310,23 @@ class DedupSpec extends SparkSpec {
     assert(keptDirs == Set(0L, 1L, 2L), s"lost a group: $keptDirs")
   }
 
+  test("incremental near-dup == full-pass pairs restricted to the " +
+      "new batch") {
+    val sets = Dedup.tokenSets(Tables.documents(spark, sfSmall))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e4))
+    val incr = Dedup.incrementalPairs(
+      sets.filter(col("doc_id") % 7 === 0),
+      sets.filter(col("doc_id") % 7 =!= 0))
+      .collect().map(key).toSet
+    val full = Dedup.minhashPairs(sets, 64, 8, 0.9)
+      .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+      .collect().map(key).toSet
+    assert(incr == full,
+      s"only-incr=${(incr -- full).take(5)} only-full=${(full -- incr).take(5)}")
+    assert(incr.nonEmpty, "trivially-empty comparison")
+  }
+
   test("bloom build/probe: inserted keys always hit, strangers rarely") {
     import spark.implicits._
     import graft.functions.BloomFilters._

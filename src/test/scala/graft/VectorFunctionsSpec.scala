@@ -67,4 +67,24 @@ class VectorFunctionsSpec extends SparkSpec {
       .filter(abs(col("dot") - col("cos")) > 1e-5)
     assert(bad.isEmpty)
   }
+
+  test("int8 quantize/dequantize reconstructs within one step") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val q = graft.search.Ann.quantize.fn(spark, sfTiny)
+      .select(col("vec_id"), col("mn"), col("mx"),
+        transform(split(col("codes"), ","), c => c.cast("int")).as("cs"))
+    val joined = emb.join(q, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("mn"), col("mx"),
+        graft.search.Ann.dequantize(col("cs"), col("mn"), col("mx"))
+          .as("rec"))
+      // worst reconstruction error per vector, against the step bound
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("rec"),
+          (a, b) => abs(a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("err"),
+        ((col("mx") - col("mn")) / 255.0 + lit(1e-6)).as("bound"))
+    val bad = joined.filter(col("err") > col("bound"))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+    assert(joined.count() > 0)
+  }
 }

@@ -125,6 +125,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q71: snapshot diff is one key join, no nested loop") {
+    val p = plan(ops.Cdc.snapshotDiffQ.fn(spark, sfSmall))
+    // exactly one join of the two snapshot branches, and it's the
+    // full-outer key join (no nested loop anywhere) — count the
+    // formatted node-detail headers, one per physical node
+    val joins = p.split("\n")
+      .filter(_.matches("""\(\d+\) \w*Join\w*.*"""))
+    assert(joins.length == 1 && !joins.head.contains("NestedLoop"),
+      joins.mkString("; ") + "\n" + p)
+    assert(p.contains("Join FullOuter"), p)
+  }
+
+  test("q72/q74: count/model tables broadcast onto the big side") {
+    for ((name, df) <- Seq(
+        "q72" -> ml.Recommend.coOccurSims.fn(spark, sfTiny),
+        "q74" -> text.TextAnalysis.bigramSurprisal.fn(spark, sfTiny))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+    }
+  }
+
+  test("q60: bloom prefilter rides the corpus scan as a plain filter") {
+    // the two-tier rewrite must keep the probe OUT of any join: the
+    // bloom is a scalar subquery feeding a Filter, and the exact
+    // shingle join runs above it (on candidates only)
+    val p = plan(dedup.Dedup.decontaminate.fn(spark, sfTiny))
+    val filterSection = p.split("\n")
+      .filter(l => l.contains("bloom_contains_any"))
+    assert(filterSection.nonEmpty, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q61: per-language top terms uses WindowGroupLimit, not full sorts") {
     val p = plan(text.TextAnalysis.topTerms.fn(spark, sfSmall))
     assert(p.contains("WindowGroupLimit"), p)

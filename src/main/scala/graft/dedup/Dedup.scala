@@ -753,7 +753,12 @@ object Dedup {
     */
   val clusters: QueryDef = QueryDef.rowsOnly("q49_dedup_clusters") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = verifiedPairs(s, d).select("doc_a", "doc_b")
+    // sparse star+rep edges, NOT the expanded pair listing: identical
+    // connectivity (hence identical labels — every clique member
+    // reaches its rep directly), but a clique of m exact dups
+    // contributes m−1 edges instead of m²/2 pairs into every
+    // propagation round
+    val pairs = nearDupEdges(s, d)
     val comp = connectedComponents(pairs)
     docs.select(col("doc_id"))
       .join(comp.select(col("id").as("doc_id"),

@@ -68,6 +68,20 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("shingle_hashes is callable from SQL and matches the Column API") {
+    Registry.register(spark)
+    Seq("one two three four", "x").toDF("text")
+      .createOrReplaceTempView("vsh")
+    val sql = spark.sql("SELECT shingle_hashes(text, 3) AS h FROM vsh")
+      .collect().map(_.getSeq[Long](0))
+    val api = spark.table("vsh")
+      .select(graft.functions.HashFunctions
+        .shingle_hashes(col("text"), 3).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sql.toSeq == api.toSeq)
+    assert(sql(0).length == 2 && sql(1).length == 1)
+  }
+
   test("bloom build and probe are callable from SQL") {
     Registry.register(spark)
     spark.range(1, 101).selectExpr("array(id * 7) AS ks")

@@ -480,6 +480,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental near-dup ingestion: per-batch index probe + fold " +
+      "equals the full batch pass") {
+    import graft.dedup.Dedup
+    // static starting index: the non-%7 docs; the %7 docs arrive as a
+    // stream in two micro-batches. Each batch probes the CURRENT
+    // index (new-corpus + new-new pairs), then folds itself in — so a
+    // cross-batch pair is caught when its later member arrives. The
+    // union over batches must equal the one-shot batch run over
+    // everything, restricted to pairs touching a streamed doc.
+    val docs = Tables.documents(spark, sfTiny)
+    val sets = Dedup.tokenSets(docs)
+    var index = sets.filter(col("doc_id") % 7 =!= 0).localCheckpoint()
+    val streamed = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = streamed.splitAt(streamed.length / 2)
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val query = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val toks = Dedup.tokenSets(batch).localCheckpoint()
+        got ++= Dedup.incrementalPairs(toks, index)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        index = index.unionByName(toks).localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+    } finally query.stop()
+    val full = Dedup.minhashPairs(sets, 64, 8, 0.9)
+      .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == full,
+      s"only-stream=${(got.toSet -- full).take(5)} " +
+        s"only-full=${(full -- got).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("kll sketch aggregates incrementally in a streaming groupBy") {
     // the TypedImperativeAggregate must fold correctly under the
     // incremental state-store merge path, not just batch partials:

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopwords =
+  private[graft] val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
 
   private def toks(c: Column): Column = split(c, " ")
@@ -650,8 +650,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q78 — tf-idf top terms per document: q61 ranks terms per
+    * LANGUAGE by raw frequency; this ranks per DOCUMENT with the
+    * inverse-document-frequency weight that suppresses corpus-wide
+    * filler — the classic keyword/topic-surfacing operator (and the
+    * feature weighting under sparse retrieval).
+    *
+    * Scale shape: tf is one (doc, term) hash aggregate; df derives
+    * from tf with a second vocabulary-sized aggregate; both df and
+    * the corpus count broadcast back onto tf (vocab ≪ corpus); the
+    * per-doc top-5 is a WindowGroupLimit-bounded rank. log10 is
+    * libm-derived → round(4) per the parity discipline.
+    */
+  val tfidfTerms: QueryDef = QueryDef.sql(
+    "q78_tfidf_terms",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      | tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+      |  GROUP BY doc_id, t),
+      | df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      | n AS (SELECT count(*) AS n FROM documents),
+      | scored AS (SELECT tf.doc_id, tf.t, tf.tf,
+      |   CAST(tf.tf AS DOUBLE) *
+      |     log10(CAST((SELECT n FROM n) AS DOUBLE) / df.df) AS tfidf
+      |  FROM tf JOIN df ON tf.t = df.t),
+      | r AS (SELECT doc_id, t, tf, tfidf, row_number() OVER
+      |   (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rank
+      |  FROM scored)
+      | SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
+      |  round(tfidf, 4) AS tfidf, CAST(rank AS INT) AS rank
+      | FROM r WHERE rank <= 5
+      | ORDER BY doc_id, rank""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("t"))
+    tf.join(broadcast(df), "t")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t"), col("tf"),
+        (col("tf").cast("double") *
+          log10(col("n").cast("double") / col("df"))).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("t").as("term"), col("tf"),
+        round(col("tfidf"), 4).as("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
-    surprisal, packShards, mixProportions, boilerplate, bigramSurprisal)
+    surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
+    tfidfTerms)
 }

@@ -62,4 +62,16 @@ class MlSpec extends SparkSpec {
       .filter(col("prev").isNotNull && col("score") > col("prev") + 1e-6)
     assert(bad.isEmpty)
   }
+
+  test("quality classifier: held-out AUC >= 0.85, outputs consistent") {
+    val auc = ml.QualityModel.heldOutAuc(spark, sfSmall)
+    assert(auc >= 0.85, s"AUC $auc")
+    val out = ml.QualityModel.classifier.fn(spark, sfSmall)
+    // predicted must be the argmax of p_good (threshold 0.5)
+    val bad = out.filter(
+      (col("p_good") > 0.5 && col("predicted") === 0) ||
+        (col("p_good") < 0.5 && col("predicted") === 1))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+    info(f"quality classifier held-out AUC = $auc%.4f")
+  }
 }

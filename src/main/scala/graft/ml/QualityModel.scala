@@ -67,7 +67,7 @@ object QualityModel {
       val Array(train, _) =
         feats.randomSplit(Array(0.8, 0.2), seed = 42L)
       val model = new LogisticRegression()
-        .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+        .setMaxIter(10).setRegParam(0.01).setStandardization(true)
         .fit(train)
       model.transform(feats)
         .select(col("doc_id"), col("label").cast("int").as("label"),
@@ -82,7 +82,7 @@ object QualityModel {
     val feats = featureTable(s, d)
     val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), seed = 42L)
     val model = new LogisticRegression()
-      .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+      .setMaxIter(10).setRegParam(0.01).setStandardization(true)
       .fit(train)
     new BinaryClassificationEvaluator()
       .setMetricName("areaUnderROC")

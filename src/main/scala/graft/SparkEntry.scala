@@ -16,9 +16,10 @@ object SparkEntry {
     ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs ++
       ops.Analytics.defs ++ ops.Nested.defs ++ ops.TopK.defs ++
       ops.Temporal.defs ++ ops.RangeOps.defs ++ ops.Cdc.defs ++
+      ops.Layout.defs ++
       ml.Recommend.defs ++ ml.QualityModel.defs ++
       dedup.Dedup.defs ++
-      search.Ann.defs ++ text.TextAnalysis.defs ++
+      search.Ann.defs ++ text.TextAnalysis.defs ++ text.Vocab.defs ++
       streaming.Rescoring.defs ++ mm.Multimodal.defs ++
       pipeline.Curation.defs
 

@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-loop subset: SPARK_GRAFT_ONLY=q79,q83 dumps only matching
+    // queries (prefix match). Unset (the driver's invocation) = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -59,6 +65,7 @@ object Verify {
     approx.foreach(n => System.err.println(
       s"[verify] $n ran its approximate branch at $sfDir; oracle withheld"))
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => wanted(k) }
       .filterNot { case (k, _) => approx.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -88,5 +88,42 @@ object Cdc {
     snapshotDiff(a, b, Seq("o_orderkey")).orderBy("o_orderkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(snapshotDiffQ)
+  /** q83 — incremental aggregate maintenance: the other half of the
+    * CDC story. A nightly-refreshed corpus metric must NOT be
+    * recomputed from 100 TB of history per refresh; the maintained
+    * form keeps an aggregate STATE table (count + exact decimal sum
+    * per group — associative partials, the same shape Spark's own
+    * partial aggregation uses) and folds each delta batch in with a
+    * state ∪ delta → re-aggregate merge, touching only O(groups +
+    * delta) rows. The oracle is the from-scratch aggregate over the
+    * full table — the maintained result must be indistinguishable
+    * from recomputation, which is exactly why the partials are
+    * decimal (double partials would drift order-dependently).
+    *
+    * Here state = events before Jan 24, delta = the rest; the same
+    * merge runs unchanged as a `foreachBatch` fold in the streaming
+    * path (StreamPipeline), this is its batch spelling.
+    */
+  val incrementalAgg: QueryDef = QueryDef.sql(
+    "q83_incremental_agg",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      | FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
+      col("value").cast("decimal(18,2)").as("v"))
+    val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val state = partials(ev.filter(col("ts") < cutoff))
+    val delta = partials(ev.filter(col("ts") >= cutoff))
+    state.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("sv").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(snapshotDiffQ, incrementalAgg)
 }

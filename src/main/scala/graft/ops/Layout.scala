@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -62,4 +63,44 @@ object Layout {
       explode(array((0 until salts).map(lit): _*)))
     saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** q79 — salted skew join, oracle-gated against the plain join it
+    * must be semantically identical to: `events` (the fact side)
+    * joins a per-type dimension on `event_type`, a handful of
+    * distinct values — exactly the shape where, on a power-law
+    * production corpus, one hot key pins a single reducer while the
+    * other 999 executors idle. The salt spreads each key over
+    * `salts` reducers; the small side replicates once per salt (a
+    * few dozen rows — free). The `shuffle_hash` hint keeps the demo
+    * honest: without it Catalyst would broadcast the tiny dim and
+    * hide the skew path the query exists to exercise.
+    *
+    * The synthetic corpus is uniform over 5 types, which is why the
+    * oracle can be an exact plain-join compare — the salt must be
+    * invisible in the RESULT regardless of the distribution.
+    */
+  val saltedJoinQ: QueryDef = QueryDef.sql(
+    "q79_salted_join",
+    """WITH dim AS (SELECT event_type, count(*) AS type_n
+      |  FROM events GROUP BY event_type)
+      | SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  max(d.type_n) AS type_n
+      | FROM events e JOIN dim d USING (event_type)
+      | GROUP BY e.event_type ORDER BY e.event_type"""
+      .stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("type_n"))
+    saltedJoin(ev, dim.hint("shuffle_hash"), "event_type", salts = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"),
+        max("type_n").as("type_n"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(saltedJoinQ)
 }

@@ -51,6 +51,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q79: salted join hashes on (key, salt), not broadcast") {
+    val p = plan(ops.Layout.saltedJoinQ.fn(spark, sfSmall))
+    // the hint pins the skew path; the salt column must be a join key
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("_salt"), "salt not in the join keys:\n" + p)
+  }
+
+  test("q83: incremental merge keeps map-side partials on both arms") {
+    val p = plan(ops.Cdc.incrementalAgg.fn(spark, sfSmall))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q25: rescoring plan contains no cartesian and reuses exchanges") {
     val p = plan(streaming.Rescoring.rescoreBatch.fn(spark, sfSmall))
     assert(!p.contains("CartesianProduct"), p)

@@ -16,7 +16,7 @@ object SparkEntry {
     ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs ++
       ops.Analytics.defs ++ ops.Nested.defs ++ ops.TopK.defs ++
       ops.Temporal.defs ++ ops.RangeOps.defs ++ ops.Cdc.defs ++
-      ops.Layout.defs ++
+      ops.Layout.defs ++ graph.PageRank.defs ++
       ml.Recommend.defs ++ ml.QualityModel.defs ++
       dedup.Dedup.defs ++
       search.Ann.defs ++ text.TextAnalysis.defs ++ text.Vocab.defs ++

@@ -1,0 +1,151 @@
+package graft.graph
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over an edge list — the canonical iterative
+  * graph operator a curation stack uses for link-graph authority
+  * scoring (and, at the other end of the pipeline, for ranking
+  * domains before crawl-budget allocation). The reference engine has
+  * no graph operators at all; this is a pure extension built the
+  * Spark-native way: each iteration is one equi join (ranks onto
+  * edge sources) plus one hash aggregate (contributions by
+  * destination) — both shuffle on the node key, so a 1000-executor
+  * cluster runs each round as a single co-partitioned shuffle pair,
+  * and AQE handles hub-node skew. No driver-side state at any point.
+  *
+  * Iterative hygiene (the [[graft.dedup.Dedup]] CC lesson): every
+  * round `localCheckpoint`s the new rank table — without it Catalyst
+  * re-analyzes a lineage that doubles per iteration. On a real
+  * cluster this is `checkpoint`/persisted-table rotation.
+  *
+  * Parity contract for the oracle: transition probabilities and rank
+  * updates are plain IEEE doubles (identical operand order on both
+  * engines); the per-destination contribution sum — the only
+  * order-sensitive reduction — is quantized to the 1e-12 grid as
+  * `floor(x * 1e12)` int64s and summed exactly. floor-of-the-same-
+  * double is the one quantizer both engines agree on bit-for-bit: a
+  * DECIMAL(28,12) cast here is NOT portable, because transition
+  * probabilities are dyadic rationals (1/2, 1/4 …) whose rank
+  * products land exactly ON grid lines, where DuckDB's scaled-
+  * double-multiply cast and Spark's exact BigDecimal HALF_UP round
+  * opposite ways (measured: 25/2000 nodes off by one grid step).
+  * Dangling mass (nodes with no out-edges) is dropped, the standard
+  * simple-PageRank convention; on this graph every node has
+  * out-edges and total rank stays ≈ 1.
+  */
+object PageRank {
+
+  val Damping = 0.85
+  val Iterations = 3
+
+  /** Teleport mass as a decimal-exact literal, not `1 - damping`
+    * (which in double arithmetic is 0.15000000000000002 for 0.85).
+    */
+  private def teleport(damping: Double): Double =
+    new java.math.BigDecimal(1).subtract(
+      new java.math.BigDecimal(String.valueOf(damping))).doubleValue()
+
+  /** Rank every node of `edges` (src, dst, w) after `iters` damped
+    * power iterations. Edge weights become row-stochastic transition
+    * probabilities p = w / out-weight(src).
+    */
+  def pageRank(edges: DataFrame, iters: Int = Iterations,
+      damping: Double = Damping): DataFrame = {
+    // Edges feed four consumers (out-weights, transitions, node set
+    // ×2); truncate the lineage once instead of recomputing the
+    // upstream self-join per consumer.
+    val e0 = edges.localCheckpoint()
+    val ow = e0.groupBy("src").agg(sum("w").as("ow"))
+    val e = e0.join(ow, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("ow").cast("double")).as("p"))
+      .localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(e("dst").as("node"),
+          floor(col("rank") * col("p") * lit(1e12)).as("c"))
+        .groupBy("node")
+        .agg((sum("c").cast("double") / lit(1e12)).as("contrib"))
+      // NOT `lit(1 - damping)`: 1 − 0.85 in Scala double arithmetic
+      // is 0.15000000000000002, while the oracle's literal 0.15 is
+      // the rounded parse — pass the teleport mass as its own
+      // literal so both engines start from the identical double.
+      r = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          (lit(teleport(damping)) / col("n") +
+            lit(damping) * coalesce(col("contrib"), lit(0.0d)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    r
+  }
+
+  /** q81 — PageRank on the co-purchase graph: an edge from the part
+    * at line n to the part at line n+1 of the same order, weighted by
+    * occurrence count. The oracle unrolls the three iterations as
+    * chained CTEs — same math, declarative spelling.
+    */
+  val pageRankQ: QueryDef = {
+    def iter(i: Int): String = {
+      val p = i - 1
+      s""" c$i AS (SELECT e.dst AS node,
+         |  CAST(CAST(sum(CAST(floor(r$p.rank * e.p * 1e12) AS BIGINT))
+         |    AS BIGINT) AS DOUBLE) / 1e12 AS contrib
+         | FROM e JOIN r$p ON e.src = r$p.node GROUP BY e.dst),
+         | r$i AS (SELECT nodes.node,
+         |  CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
+         |   + CAST(0.85 AS DOUBLE)
+         |     * coalesce(c$i.contrib, CAST(0 AS DOUBLE)) AS rank
+         | FROM nodes LEFT JOIN c$i USING (node))""".stripMargin
+    }
+    QueryDef.sql(
+      "q81_pagerank",
+      (s"""WITH e0 AS (SELECT l1.l_partkey AS src, l2.l_partkey AS dst,
+          |  count(*) AS w
+          | FROM lineitem l1 JOIN lineitem l2
+          |  ON l1.l_orderkey = l2.l_orderkey
+          |  AND l2.l_linenumber = l1.l_linenumber + 1
+          | GROUP BY l1.l_partkey, l2.l_partkey),
+          | ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+          |  FROM e0 GROUP BY src),
+          | e AS (SELECT e0.src, e0.dst,
+          |  CAST(e0.w AS DOUBLE)/CAST(ow.ow AS DOUBLE) AS p
+          |  FROM e0 JOIN ow USING (src)),
+          | nodes AS (SELECT src AS node FROM e0
+          |  UNION SELECT dst FROM e0),
+          | nn AS (SELECT count(*) AS n FROM nodes),
+          | r0 AS (SELECT node, CAST(1 AS DOUBLE)/(SELECT n FROM nn)
+          |  AS rank FROM nodes),""" +
+        iter(1) + "," + iter(2) + "," + iter(3) +
+        // no final round: with floor-grid contributions every rank is
+        // the same double bit-for-bit on both engines (round itself
+        // is NOT portable — it has the same scaled-multiply problem
+        // the contribution quantizer avoids).
+        " SELECT node, rank FROM r3 ORDER BY node")
+        .stripMargin.replaceAll("\n", "")
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val l2 = li.select(col("l_orderkey"),
+        col("l_linenumber").as("ln2"), col("l_partkey").as("dst"))
+      val edges = li
+        .join(l2, li("l_orderkey") === l2("l_orderkey") &&
+          l2("ln2") === li("l_linenumber") + 1)
+        .groupBy(li("l_partkey").as("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      pageRank(edges).orderBy("node")
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(pageRankQ)
+}

@@ -30,6 +30,28 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, s"IVF recall@5 = $r")
   }
 
+  test("q82 sign projection: unbiased cosine estimates within JL error") {
+    // (1/k)·<Px,Py> is an unbiased estimator of <x,y> for ±1 sign
+    // matrices (Achlioptas 2003); with k=16 the per-pair noise is
+    // O(1/√16). Gate both the bias (must be ~0) and the RMSE.
+    val emb = Tables.embeddings(spark, sfTiny).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val proj = search.Projection.randomProjection.fn(spark, sfTiny)
+      .collect().map(r =>
+        (1 to search.Projection.DimOut).map(r.getDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val errs = for (i <- 0 until 60; j <- i + 1 until 60)
+      yield cos(proj(i), proj(j)) - cos(emb(i), emb(j))
+    val bias = errs.sum / errs.size
+    val rmse = math.sqrt(errs.map(e => e * e).sum / errs.size)
+    assert(math.abs(bias) < 0.05, s"projection bias $bias")
+    assert(rmse < 0.35, s"projection rmse $rmse")
+  }
+
   test("q31 minhash-LSH: finds >= 95% of exact high-Jaccard pairs") {
     // Exact word-token Jaccard over the full sf0.01 corpus (500 docs —
     // all-pairs is affordable in a test), thresholded at q31's 0.9.

@@ -19,7 +19,7 @@ object SparkEntry {
       ops.Layout.defs ++ graph.PageRank.defs ++
       ml.Recommend.defs ++ ml.QualityModel.defs ++
       dedup.Dedup.defs ++
-      search.Ann.defs ++ search.Projection.defs ++
+      search.Ann.defs ++ search.Projection.defs ++ search.Pq.defs ++
       text.TextAnalysis.defs ++ text.Vocab.defs ++
       streaming.Rescoring.defs ++ mm.Multimodal.defs ++
       pipeline.Curation.defs

@@ -1,0 +1,148 @@
+package graft.search
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (Jégou et al. 2011, "Product quantization
+  * for nearest neighbor search") — the fourth point on the exact →
+  * LSH → IVF → PQ cost/recall curve, and the one that changes the
+  * STORAGE story: each corpus vector compresses to M sub-codes
+  * (M=8 × 4 bits of centroid id here ≈ 8 bytes vs 256 bytes of
+  * floats), so the scan side of a 100 TB vector corpus becomes a
+  * ~3 TB code table that stays memory-resident per executor.
+  *
+  * Shape per query: asymmetric distance computation — the query
+  * builds one 16-entry inner-product lookup table per subspace
+  * (against the trained codebook, index metadata exactly like IVF's
+  * centroids), and every corpus candidate scores as 8 array lookups
+  * + 7 adds, pure codegen arithmetic, no vector math on the scan
+  * path. An ADC shortlist then re-ranks EXACTLY against the raw
+  * vectors — the standard two-stage recipe, so the recall gate
+  * (RecallSpec ≥ 0.8 vs exact) measures shortlist quality, not
+  * score-approximation noise.
+  *
+  * Training mirrors q48's IVF recipe: per-subspace k-means on a
+  * bounded sample (centroids stabilize at O(100·k) points), k-means||
+  * init, few Lloyd iterations. Corpus vectors are L2-normalized at
+  * encode time so inner-product ADC ranks by cosine.
+  */
+object Pq {
+
+  val M = 8            // subspaces
+  val SubDim = 8       // dims per subspace (M * SubDim = 64)
+  val Codebook = 16    // centroids per subspace
+  val Shortlist = 64   // ADC candidates re-ranked exactly
+  val K = 5            // final neighbors per query
+  val NumQueries = 10
+
+  private def normalized(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(vec, x => x.cast("double") / greatest(norm, lit(1e-30)))
+  }
+
+  /** Corpus codes (vec_id, code0..code{M-1}) plus the per-subspace
+    * codebooks (sub → Array[centroid][dim]).
+    */
+  def encode(emb: DataFrame): (DataFrame, Array[Array[Array[Double]]]) = {
+    val normed = emb.select(col("vec_id"),
+      normalized(col("embedding")).as("nv"))
+    val withSubs = (0 until M).foldLeft(normed) { (df, m) =>
+      df.withColumn(s"fv$m",
+        array_to_vector(slice(col("nv"), m * SubDim + 1, SubDim)))
+    }
+    val trainCap = 250 * Codebook
+    val n = emb.count()
+    val sampled =
+      if (n <= trainCap) withSubs
+      else withSubs.sample(withReplacement = false,
+        trainCap.toDouble / n, 42L)
+    // One materialization feeds all M fits (each otherwise re-runs
+    // the normalize + slice DAG), and the fits run concurrently —
+    // they train on disjoint feature columns of the same sample, so
+    // the M k-means|| jobs interleave instead of queueing.
+    val train = sampled.localCheckpoint()
+    val models = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence((0 until M).map { m =>
+        Future {
+          new KMeans().setK(Codebook).setSeed(42L + m).setMaxIter(5)
+            .setFeaturesCol(s"fv$m").setPredictionCol(s"code$m")
+            .fit(train)
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
+    }
+    val coded = models.zipWithIndex
+      .foldLeft(withSubs) { case (df, (model, _)) => model.transform(df) }
+      .select(col("vec_id") +:
+        (0 until M).map(m => col(s"code$m")): _*)
+    val codebooks = models.map(_.clusterCenters.map(_.toArray)).toArray
+    (coded, codebooks)
+  }
+
+  /** q84 — PQ ANN top-k: ADC shortlist over the code table, exact
+    * cosine re-rank. Rows-only (k-means codebooks are engine-
+    * specific); RecallSpec carries the measured gate.
+    */
+  val pqTopK: QueryDef = QueryDef.rowsOnly("q84_ann_pq") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val (codes, books) = encode(emb)
+    // Query LUTs are index metadata (M × Codebook inner products per
+    // query — a few hundred doubles), built from the collected query
+    // vectors like IVF builds its probe list from clusterCenters.
+    val qRows = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val luts = qRows.map { case (qid, qv) =>
+      val tables = (0 until M).map { m =>
+        books(m).map { c =>
+          var s = 0.0
+          for (i <- 0 until SubDim) s += qv(m * SubDim + i) * c(i)
+          s
+        }.toSeq
+      }
+      (qid, tables(0), tables(1), tables(2), tables(3),
+        tables(4), tables(5), tables(6), tables(7))
+    }.toSeq
+    import s.implicits._
+    val queries = luts.toDF("query_id", "lut0", "lut1", "lut2", "lut3",
+      "lut4", "lut5", "lut6", "lut7")
+    val adc = (0 until M).map(m =>
+      element_at(col(s"lut$m"), col(s"code$m") + 1)).reduceLeft(_ + _)
+    val shortW = Window.partitionBy("query_id")
+      .orderBy(desc("adc_sim"), asc("neighbor_id"))
+    val short = broadcast(queries).crossJoin(codes)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc_sim"))
+      .withColumn("srn", row_number().over(shortW))
+      .filter(col("srn") <= Shortlist)
+      .select("query_id", "neighbor_id")
+    // exact re-rank of the shortlist only
+    val qv = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    short.join(broadcast(qv), "query_id").join(corpus, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.cosine_sim(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pqTopK)
+}

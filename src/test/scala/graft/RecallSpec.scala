@@ -52,6 +52,11 @@ class RecallSpec extends SparkSpec {
     assert(rmse < 0.35, s"projection rmse $rmse")
   }
 
+  test("q84 PQ ANN: recall@5 >= 0.8 vs exact top-k") {
+    val r = recallVsExact(search.Pq.pqTopK.fn(spark, sfSmall))
+    assert(r >= 0.8, s"PQ recall@5 = $r")
+  }
+
   test("q31 minhash-LSH: finds >= 95% of exact high-Jaccard pairs") {
     // Exact word-token Jaccard over the full sf0.01 corpus (500 docs —
     // all-pairs is affordable in a test), thresholded at q31's 0.9.

@@ -58,6 +58,34 @@ object Analytics {
       .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
   }
 
+  /** q86 — PIVOT: long→wide reshaping of per-day activity, one
+    * column per event type. Spark's `pivot` with an EXPLICIT value
+    * list compiles to a single hash aggregate of `sum(CASE WHEN …)`
+    * columns — one shuffle, no second pass to discover the pivot
+    * domain (the implicit form runs a distinct() job first; at
+    * 100 TB the domain must be declared, not discovered). The
+    * oracle spells out the same conditional aggregation.
+    */
+  val pivotQ: QueryDef = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    QueryDef.sql(
+      "q86_pivot",
+      "SELECT CAST(ts AS DATE) AS day, " + types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN " +
+          s"CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t")
+        .mkString(", ") +
+        " FROM events GROUP BY CAST(ts AS DATE) ORDER BY day"
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(sum("v").cast("double"))
+        .orderBy("day")
+    }
+  }
+
   /** Semi-structured extraction from the JSON `props` column — both a
     * JSON-path read and a regexp fallback (F-surface the reference
     * never had; its props equivalent was `|`-joined strings).
@@ -114,5 +142,6 @@ object Analytics {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    windowAnalytics, rollupStats, jsonExtract, distinctAgg, approxDistinct)
+    windowAnalytics, rollupStats, pivotQ, jsonExtract, distinctAgg,
+    approxDistinct)
 }

@@ -700,9 +700,39 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** q85 — deterministic weighted Bernoulli sampling: keep each doc
+    * with probability `w` (here a length-derived weight; any [0,1)
+    * score column works — quality, dedup keeper-ness, language
+    * priority). The coin is the doc's md5 prefix compared against the
+    * weight mapped to the same 32-bit hex grid — pure per-row
+    * arithmetic, zero shuffle, zero RNG state, and REPRODUCIBLE:
+    * rerunning the pipeline (or re-sampling a replicated shard on
+    * another executor) keeps exactly the same rows, which is what
+    * separates a curation sampler from `rand() < w`. Corpus-mixing
+    * quotas (q69) pick exact counts; this is the per-row-probability
+    * complement.
+    */
+  val weightedSample: QueryDef = QueryDef.sql(
+    "q85_weighted_sample",
+    """WITH w AS (SELECT doc_id, n_chars,
+      |  least(CAST(0.95 AS DOUBLE), CAST(n_chars AS DOUBLE)/1000.0)
+      |    AS w FROM documents)
+      | SELECT doc_id, n_chars, w FROM w
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |  < lpad(lower(hex(CAST(floor(w*4294967296) AS BIGINT))), 8, '0')
+      | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        least(lit(0.95), col("n_chars").cast("double") / 1000.0).as("w"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) <
+        lpad(lower(hex(floor(col("w") * 4294967296L))), 8, "0"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
-    tfidfTerms)
+    tfidfTerms, weightedSample)
 }

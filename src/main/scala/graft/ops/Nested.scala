@@ -77,5 +77,37 @@ object Nested {
       .orderBy("window_start", "event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(nestedTopOrders, tumblingWindow)
+  /** q87 — SLIDING event-time windows (1 day, sliding every 6 h):
+    * the trending-metrics shape (each event counted in day-long
+    * windows at 4 offsets). Spark's `window(slide)` expands each row
+    * to duration/slide copies BEFORE the hash aggregate — a
+    * constant-factor map-side blowup, still one shuffle, and the
+    * partial aggregate collapses it back to |windows|×|types| rows.
+    * The oracle makes the same expansion explicit with a 4-row
+    * offset cross join onto `time_bucket`.
+    */
+  val slidingWindow: QueryDef = QueryDef.sql(
+    "q87_sliding_window",
+    """SELECT time_bucket(INTERVAL '6 hours', ts)
+      |   - o.k * INTERVAL '6 hours' AS window_start,
+      | event_type, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      | FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) o(k)
+      | GROUP BY window_start, event_type
+      | ORDER BY window_start, event_type""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val defs: Seq[QueryDef] = Seq(nestedTopOrders, tumblingWindow,
+    slidingWindow)
 }

@@ -367,6 +367,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: an event lands in duration/slide windows " +
+      "and finalizes under the watermark") {
+    // streaming spelling of q87: 1 h windows sliding every 15 min
+    val input = MemoryStream[RatingEvent](spark)
+    val windowed = input.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("productId"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("productId"), col("n"))
+    val q = windowed.writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    try {
+      input.addData(RatingEvent(1, 10, 5.0, ts(3600)))
+      q.processAllAvailable()
+      input.addData(RatingEvent(3, 12, 1.0, ts(30000))) // closes all
+      q.processAllAvailable()
+      // event at t=1h belongs to starts {15,30,45,60 min}: 4 windows
+      val rows = spark.table("slide_out")
+        .filter(col("productId") === 10).collect()
+      assert(rows.length == 4, rows.mkString(";"))
+      assert(rows.map(_.getAs[Long]("n")).forall(_ == 1))
+      assert(rows.map(_.getAs[Timestamp]("ws").getTime).sorted.toSeq ==
+        Seq(900L, 1800L, 2700L, 3600L).map(_ * 1000))
+    } finally q.stop()
+  }
+
   test("session windows: streaming result equals batch, finalized by watermark") {
     val rows = Seq( // (user, epoch-sec): u1 has two sessions, u2 one
       (1L, 100L), (1L, 700L), (1L, 900L), // session A: 3 events

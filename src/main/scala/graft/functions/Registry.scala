@@ -103,5 +103,10 @@ object Registry {
         TopKAgg(id, score, litInt(k, "k")).toAggregateExpression()
       case e => arity("top_k_agg", e.size, "3")
     })
+    ColumnBridge.registerFunction(spark, "heavy_hitters", {
+      case Seq(item, k) =>
+        MisraGries(item, litInt(k, "k")).toAggregateExpression()
+      case e => arity("heavy_hitters", e.size, "2")
+    })
   }
 }

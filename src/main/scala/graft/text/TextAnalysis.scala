@@ -3,6 +3,7 @@ package graft.text
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup.shingles
 import graft.functions.HashFunctions.{minhash_sig, sig_matches}
+import graft.functions.FrequencyAggregates.heavy_hitters
 import graft.functions.SketchAggregates.minhash_union
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -730,9 +731,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Two-pass EXACT heavy hitters — the bounded-state spelling of
+    * corpus term frequency for key spaces too large to shuffle.
+    * Pass 1: one narrow scan folds into a single k=64-counter
+    * Misra–Gries summary ([[graft.functions.MisraGries]], map-side
+    * partials, k counters per partition — never a vocabulary-sized
+    * hash aggregate). The MG guarantee makes the summary a SUPERSET
+    * of every token with frequency > N/(k+1) ⊇ > N/30. Pass 2:
+    * recount exactly, but only over the ≤ 64 surviving candidates
+    * (broadcast semi-join keeps the second aggregate's key space at
+    * most k), then apply the threshold `cnt * 30 > N` in integer
+    * arithmetic. The superset guarantee is what makes the two-pass
+    * result EXACT — hence a full DuckDB oracle despite the sketch in
+    * the middle.
+    */
+  val heavyHitters: QueryDef = QueryDef.sql(
+    "q88_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      | tot AS (SELECT count(*) AS n FROM tok)
+      | SELECT t AS term, count(*) AS cnt FROM tok GROUP BY t
+      | HAVING count(*) * 30 > (SELECT n FROM tot)
+      | ORDER BY cnt DESC, term""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("t"))
+    val sketch = tok
+      .agg(heavy_hitters(col("t"), 64).as("hh"), count(lit(1)).as("n"))
+    val cand = sketch
+      .select(col("n"), explode(col("hh")).as("e"))
+      .select(col("n"), col("e.item").as("t"))
+    tok.join(broadcast(cand), "t")
+      .groupBy("t", "n").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(30L) > col("n"))
+      .select(col("t").as("term"), col("cnt"))
+      .orderBy(desc("cnt"), asc("term"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
-    tfidfTerms, weightedSample)
+    tfidfTerms, weightedSample, heavyHitters)
 }

@@ -20,7 +20,7 @@ object SparkEntry {
       ml.Recommend.defs ++ ml.QualityModel.defs ++
       dedup.Dedup.defs ++
       search.Ann.defs ++ search.Projection.defs ++ search.Pq.defs ++
-      text.TextAnalysis.defs ++ text.Vocab.defs ++
+      text.TextAnalysis.defs ++ text.Vocab.defs ++ text.Retrieval.defs ++
       streaming.Rescoring.defs ++ mm.Multimodal.defs ++
       pipeline.Curation.defs
 

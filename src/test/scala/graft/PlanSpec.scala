@@ -246,4 +246,23 @@ class PlanSpec extends SparkSpec {
       assert(naive.nonEmpty)
     } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
   }
+
+  test("q88: the heavy-hitter sketch has map-side partials; recount joins broadcast") {
+    val p = plan(text.TextAnalysis.heavyHitters.fn(spark, sfSmall))
+    assert(p.contains("partial_misragries"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q89: idf and corpus stats broadcast; term filter precedes the tf aggregate") {
+    val p = plan(text.Retrieval.bm25.fn(spark, sfSmall))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the IN-list on query terms must run scan-side, before any shuffle
+    assert(p.contains("t IN") || p.contains("t#"), p)
+  }
+
+  test("q90: posting cap is a WindowGroupLimit, not a full per-term sort") {
+    val p = plan(text.Retrieval.invertedIndex.fn(spark, sfSmall))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

@@ -896,7 +896,64 @@ object Dedup {
         .select("doc_id").orderBy("doc_id")
     }
 
+  /** Fuzzy decontamination: flag corpus documents NEAR-duplicate
+    * (token-set Jaccard ≥ 0.8) to any held-out benchmark document —
+    * the recall-side complement of q60's exact shingle overlap, which
+    * a light paraphrase or truncation evades.
+    *
+    * Scale shape: the benchmark side (eval sets — thousands of docs
+    * against a 100 TB corpus) is banded and BROADCAST, so the corpus
+    * contributes one narrow signature pass and a map-side hash join on
+    * (band, band_hash) — no corpus shuffle at all before the
+    * candidate filter. Candidates dedup band-collisions with the
+    * first-equal-band trick (no pair `distinct` shuffle), then only
+    * surviving ids re-attach token sets for the exact merge-intersect
+    * verify; benchmark token sets broadcast likewise.
+    */
+  val fuzzyDecontaminate: QueryDef =
+    QueryDef.rowsOnly("q91_fuzzy_decontaminate") { (s, d) =>
+      val numHashes = 64; val bands = 8; val threshold = 0.8
+      val prefLen = math.min(numHashes, 32)
+      val sets = tokenSets(Tables.documents(s, d))
+      val bench = sets.filter(col("doc_id") % 97 === 0)
+      val corpus = sets.filter(col("doc_id") % 97 =!= 0)
+      val bb = bandedSig(bench, numHashes, bands)
+        .select(col("band"), col("band_hash"),
+          col("doc_id").as("bench_id"), col("sz").as("sz_b"),
+          col("pref").as("pref_b"), col("bh").as("bh_b"))
+      val cb = bandedSig(corpus, numHashes, bands)
+        .select(col("band"), col("band_hash"), col("doc_id"),
+          col("sz").as("sz_a"), col("pref").as("pref_a"),
+          col("bh").as("bh_a"))
+      val estJaccard =
+        sig_matches(col("pref_a"), col("pref_b")).cast("double") / prefLen
+      val cand = cb.join(broadcast(bb), Seq("band", "band_hash"))
+        .filter(least(col("sz_a"), col("sz_b")) >=
+          greatest(col("sz_a"), col("sz_b")) * threshold)
+        .filter(first_equal_band(col("bh_a"), col("bh_b"), bands)
+          === col("band"))
+        .filter(estJaccard >= threshold - 0.25)
+        .select("doc_id", "bench_id")
+      cand
+        .join(corpus.select(col("doc_id"), col("toks").as("toks_a")),
+          "doc_id")
+        .join(broadcast(bench.select(col("doc_id").as("bench_id"),
+          col("toks").as("toks_b"))), "bench_id")
+        .withColumn("inter",
+          sorted_intersect_size(col("toks_a"), col("toks_b"))
+            .cast("double"))
+        .withColumn("jaccard",
+          col("inter") /
+            (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(round(max(col("jaccard")), 4).as("max_jaccard"),
+          count(lit(1)).as("n_bench_matches"))
+        .orderBy("doc_id")
+    }
+
   val defs: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine, clusters,
-      decontaminate, decontaminateBloom, incrementalNearDup)
+      decontaminate, decontaminateBloom, incrementalNearDup,
+      fuzzyDecontaminate)
 }

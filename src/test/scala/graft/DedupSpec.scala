@@ -375,4 +375,36 @@ class DedupSpec extends SparkSpec {
     info(f"bloom decontamination false-positive rate: $fp%.5f")
     assert(fp <= 0.02, f"doc-level FP rate $fp%.4f above 2%%")
   }
+
+  test("q91 fuzzy decontamination: no false positives, catches J>=0.9 docs") {
+    // brute-force exact cross jaccard (bench x corpus) at sf0.001
+    val sets = Dedup.tokenSets(Tables.documents(spark, sfTiny))
+    val bench = sets.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("toks").as("toks_b"))
+    val corpus = sets.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("toks").as("toks_a"))
+    val exact = corpus.crossJoin(bench)
+      .withColumn("inter",
+        sorted_intersect_size(col("toks_a"), col("toks_b")).cast("double"))
+      .withColumn("j", col("inter") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .groupBy("doc_id").agg(max("j").as("max_j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Dedup.fuzzyDecontaminate.fn(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // soundness: every flagged doc really has a >= 0.8 bench match
+    // (the verify stage is exact, so a report is never inflated) —
+    // the reported max can sit BELOW the true max when LSH catches a
+    // different >= 0.8 pair than the argmax, so bound, don't equate
+    got.foreach { case (id, mj) =>
+      assert(exact(id) >= 0.8, s"doc $id flagged but true max ${exact(id)}")
+      assert(mj <= exact(id) + 5e-5, s"doc $id reports $mj > true max")
+      assert(mj >= 0.8 - 5e-5, s"doc $id reported below threshold: $mj")
+    }
+    // recall: docs with a J >= 0.9 bench near-dup must all be caught
+    val mustCatch = exact.filter(_._2 >= 0.9).keySet
+    val missed = mustCatch -- got.keySet
+    assert(missed.isEmpty, s"missed high-J contaminated docs: $missed")
+    info(s"flagged ${got.size} docs; ${mustCatch.size} had J>=0.9 matches")
+  }
 }

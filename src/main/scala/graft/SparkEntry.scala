@@ -17,7 +17,7 @@ object SparkEntry {
       ops.Analytics.defs ++ ops.Nested.defs ++ ops.TopK.defs ++
       ops.Temporal.defs ++ ops.RangeOps.defs ++ ops.Cdc.defs ++
       ops.Layout.defs ++ graph.PageRank.defs ++
-      ml.Recommend.defs ++ ml.QualityModel.defs ++
+      ml.Recommend.defs ++ ml.QualityModel.defs ++ ml.Sampling.defs ++
       dedup.Dedup.defs ++
       search.Ann.defs ++ search.Projection.defs ++ search.Pq.defs ++
       text.TextAnalysis.defs ++ text.Vocab.defs ++ text.Retrieval.defs ++

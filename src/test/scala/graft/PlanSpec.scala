@@ -265,4 +265,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(text.Retrieval.invertedIndex.fn(spark, sfSmall))
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q92: negative sampling is a bucket equi-join, never a cartesian") {
+    val p = plan(ml.Sampling.negativeSample.fn(spark, sfSmall))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

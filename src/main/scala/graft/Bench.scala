@@ -18,9 +18,16 @@ object Bench {
       .collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // Dev-loop subset (same contract as Verify): SPARK_GRAFT_ONLY=q23,q48
+    // benches only matching queries. Unset (the driver's invocation) = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     // Sorted order: stable round-over-round attribution (first query
     // otherwise absorbs JVM/codegen warmup for a random victim).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => wanted(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -139,6 +139,28 @@ object StreamPipeline {
                  c_ts >= ts - interval $horizon AND
                  c_ts < ts"""))
 
+  /** Windowed trending terms with DOUBLY bounded state: per sliding
+    * event-time window, the top terms of a document stream via the
+    * Misra–Gries heavy-hitters aggregate
+    * ([[graft.functions.MisraGries]]). A count-per-term windowed
+    * aggregate holds state proportional to each window's VOCABULARY —
+    * unbounded on a web-scale stream; the sketch holds exactly k
+    * counters per open window, and the watermark bounds how many
+    * windows stay open. The trade is the MG contract: items above
+    * n/(k+1) of a window's token volume are guaranteed present,
+    * estimates undercount by at most that bound — the right contract
+    * for "what's trending", which only asks about the head.
+    */
+  def trendingTerms(docs: DataFrame, winDur: String = "10 minutes",
+      slide: String = "5 minutes", k: Int = 8,
+      lateness: String = "10 minutes"): DataFrame =
+    docs.withWatermark("ts", lateness)
+      .select(col("ts"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(window(col("ts"), winDur, slide))
+      .agg(graft.functions.FrequencyAggregates.heavy_hitters(
+        col("term"), k).as("top_terms"))
+      .select(col("window.start").as("ws"), col("top_terms"))
+
   /** Streaming exact dedup with BOUNDED state: duplicate keys arriving
     * within the watermark horizon are dropped
     * (`dropDuplicatesWithinWatermark`), and a key's state is evicted

@@ -436,6 +436,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending terms: per-window heavy hitters finalize under the " +
+      "watermark, counts exact below sketch capacity") {
+    val input = MemoryStream[(String, Timestamp)](spark)
+    val out = StreamPipeline.trendingTerms(
+      input.toDS().toDF("text", "ts"),
+      winDur = "1 hour", slide = "1 hour", k = 8)
+    val q = out.writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("spark spark spark join", ts(100)),
+        ("join spark hash", ts(200)),
+        ("hash hash window", ts(3000)))
+      q.processAllAvailable()
+      input.addData(("late closes window", ts(30000)))
+      q.processAllAvailable()
+      val rows = spark.table("trend_out")
+        .filter(col("ws") === ts(0)).collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val terms = rows.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 10 tokens over 5 distinct terms, k=8 > 5: MG degenerates to
+      // exact counts, so the window's term profile is exact
+      assert(terms == Map("spark" -> 4L, "hash" -> 3L, "join" -> 2L,
+        "window" -> 1L))
+    } finally q.stop()
+  }
+
   test("topk aggregator equals window top-k") {
     val aggQ = ops.TopK.topKAggQuery.fn(spark, sfTiny)
     val winQ = ops.Relational.topKPerGroup.fn(spark, sfTiny)

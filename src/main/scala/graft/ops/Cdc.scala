@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot differencing — the change-data-capture primitive a
@@ -125,5 +126,49 @@ object Cdc {
       .orderBy("event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(snapshotDiffQ, incrementalAgg)
+  /** SCD2 history build: each (user, product) interaction becomes a
+    * versioned row with `[valid_from, valid_to)` effectivity — the
+    * slowly-changing-dimension shape every warehouse keeps for
+    * point-in-time training-data reconstruction ("what did the user's
+    * state look like when this label was generated?"). The reference
+    * overwrites state in place (`findAndRemove` + insert,
+    * `StreamingRecommender.scala:254-263`), losing history; this is
+    * the auditable spelling.
+    *
+    * Scale shape: one window over the natural key — a single shuffle
+    * on (u, p), no self-join (the naive `lead` spelling as a
+    * range-join would rescan history per row). Ties on ts break by
+    * event_id on BOTH engines so version chains are deterministic;
+    * the final sort pins NULLS FIRST explicitly because Spark and
+    * DuckDB disagree on the default.
+    */
+  val scd2History: QueryDef = QueryDef.sql(
+    "q93_scd2_history",
+    """WITH r AS (SELECT CAST(user_id AS INT) AS u,
+      |   CAST(event_id % 200 AS INT) AS p, ts, event_id, value
+      |   FROM events),
+      | h AS (SELECT u, p, value, ts AS valid_from,
+      |   lead(ts) OVER (PARTITION BY u, p ORDER BY ts, event_id)
+      |     AS valid_to FROM r)
+      | SELECT u AS user_id, p AS product_id, value, valid_from, valid_to,
+      |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+      |    AS is_current
+      | FROM h ORDER BY user_id, product_id, valid_from,
+      |  valid_to NULLS FIRST, value""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val w = Window.partitionBy("u", "p").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id").cast("int").as("u"),
+        (col("event_id") % 200).cast("int").as("p"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("u").as("user_id"), col("p").as("product_id"),
+        col("value"), col("ts").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int")
+          .as("is_current"))
+      .orderBy(asc("user_id"), asc("product_id"), asc("valid_from"),
+        asc_nulls_first("valid_to"), asc("value"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(snapshotDiffQ, incrementalAgg, scd2History)
 }

@@ -41,6 +41,24 @@ class BatchQueriesSpec extends SparkSpec {
       4L -> "delete", 5L -> "insert"), got.toString)
   }
 
+  test("q93: SCD2 chains are contiguous with exactly one current row per key") {
+    val h = ops.Cdc.scd2History.fn(spark, sfTiny)
+    val byKey = h.collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+    byKey.foreach { case (k, rows) =>
+      assert(rows.count(_.getInt(5) == 1) == 1, s"$k current-row count")
+      val sorted = rows.sortBy(_.getTimestamp(3).getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(4) == b.getTimestamp(3),
+            s"$k: gap between versions")
+        case _ => ()
+      }
+      assert(sorted.last.isNullAt(4), s"$k: current row must be open-ended")
+    }
+    assert(byKey.nonEmpty)
+  }
+
   test("q01 counts sum to total events") {
     val total = Tables.events(spark, sfTiny).count()
     val summed = ops.Statistics.rateMoreProducts.fn(spark, sfTiny)

@@ -108,5 +108,9 @@ object Registry {
         MisraGries(item, litInt(k, "k")).toAggregateExpression()
       case e => arity("heavy_hitters", e.size, "2")
     })
+    ColumnBridge.registerFunction(spark, "zorder_key", {
+      case Seq(x, y) => ZOrderKey(x, y)
+      case e => arity("zorder_key", e.size, "2")
+    })
   }
 }

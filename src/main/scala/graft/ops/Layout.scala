@@ -102,5 +102,32 @@ object Layout {
       .orderBy("event_type")
   }
 
-  val defs: Seq[QueryDef] = Seq(saltedJoinQ)
+  /** Z-order layout key over (user, product): the write-side layout
+    * step for a fact table queried by EITHER dimension. Sorting or
+    * range-partitioning output files by this key keeps per-file
+    * min/max tight on both columns, so single-dimension predicates
+    * prune files regardless of which dimension they hit (LayoutSpec
+    * measures the bounding-box shrink vs natural order). The key is
+    * one codegen'd expression ([[graft.functions.ZOrderKey]], 24
+    * shift/mask ops, branch-free) — the layout pass adds no
+    * interpreted stage to the write path. The oracle recomputes the
+    * interleave bit-by-bit.
+    */
+  val zorderKey: QueryDef = QueryDef.sql(
+    "q94_zorder_key",
+    """SELECT event_id, CAST(list_sum(
+      |  [(((CAST(user_id AS BIGINT) >> i) & 1) << (2*i))
+      |   + ((((event_id % 200) >> i) & 1) << (2*i+1))
+      |   for i in generate_series(0, 31)]) AS BIGINT) AS zkey
+      | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        graft.functions.LayoutFunctions.zorder_key(
+          col("user_id").cast("int"),
+          (col("event_id") % 200).cast("int")).as("zkey"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(saltedJoinQ, zorderKey)
 }

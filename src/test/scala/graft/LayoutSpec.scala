@@ -55,4 +55,48 @@ class LayoutSpec extends SparkSpec {
     assert(plain.except(
       salted.select(plain.columns.map(col): _*)).isEmpty)
   }
+
+  test("zorder_key matches a bit-by-bit reference, unsigned mask semantics") {
+    import spark.implicits._
+    def ref(x: Int, y: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 32) {
+        z |= ((x.toLong >> i) & 1L) << (2 * i)
+        z |= ((y.toLong >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(11)
+    val cases = Seq((0, 0), (1, 0), (0, 1), (5, 3), (-1, 0),
+      (Int.MinValue, Int.MaxValue)) ++
+      (1 to 50).map(_ => (rnd.nextInt(), rnd.nextInt()))
+    val got = cases.toDF("x", "y")
+      .select(graft.functions.LayoutFunctions.zorder_key(
+        col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (x, y) => ref(x, y) })
+  }
+
+  test("zorder layout shrinks per-partition bounding boxes vs natural order") {
+    import graft.functions.LayoutFunctions.zorder_key
+    val ev = Tables.events(spark, sfSmall)
+      .select(col("user_id").cast("int").as("u"),
+        (col("event_id") % 200).cast("int").as("p"),
+        col("event_id"))
+    def boxArea(df: org.apache.spark.sql.DataFrame): Double =
+      df.groupBy(spark_partition_id().as("part"))
+        .agg((max("u") - min("u")).cast("double").as("du"),
+          (max("p") - min("p")).cast("double").as("dp"))
+        .select(sum(col("du") * col("dp")).as("a"))
+        .head.getDouble(0)
+    val natural = boxArea(ev.repartitionByRange(16, col("event_id")))
+    val zordered = boxArea(
+      ev.repartitionByRange(16, zorder_key(col("u"), col("p"))))
+    info(f"bounding-box area: natural $natural%.0f, z-ordered $zordered%.0f")
+    // natural order clusters NEITHER dimension (event_id is unrelated
+    // to u and p), so every partition spans the full (u, p) domain;
+    // the z-layout must cut the summed area at least in half
+    assert(zordered < natural / 2,
+      s"z-order $zordered not < half of natural $natural")
+  }
 }

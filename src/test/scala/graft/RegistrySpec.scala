@@ -20,6 +20,15 @@ class RegistrySpec extends SparkSpec {
     assert(r.getInt(3) >= 0 && r.getInt(3) < 256)
   }
 
+  test("zorder_key is callable from SQL and type-checks") {
+    Registry.register(spark)
+    assert(spark.sql("SELECT zorder_key(5, 3) AS z").head.getLong(0) == 27L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT zorder_key(CAST(5 AS BIGINT), 3)").collect()
+    }
+    assert(e.getMessage.contains("zorder_key"))
+  }
+
   test("minhash/LSH expressions are callable from SQL") {
     Registry.register(spark)
     Seq((Seq(3L, 1L, 2L), Seq(1L, 2L, 3L)))

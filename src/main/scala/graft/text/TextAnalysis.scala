@@ -768,9 +768,61 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("term"))
   }
 
+  /** Quality percentile gate: keep documents at or above their
+    * language's 75th-percentile quality score (q40's formula) — the
+    * "keep the best quartile per language" curation cut, with the
+    * threshold DERIVED from the corpus rather than hand-set, so one
+    * knob survives distribution shift across languages and crawls.
+    *
+    * This spelling computes the per-language threshold exactly (one
+    * row_number window per language = one shuffle; threshold row
+    * broadcast back). At 100 TB the drop-in replacement for the
+    * threshold CTE is the KLL sketch aggregate (q66,
+    * [[graft.functions.KllQuantiles]]) — same join contract, sketch
+    * error instead of a per-language sort; this exact spelling is
+    * what the oracle can check (and what the sketch is gated against
+    * in QuantileSpec).
+    */
+  val qualityGate: QueryDef = QueryDef.sql(
+    "q95_quality_gate",
+    s"""WITH q AS (SELECT doc_id, lang,
+       |   0.5 * (CAST(len(list_filter(string_split(text, ' '),
+       |     t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))
+       |     AS DOUBLE) / len(string_split(text, ' ')))
+       |   + 0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |     / 100.0, 1.0) AS quality
+       |   FROM documents),
+       | r AS (SELECT lang, quality, row_number() OVER (PARTITION BY lang
+       |   ORDER BY quality, doc_id) AS rk,
+       |   count(*) OVER (PARTITION BY lang) AS n FROM q),
+       | thr AS (SELECT lang, quality AS thr FROM r
+       |   WHERE rk = CAST(ceil(0.75 * n) AS BIGINT))
+       | SELECT q.doc_id, q.lang, q.quality, thr.thr
+       | FROM q JOIN thr USING (lang) WHERE q.quality >= thr.thr
+       | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val t = toks(col("text"))
+    val stopCnt = size(filter(t, x => x.isin(stopwords: _*)))
+    val nWords = size(t)
+    val q = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      (lit(0.5) * (stopCnt.cast("double") / nWords) +
+        lit(0.5) * least(nWords.cast("double") / 100.0, lit(1.0)))
+        .as("quality"))
+    val w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    val thr = q
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rk") === ceil(lit(0.75) * col("n")).cast("long"))
+      .select(col("lang"), col("quality").as("thr"))
+    q.join(broadcast(thr), "lang")
+      .filter(col("quality") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("thr"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
-    tfidfTerms, weightedSample, heavyHitters)
+    tfidfTerms, weightedSample, heavyHitters, qualityGate)
 }

@@ -89,4 +89,40 @@ class QuantileSpec extends SparkSpec {
       }
     }
   }
+
+  test("sketch-derived p75 threshold is a drop-in for q95's exact gate") {
+    // the q95 scaladoc contract: swapping the exact-window threshold
+    // CTE for kll_quantiles keeps the kept-set within the sketch's
+    // rank error (2.5% of each language's docs)
+    // all-docs quality (q40's formula), NOT the gated q95 output —
+    // a low sketch threshold must be able to keep docs the exact
+    // gate dropped
+    val stop = text.TextAnalysis.stopwords
+    val t = split(col("text"), " ")
+    val allQ = Tables.documents(spark, sfSmall)
+      .select(col("lang"),
+        (lit(0.5) * (size(filter(t, x => x.isin(stop: _*))).cast("double")
+          / size(t)) +
+          lit(0.5) * least(size(t).cast("double") / 100.0, lit(1.0)))
+          .as("quality"))
+      .cache()
+    val sketchThr = allQ.groupBy("lang")
+      .agg(kll_quantiles(col("quality"), 256, Seq(0.75)).as("thr"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    val full = allQ.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactKept = text.TextAnalysis.qualityGate.fn(spark, sfSmall)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sketchThr.foreach { case (lang, thr) =>
+      val keptBySketch = allQ.filter(col("lang") === lang)
+        .filter(col("quality") >= thr).count()
+      // both gates keep ~25%; their disagreement is bounded by the
+      // sketch rank error (2.5% of the language's corpus) plus ties
+      val diff = math.abs(keptBySketch - exactKept(lang)).toDouble
+      assert(diff <= math.max(0.025 * full(lang), 2.0),
+        s"$lang: sketch gate kept $keptBySketch vs exact ${exactKept(lang)}")
+    }
+    allQ.unpersist()
+  }
 }

@@ -141,7 +141,43 @@ object Analytics {
         .orderBy("l_returnflag")
   }
 
+  /** Rank-family completeness over q28's value windows: ntile decile
+    * bucketing (the "split each language into quality deciles"
+    * curation primitive), percent_rank and cume_dist — all over ONE
+    * per-language window (ties broken by doc_id so both engines
+    * bucket identically), then a compact per-(lang, decile) rollup.
+    * Scale: a single shuffle on lang; the decile aggregate reuses the
+    * window's partitioning.
+    */
+  val ntileDeciles: QueryDef = QueryDef.sql(
+    "q97_ntile_deciles",
+    """WITH r AS (SELECT lang, n_chars,
+      |   ntile(10) OVER w AS decile,
+      |   percent_rank() OVER w AS pr,
+      |   cume_dist() OVER w AS cd
+      |   FROM documents WINDOW w AS (PARTITION BY lang
+      |     ORDER BY n_chars, doc_id))
+      | SELECT lang, CAST(decile AS INT) AS decile, count(*) AS n,
+      |  CAST(min(n_chars) AS BIGINT) AS lo,
+      |  CAST(max(n_chars) AS BIGINT) AS hi,
+      |  round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
+      | FROM r GROUP BY lang, decile
+      | ORDER BY lang, decile""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy(asc("n_chars"), asc("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("n_chars").as("lo"), max("n_chars").as("hi"),
+        round(max("pr"), 6).as("max_pr"), round(max("cd"), 6).as("max_cd"))
+      .orderBy("lang", "decile")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     windowAnalytics, rollupStats, pivotQ, jsonExtract, distinctAgg,
-    approxDistinct)
+    approxDistinct, ntileDeciles)
 }

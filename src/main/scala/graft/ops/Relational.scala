@@ -226,8 +226,29 @@ object Relational {
       .orderBy("key")
   }
 
+  /** Multiset (bag) difference — `EXCEPT ALL` — which, unlike the
+    * distinct set ops (q17/q18), must track per-key multiplicities:
+    * each right occurrence cancels ONE left occurrence. Spark plans
+    * `exceptAll` as a count-diff aggregate + generate (one shuffle),
+    * not a join per duplicate — the shape that survives a fact table
+    * with millions of repeats per key. Grouped output keeps the
+    * result compact and the hash compare order-free.
+    */
+  val exceptAll: QueryDef = QueryDef.sql(
+    "q96_except_all",
+    """SELECT key, count(*) AS cnt FROM (
+      | SELECT l_partkey AS key FROM lineitem
+      | EXCEPT ALL SELECT p_partkey FROM part) t
+      | GROUP BY key ORDER BY key""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.lineitem(s, d).select(col("l_partkey").as("key"))
+      .exceptAll(Tables.part(s, d).select(col("p_partkey").as("key")))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy("key")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     projectFilter, distinctFlags, joinEquiAgg, joinFiveWay, antiJoin,
     semiJoin, selfThetaJoin, topKPerGroup, sortLimit, unionKeys,
-    intersectKeys)
+    intersectKeys, exceptAll)
 }

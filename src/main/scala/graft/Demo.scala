@@ -81,6 +81,22 @@ object Demo {
     println("pack_shards sample (doc -> shard by running token count):")
     text.TextAnalysis.packShards.fn(spark, dir).show(3)
 
+    // bounded-state heavy hitters: k counters per group however many
+    // distinct terms flow through (partial_misragries in the plan)
+    val hh = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(functions.FrequencyAggregates.heavy_hitters(col("t"), 8)
+        .as("top8"))
+    println("heavy_hitters(term, 8) over the corpus token stream:")
+    hh.show(1, truncate = false)
+
+    // z-order layout: one codegen'd clustering key over two dimensions
+    val z = Tables.events(spark, dir)
+      .select(functions.LayoutFunctions.zorder_key(
+        col("user_id").cast("int"),
+        (col("event_id") % 200).cast("int")).as("zkey"))
+    println(s"zorder_key spans ${z.agg(countDistinct(col("zkey"))).head.getLong(0)} distinct cells")
+
     val flagship = SparkEntry.entry(spark)
     println(s"flagship entry() -> ${flagship.count()} rows")
     flagship.show(truncate = false)

@@ -820,9 +820,91 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Window size / document-frequency floor for [[repeatedNgrams]].
+    * Baked into the oracle string, so constants rather than conf
+    * dials; the production knobs are the same two numbers.
+    */
+  private val NgramN = 5
+  private val NgramMinDocs = 3
+
+  /** Corpus-frequent n-gram masking stats — the token-level reading
+    * of substring-dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): a 5-gram that recurs across
+    * ≥3 DISTINCT documents is template/boilerplate text, and a
+    * document whose positions are mostly such n-grams is a template
+    * instance (q70 catches this at chunk granularity; this catches
+    * spans that straddle chunk boundaries). Emits per-doc totals, the
+    * flagged-position count, and the flagged fraction — the score a
+    * curation pass thresholds on.
+    *
+    * Scale shape: two passes over the corpus (the n-gram explode
+    * feeds both the document-frequency aggregate and the flag join —
+    * at 100 TB persist the exploded table or accept the re-scan; the
+    * explode itself is narrow). Per-doc totals need no explode at all
+    * (`size - n + 1` arithmetic). The frequent set is the join's
+    * build side: at this threshold it is heavy-hitter-sized, so it
+    * broadcasts; if a corpus pushes it past broadcast range, the
+    * q68 pattern (bloom over the frequent hashes) is the drop-in
+    * next tier. Strings keep the oracle exact; hashing the n-grams
+    * (fingerprint's xxhash64 route) halves the shuffle bytes when
+    * collisions are acceptable.
+    */
+  val repeatedNgrams: QueryDef = QueryDef.sql(
+    "q98_repeated_ngrams",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |   FROM documents WHERE len(string_split(text, ' ')) >= $NgramN),
+       | g AS (SELECT doc_id, array_to_string(toks[i:i+${NgramN - 1}], ' ')
+       |   AS ng FROM t, UNNEST(generate_series(1, len(toks) - ${NgramN - 1}))
+       |   AS u(i)),
+       | freq AS (SELECT ng FROM g GROUP BY ng
+       |   HAVING count(DISTINCT doc_id) >= $NgramMinDocs),
+       | tot AS (SELECT doc_id,
+       |   CAST(len(toks) - ${NgramN - 1} AS BIGINT) AS n_ngrams FROM t),
+       | fl AS (SELECT doc_id, count(*) AS n_flagged
+       |   FROM g JOIN freq USING (ng) GROUP BY doc_id)
+       | SELECT tot.doc_id, n_ngrams,
+       |   COALESCE(n_flagged, 0) AS n_flagged,
+       |   CAST(COALESCE(n_flagged, 0) AS DOUBLE) / n_ngrams
+       |     AS flagged_frac
+       | FROM tot LEFT JOIN fl USING (doc_id)
+       | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    repeatedNgramStats(Tables.documents(s, d), NgramN, NgramMinDocs)
+      .orderBy("doc_id")
+  }
+
+  /** Library entry behind q98 — per-doc corpus-frequent n-gram
+    * coverage over any frame with (`doc_id`, `text`). See
+    * [[repeatedNgrams]] for the scale discussion.
+    */
+  def repeatedNgramStats(documents: org.apache.spark.sql.DataFrame,
+      n: Int, minDocs: Int): org.apache.spark.sql.DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    // Positions, not distinct n-grams: the flagged FRACTION weights a
+    // template span by how much of the document it covers.
+    val g = docs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), size(col("toks")) - lit(n - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("ng"))
+    val freq = g.groupBy("ng")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("ng")
+    val tot = docs.select(col("doc_id"),
+      (size(col("toks")) - lit(n - 1)).cast("long").as("n_ngrams"))
+    val flagged = g.join(broadcast(freq), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+    tot.join(flagged, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_flagged"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_ngrams"))
+          .as("flagged_frac"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
-    tfidfTerms, weightedSample, heavyHitters, qualityGate)
+    tfidfTerms, weightedSample, heavyHitters, qualityGate, repeatedNgrams)
 }

@@ -50,4 +50,29 @@ class CurationSpec extends SparkSpec {
     assert(kept.count() == n)
     assert(kept.filter(size(split(col("text"), " ")) < 40).isEmpty)
   }
+
+  test("repeatedNgramStats flags exactly the cross-doc template spans") {
+    import spark.implicits._
+    // three template instances sharing one 5-token span, one unique
+    // doc, one doc too short to hold any 5-gram
+    val fx = Seq(
+      (1L, "breaking news today the market closed higher again"),
+      (2L, "breaking news today the market opened lower yesterday"),
+      (3L, "oh breaking news today the market"),
+      (4L, "completely unrelated prose with no shared template at all"),
+      (5L, "too short here")
+    ).toDF("doc_id", "text")
+    val out = text.TextAnalysis.repeatedNgramStats(fx, n = 5, minDocs = 3)
+      .orderBy("doc_id").collect()
+    // the short doc is absent; others have len-4 positions
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // only "breaking news today the market" recurs in >= 3 docs:
+    // exactly one flagged position in each template instance
+    assert(byId(1L) == ((4L, 1L, 0.25)))
+    assert(byId(2L) == ((4L, 1L, 0.25)))
+    assert(byId(3L) == ((2L, 1L, 0.5)))
+    assert(byId(4L) == ((5L, 0L, 0.0)))
+  }
 }

@@ -16,10 +16,11 @@ object SparkEntry {
     ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs ++
       ops.Analytics.defs ++ ops.Nested.defs ++ ops.TopK.defs ++
       ops.Temporal.defs ++ ops.RangeOps.defs ++ ops.Cdc.defs ++
-      ops.Layout.defs ++ graph.PageRank.defs ++
+      ops.Layout.defs ++ ops.Profiling.defs ++ graph.PageRank.defs ++
       ml.Recommend.defs ++ ml.QualityModel.defs ++ ml.Sampling.defs ++
       dedup.Dedup.defs ++
       search.Ann.defs ++ search.Projection.defs ++ search.Pq.defs ++
+      search.Embeddings.defs ++
       text.TextAnalysis.defs ++ text.Vocab.defs ++ text.Retrieval.defs ++
       streaming.Rescoring.defs ++ mm.Multimodal.defs ++
       pipeline.Curation.defs

@@ -58,12 +58,25 @@ object Retrieval {
       | FROM scored GROUP BY doc_id
       | ORDER BY bm25 DESC, doc_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
+    termScores(s, d, queryTerms)
+      .groupBy("doc_id")
+      .agg(round(sum("s").cast("double"), 4).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+  }
+
+  /** Per-(doc, term) BM25 partial scores for `terms` over the corpus
+    * at `d` — the shared core of q89 (single query) and q101 (query
+    * batch). Returns (doc_id, t, s DECIMAL(28,12)); summing `s` per
+    * doc (or per query after a term join) is partition-order-safe.
+    */
+  private def termScores(s: org.apache.spark.sql.SparkSession, d: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val len = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = len.agg(count(lit(1)).as("n"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = tok.filter(col("t").isin(queryTerms: _*))
+    val tf = tok.filter(col("t").isin(terms: _*))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("t").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
@@ -73,14 +86,11 @@ object Retrieval {
     tf.join(broadcast(idf), "t")
       .join(len, "doc_id")
       .crossJoin(broadcast(stats.select(col("avgdl"))))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("t"),
         ((col("idf") * (col("tf").cast("double") * lit(2.2))) /
           (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
             (col("dl").cast("double") / col("avgdl")))))
           .cast("decimal(28,12)").as("s"))
-      .groupBy("doc_id")
-      .agg(round(sum("s").cast("double"), 4).as("bm25"))
-      .orderBy(desc("bm25"), asc("doc_id"))
   }
 
   /** Inverted index: per term, the document frequency plus the first
@@ -123,5 +133,69 @@ object Retrieval {
       .orderBy("term")
   }
 
-  val defs: Seq[QueryDef] = Seq(bm25, invertedIndex)
+  /** Fixed query batch for the registered q101 instance: three topic
+    * queries over the corpus vocabulary.
+    */
+  private val queryBatch: Seq[(Long, String)] = Seq(
+    1L -> "join", 1L -> "hash",
+    2L -> "window", 2L -> "vector", 2L -> "stream",
+    3L -> "scan", 3L -> "filter", 3L -> "merge", 3L -> "sort")
+
+  /** Batch BM25 retrieval: score every document against a BATCH of
+    * term queries in one corpus pass, return the top-5 per query —
+    * the serving-side composition of q89 (one query = one extra
+    * term-join fan-out, not one extra corpus scan).
+    *
+    * Scale shape: the corpus is tokenized once for the whole batch
+    * (tf filtered to the union of query terms before its aggregate);
+    * the query map is a broadcast; per-query fan-out happens on the
+    * already-aggregated (doc, term) scores, so it carries O(matching
+    * docs × batch terms) narrow rows. Top-5 per query runs as a
+    * WindowGroupLimit. Same DECIMAL-sum + round-4 float discipline
+    * as q89.
+    */
+  val bm25Batch: QueryDef = QueryDef.sql(
+    "q101_bm25_batch",
+    """WITH q AS (SELECT * FROM (VALUES (1,'join'),(1,'hash'),
+      |   (2,'window'),(2,'vector'),(2,'stream'),
+      |   (3,'scan'),(3,'filter'),(3,'merge'),(3,'sort')) AS q(qid, t)),
+      | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |   FROM documents),
+      | len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      | stats AS (SELECT count(*) AS n,
+      |   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM len),
+      | tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+      |   WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY doc_id, t),
+      | df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      | idf AS (SELECT t,
+      |   ln((CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) /
+      |      (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf FROM df),
+      | scored AS (SELECT tf.doc_id, tf.t,
+      |   CAST((idf.idf * (CAST(tf.tf AS DOUBLE) * 2.2)) /
+      |        (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |          (CAST(len.dl AS DOUBLE) / (SELECT avgdl FROM stats))))
+      |     AS DECIMAL(28,12)) AS s
+      |   FROM tf JOIN idf ON tf.t = idf.t JOIN len ON tf.doc_id = len.doc_id),
+      | qs AS (SELECT CAST(q.qid AS BIGINT) AS qid, scored.doc_id,
+      |   round(CAST(sum(scored.s) AS DOUBLE), 4) AS bm25
+      |   FROM scored JOIN q ON scored.t = q.t GROUP BY q.qid, scored.doc_id),
+      | r AS (SELECT qid, doc_id, bm25, row_number() OVER
+      |   (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk FROM qs)
+      | SELECT qid, doc_id, bm25, CAST(rk AS INT) AS rk FROM r
+      | WHERE rk <= 5 ORDER BY qid, rk""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    import s.implicits._
+    val q = queryBatch.toDF("qid", "t")
+    val scored = termScores(s, d, queryBatch.map(_._2).distinct)
+    val qs = scored.join(broadcast(q), "t")
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("s").cast("double"), 4).as("bm25"))
+    val w = Window.partitionBy("qid").orderBy(desc("bm25"), asc("doc_id"))
+    qs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("doc_id"), col("bm25"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  val defs: Seq[QueryDef] = Seq(bm25, invertedIndex, bm25Batch)
 }

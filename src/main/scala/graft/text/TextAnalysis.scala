@@ -902,9 +902,89 @@ object TextAnalysis {
           .as("flagged_frac"))
   }
 
+  /** Corpus-frequent n-gram span REMOVAL — the cleanup pass q98 only
+    * scores: every token position covered by a 5-gram that recurs in
+    * ≥3 distinct documents is dropped, and the survivors re-join in
+    * original order. This is the token-level substring dedup of Lee
+    * et al. 2021 as an actual transform (q70 does the chunk-level
+    * version; this catches spans that straddle chunk boundaries).
+    *
+    * Scale shape: q98's two corpus passes plus one more narrow
+    * shuffle — covered positions expand flagged starts ×n but carry
+    * only (doc_id, pos); the anti-join streams token positions
+    * against that, and the re-assembly groupBy is the same
+    * token-wide shuffle q52's chunker already pays. The frequent
+    * set broadcasts (heavy-hitter-sized); past broadcast range the
+    * q68 bloom tier drops in.
+    */
+  val maskRepeatedNgrams: QueryDef = QueryDef.sql(
+    "q100_mask_ngrams",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |   FROM documents),
+       | g AS (SELECT doc_id, i, array_to_string(toks[i:i+${NgramN - 1}], ' ')
+       |   AS ng FROM t, UNNEST(generate_series(1, len(toks) - ${NgramN - 1}))
+       |   AS u(i) WHERE len(toks) >= $NgramN),
+       | freq AS (SELECT ng FROM g GROUP BY ng
+       |   HAVING count(DISTINCT doc_id) >= $NgramMinDocs),
+       | cov AS (SELECT DISTINCT doc_id, p FROM g JOIN freq USING (ng),
+       |   UNNEST(generate_series(i, i + ${NgramN - 1})) AS c(p)),
+       | tp AS (SELECT doc_id, p, toks[p] AS tok FROM t,
+       |   UNNEST(generate_series(1, len(toks))) AS u(p)),
+       | kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+       |   ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p),
+       | m AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS masked,
+       |   count(*) AS n_kept FROM kept GROUP BY doc_id)
+       | SELECT t.doc_id, COALESCE(masked, '') AS masked,
+       |   COALESCE(n_kept, 0) AS n_kept,
+       |   CAST(len(toks) AS BIGINT) AS n_total
+       | FROM t LEFT JOIN m USING (doc_id)
+       | ORDER BY t.doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    maskRepeatedNgramSpans(Tables.documents(s, d), NgramN, NgramMinDocs)
+      .orderBy("doc_id")
+  }
+
+  /** Library entry behind q100 — drop tokens covered by
+    * corpus-frequent n-grams over any frame with (`doc_id`, `text`).
+    * Emits (doc_id, masked, n_kept, n_total); a fully-templated doc
+    * survives as an empty string, so the caller can threshold.
+    */
+  def maskRepeatedNgramSpans(documents: org.apache.spark.sql.DataFrame,
+      n: Int, minDocs: Int): org.apache.spark.sql.DataFrame = {
+    val docs = documents.select(col("doc_id"), toks(col("text")).as("toks"))
+    val long = docs.filter(size(col("toks")) >= n)
+    val g = long.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), size(col("toks")) - lit(n - 1)),
+        i => struct(i.as("i"),
+          concat_ws(" ", slice(col("toks"), i, lit(n))).as("ng")))).as("e"))
+      .select(col("doc_id"), col("e.i").as("i"), col("e.ng").as("ng"))
+    val freq = g.groupBy("ng")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("ng")
+    val covered = g.join(broadcast(freq), "ng")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
+      .distinct()
+    val tokpos = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = tokpos.join(covered, Seq("doc_id", "p"), "left_anti")
+    val m = kept.groupBy("doc_id").agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        _.getField("tok"))).as("masked"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_total"))
+      .join(m, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("masked"))
+      .select(col("doc_id"), col("masked"), col("n_kept"), col("n_total"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
-    tfidfTerms, weightedSample, heavyHitters, qualityGate, repeatedNgrams)
+    tfidfTerms, weightedSample, heavyHitters, qualityGate, repeatedNgrams,
+    maskRepeatedNgrams)
 }

@@ -19,7 +19,7 @@ class ContractSpec extends SparkSpec {
 
   test("query names follow the qNN_ convention and are dense-ish") {
     val names = SparkEntry.allDefs.map(_.name)
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.toString)
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), names.toString)
   }
 
   test("flagship entry returns rows on the smoke fixture") {

@@ -75,4 +75,28 @@ class CurationSpec extends SparkSpec {
     assert(byId(3L) == ((2L, 1L, 0.5)))
     assert(byId(4L) == ((5L, 0L, 0.0)))
   }
+
+  test("maskRepeatedNgramSpans drops exactly the covered tokens, keeps order") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "breaking news today the market closed higher again"),
+      (2L, "breaking news today the market opened lower yesterday"),
+      (3L, "oh breaking news today the market"),
+      (4L, "completely unrelated prose with no shared template at all"),
+      (5L, "too short here")
+    ).toDF("doc_id", "text")
+    val out = text.TextAnalysis.maskRepeatedNgramSpans(fx, n = 5, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the shared span "breaking news today the market" vanishes; the
+    // surrounding tokens survive in original order
+    assert(out(1L) == (("closed higher again", 3L, 8L)))
+    assert(out(2L) == (("opened lower yesterday", 3L, 8L)))
+    assert(out(3L) == (("oh", 1L, 6L)))
+    assert(out(4L)._1.startsWith("completely unrelated"))
+    assert(out(4L)._2 == 9L && out(4L)._3 == 9L)
+    // too-short doc passes through untouched
+    assert(out(5L) == (("too short here", 3L, 3L)))
+  }
 }

@@ -272,4 +272,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q99: profile is one aggregate with map-side partials, one scan") {
+    val p = plan(ops.Profiling.columnProfile.fn(spark, sfSmall))
+    assert(p.contains("partial_count"), p)
+    // melt + profile must not re-scan orders per column
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q100: the frequent-ngram set broadcasts onto both consumers") {
+    val p = plan(text.TextAnalysis.maskRepeatedNgrams.fn(spark, sfSmall))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q101: batch retrieval scans the corpus once; top-5 is a WindowGroupLimit") {
+    val p = plan(text.Retrieval.bm25Batch.fn(spark, sfSmall))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q102: centroids shuffle scalars, not vectors, with map-side partials") {
+    val p = plan(search.Embeddings.labelCentroids.fn(spark, sfSmall))
+    assert(p.contains("partial_sum"), p)
+    // every exchange must carry (label, pos, partials) — never the array
+    val exchanges = """\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(!_.contains("embedding")),
+      "embedding column crosses an exchange:\n" + p)
+  }
 }

@@ -145,7 +145,59 @@ object Statistics {
         .orderBy("l_returnflag")
   }
 
+  /** Per-group outlier audit: mean/stddev of `value` per event_type
+    * (Welford-free: exact DECIMAL sums of x and x², variance from the
+    * closed form) and the count of events beyond 3σ — the screening
+    * pass that finds broken trackers / corrupted shards in a new
+    * 100 TB drop before it poisons training.
+    *
+    * Scale shape: two passes over the corpus (stats, then flagging —
+    * the same re-scan-or-persist tradeoff as q98); each pass is a
+    * narrow hash agg, and the flagging pass joins the
+    * event_type-sized stats table as a broadcast, so the corpus never
+    * shuffles. Float discipline: sums go through DECIMAL so partial
+    * order can't perturb them; mean/std derive from those exact sums
+    * with IEEE double ops, so both engines compute bit-identical
+    * thresholds and the 3σ comparison can't flip across engines.
+    */
+  val outlierStats: QueryDef = QueryDef.sql(
+    "q104_outlier_stats",
+    """WITH st AS (SELECT event_type, count(*) AS n,
+      |   sum(CAST(value AS DECIMAL(18,6))) AS sx,
+      |   sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+      |   FROM events GROUP BY event_type),
+      | m AS (SELECT event_type, n,
+      |   CAST(sx AS DOUBLE) / n AS mean,
+      |   sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |     / (n - 1)) AS std FROM st)
+      | SELECT m.event_type, m.n,
+      |   round(m.mean, 4) AS mean, round(m.std, 4) AS std,
+      |   count(*) FILTER (WHERE abs(e.value - m.mean) > 3 * m.std)
+      |     AS n_outliers
+      | FROM events e JOIN m ON e.event_type = m.event_type
+      | GROUP BY m.event_type, m.n, m.mean, m.std
+      | ORDER BY m.event_type""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val xd = col("value").cast("decimal(18,6)")
+    val st = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(xd).as("sx"), sum(xd * xd).as("sxx"))
+    val m = st.select(col("event_type"), col("n"),
+      (col("sx").cast("double") / col("n")).as("mean"),
+      sqrt((col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n"))
+        / (col("n") - lit(1))).as("std"))
+    ev.join(broadcast(m), "event_type")
+      .groupBy("event_type", "n", "mean", "std")
+      .agg(count(when(abs(col("value") - col("mean")) > lit(3) * col("std"),
+        1)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(rateMoreProducts, rateMoreRecently, averageScore, dateConvert,
-      quantiles, quantileSketch)
+      quantiles, quantileSketch, outlierStats)
 }

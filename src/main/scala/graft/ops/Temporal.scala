@@ -230,6 +230,44 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** Weekly cohort retention: users are cohorted by the Monday of
+    * their first event, then each (cohort, weeks-since-cohort) cell
+    * counts distinct users active that week — the classic retention
+    * triangle.
+    *
+    * Scale shape: the per-user first-week comes from a window `min`
+    * over the user_id partitioning (one shuffle, reused from the
+    * dedup of (user, week) pairs); the cell aggregate is a second,
+    * smaller shuffle on (cohort, week). No self-join of events
+    * against itself, so the plan is two narrow exchanges regardless
+    * of corpus size.
+    */
+  val cohortRetention: QueryDef = QueryDef.sql(
+    "q103_cohort_retention",
+    """WITH ev AS (SELECT DISTINCT user_id,
+      |   date_trunc('week', ts) AS wk FROM events),
+      | c AS (SELECT user_id, wk,
+      |   min(wk) OVER (PARTITION BY user_id) AS cohort FROM ev)
+      | SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      |   CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_no,
+      |   count(DISTINCT user_id) AS n_users
+      | FROM c GROUP BY cohort, wk
+      | ORDER BY cohort_week, week_no""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val w = Window.partitionBy("user_id")
+    ev.withColumn("cohort", min("wk").over(w))
+      .groupBy("cohort", "wk")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_no"),
+        col("n_users"))
+      .orderBy("cohort_week", "week_no")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(sessionize, asofJoin, decayScore, funnel, asofJoinExec)
+    Seq(sessionize, asofJoin, decayScore, funnel, asofJoinExec,
+      cohortRetention)
 }

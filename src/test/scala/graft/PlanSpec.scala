@@ -293,6 +293,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q103: cohort retention is window + agg, no self-join of events") {
+    val p = plan(ops.Temporal.cohortRetention.fn(spark, sfSmall))
+    assert(!p.contains("Join"), "events self-joined:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q104: outlier flagging broadcasts the stats table, never shuffles events twice") {
+    val p = plan(ops.Statistics.outlierStats.fn(spark, sfSmall))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q102: centroids shuffle scalars, not vectors, with map-side partials") {
     val p = plan(search.Embeddings.labelCentroids.fn(spark, sfSmall))
     assert(p.contains("partial_sum"), p)

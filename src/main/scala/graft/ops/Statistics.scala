@@ -197,7 +197,49 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** Winsorization audit: clip `value` to the per-type [p1, p99]
+    * band and report how much moved — the tail-taming companion to
+    * the 3σ screen in q104 (robust to the heavy tails that inflate
+    * σ itself).
+    *
+    * Scale shape: the bounds pass uses exact `percentile` (one
+    * sorted reducer per group — fine for #event_type groups; the
+    * 100 TB spelling swaps in the q66 KLL sketch, same contract);
+    * the clip pass re-scans events with the tiny bounds table
+    * broadcast. Parity: bounds round at 4 (interpolation ulp), the
+    * clipped mean is an exact-DECIMAL-sum / count raw quotient.
+    */
+  val winsorize: QueryDef = QueryDef.sql(
+    "q106_winsorize",
+    """WITH b AS (SELECT event_type,
+      |   round(quantile_cont(value, 0.01), 4) AS p01,
+      |   round(quantile_cont(value, 0.99), 4) AS p99
+      |   FROM events GROUP BY event_type)
+      | SELECT e.event_type, count(*) AS n,
+      |   count(*) FILTER (WHERE e.value < p01) AS n_low,
+      |   count(*) FILTER (WHERE e.value > p99) AS n_high,
+      |   CAST(sum(CAST(greatest(p01, least(p99, e.value))
+      |     AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS clipped_mean
+      | FROM events e JOIN b USING (event_type)
+      | GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.01)"), 4).as("p01"),
+      round(expr("percentile(value, 0.99)"), 4).as("p99"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") < col("p01"), 1)).as("n_low"),
+        count(when(col("value") > col("p99"), 1)).as("n_high"),
+        (sum(greatest(col("p01"), least(col("p99"), col("value")))
+          .cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("clipped_mean"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(rateMoreProducts, rateMoreRecently, averageScore, dateConvert,
-      quantiles, quantileSketch, outlierStats)
+      quantiles, quantileSketch, outlierStats, winsorize)
 }

@@ -981,10 +981,83 @@ object TextAnalysis {
       .select(col("doc_id"), col("masked"), col("n_kept"), col("n_total"))
   }
 
+  /** Pairwise cross-source 5-gram-shingle Jaccard — the mixing
+    * diagnostic that tells you two "different" crawls are the same
+    * corpus (or that a source leaked into another) before you assign
+    * mixture weights. Every unordered source pair gets its exact
+    * shingle-set Jaccard; zero-overlap pairs are kept (the grid
+    * comes from a size-table cross join, not the intersection join).
+    *
+    * Scale shape: shingles dedup to (source, shingle) first, so the
+    * self-join shuffles each distinct shingle once and fans out
+    * C(k,2) per shingle only across the handful of sources sharing
+    * it — bounded by #sources², never by corpus size. The per-source
+    * size table is #sources rows. At 100 TB the exact distinct
+    * shingle set is the expensive part; the drop-in estimate tier is
+    * the q63 minhash-union sketch per source (pairwise signature
+    * agreement estimates the same Jaccard — SketchSpec pins the
+    * estimate against this exact query). Jaccard is a ratio of
+    * exact counts → raw IEEE quotient (the q03 parity discipline).
+    */
+  val sourceOverlap: QueryDef = QueryDef.sql(
+    "q105_source_overlap",
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks
+       |   FROM documents),
+       | sh AS (SELECT DISTINCT source,
+       |   array_to_string(toks[i:i+${NgramN - 1}], ' ') AS sh
+       |   FROM t, UNNEST(generate_series(1, len(toks) - ${NgramN - 1}))
+       |   AS u(i) WHERE len(toks) >= $NgramN),
+       | sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+       | inter AS (SELECT a.source AS src_a, b.source AS src_b,
+       |   count(*) AS n_common FROM sh a JOIN sh b
+       |   ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2),
+       | grid AS (SELECT x.source AS src_a, y.source AS src_b,
+       |   x.n + y.n AS sum_n FROM sizes x JOIN sizes y
+       |   ON x.source < y.source)
+       | SELECT g.src_a, g.src_b, COALESCE(n_common, 0) AS n_common,
+       |   CAST(COALESCE(n_common, 0) AS DOUBLE) /
+       |     (sum_n - COALESCE(n_common, 0)) AS jaccard
+       | FROM grid g LEFT JOIN inter USING (src_a, src_b)
+       | ORDER BY src_a, src_b""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    sourceShingleOverlap(Tables.documents(s, d), NgramN)
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Library entry behind q105 — exact pairwise shingle Jaccard
+    * between values of the `source` column, over any frame with
+    * (`source`, `text`).
+    */
+  def sourceShingleOverlap(documents: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val docs = documents
+      .select(col("source"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val sh = docs.select(col("source"),
+      explode(transform(
+        sequence(lit(1), size(col("toks")) - lit(n - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val grid = sizes.as("x").join(sizes.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        (col("x.n") + col("y.n")).as("sum_n"))
+    grid.join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("sum_n") - col("n_common"))).as("jaccard"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
     tfidfTerms, weightedSample, heavyHitters, qualityGate, repeatedNgrams,
-    maskRepeatedNgrams)
+    maskRepeatedNgrams, sourceOverlap)
 }

@@ -70,6 +70,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q105's minhash scale tier tracks the exact source jaccard within 4 sigma") {
+    val docs = Tables.documents(spark, sfSmall)
+    val t = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(1), size(t) - lit(4)),
+      i => concat_ws(" ", slice(t, i, lit(5))))
+    val sk = docs.filter(size(t) >= 5)
+      .select(col("source"),
+        minhash_sig(transform(shingles, s => xxhash64(s)), k).as("s"))
+      .groupBy("source").agg(minhash_union(col("s"), k).as("sk"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("skb"))
+    val est = a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (sig_matches(col("ska"), col("skb")).cast("double") / k).as("est"))
+    val exact = text.TextAnalysis.sourceShingleOverlap(docs, 5)
+      .select(col("src_a"), col("src_b"), col("jaccard"))
+    val joined = est.join(exact, Seq("src_a", "src_b")).collect()
+    assert(joined.length == 190) // 20 sources -> 190 pairs
+    joined.foreach { r =>
+      val e = r.getAs[Double]("est")
+      val x = r.getAs[Double]("jaccard")
+      // 4 sigma of the k-slot binomial, plus one slot of granularity
+      val bound = 4.0 * math.sqrt(x * (1 - x) / k) + 1.0 / k
+      assert(math.abs(e - x) <= bound,
+        s"${r.getAs[String]("src_a")}/${r.getAs[String]("src_b")}: " +
+          s"est=$e exact=$x bound=$bound")
+    }
+  }
+
   test("minhash_union rejects signature-width mismatches loudly") {
     val rows = Seq((1, Seq("a", "b"))).toDF("g", "toks")
     val e = intercept[Exception] {

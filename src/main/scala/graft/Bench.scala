@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Single-run timings on a shared host swing 3-5x on unchanged code
+    // (adjudicated in round 4); every query runs `reps` times and the
+    // headline number is the per-query MEDIAN, with min/max recorded so
+    // variance is visible in the artifact rather than laundered away.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,23 +25,37 @@ object Bench {
     catch { case _: Throwable => () }
     // Dev-loop subset (same contract as Verify): SPARK_GRAFT_ONLY=q23,q48
     // benches only matching queries. Unset (the driver's invocation) = all.
+    // Matching is anchored at the qNN token — exact name, or the token
+    // followed by "_" — so "q9" selects q9_* only, never q90-q99.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def wanted(name: String): Boolean =
-      only.forall(_.exists(name.startsWith))
+      only.forall(_.exists(t => name == t || name.startsWith(t + "_")))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     // Sorted order: stable round-over-round attribution (first query
     // otherwise absorbs JVM/codegen warmup for a random victim).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => wanted(q._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(d: Double): String = "%.4f".format(d)
+    val qs = results.map { case (k, ts) => s"\"$k\":${f(median(ts))}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val runs = results.map { case (k, ts) =>
+      s"""\"$k\":{"median":${f(median(ts))},"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}}"""
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => median(ts) }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
     println(json)
     // Also write the metric to a file: sbt interleaves [info]/[error]
     // noise on stdout and can truncate the tail, which voids a

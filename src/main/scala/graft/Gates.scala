@@ -1,0 +1,336 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One measured quality gate: the spec-suite assertion for a
+  * non-oracle-able query, exported as data. `value op threshold`
+  * decides `pass`.
+  */
+final case class GateResult(query: String, gate: String, value: Double,
+    threshold: Double, op: String, pass: Boolean)
+
+/** Machine-readable spec gates for every `no_oracle` query.
+  *
+  * The DuckDB oracle can't check ALS ranking, LSH/IVF/PQ recall,
+  * engine-specific sketches, or decoded pixels — those queries are
+  * gated by ScalaTest assertions (RecallSpec/DedupSpec/MlSpec/
+  * SketchSpec/QuantileSpec). This object runs the SAME measurements
+  * outside the test runner and emits `SPECGATES.json` (one entry per
+  * no_oracle query: gate name, measured value, threshold, pass) so
+  * the round driver can track them like CORRECTNESS instead of
+  * trusting green test output it never parses. Verify calls
+  * [[writeJson]] after the query dump; GatesSpec keeps this file and
+  * the spec suite agreeing.
+  *
+  * Gates follow two shapes: a MEASURED BOUND (recall ≥ 0.8, RMSE ≤
+  * 1.35, sketch error within sigma) where approximation quality is
+  * the contract, and a VIOLATION COUNT ≤ 0 where an exact structural
+  * invariant (every doc labeled once, zero bloom false negatives,
+  * incremental == full restricted) is the contract.
+  */
+object Gates {
+
+  /** The reference's own ratings fixture — the one dataset with real
+    * collaborative structure, hence the one place an absolute ALS
+    * RMSE bound means something (MlSpec's gate; reference recorded
+    * 1.2837 best — `ALSTrainer.scala:47`).
+    */
+  val RefRatings =
+    "/root/reference/recommender/DataLoader/src/main/resources/ratings.csv"
+
+  private def mk(query: String, gate: String, value: Double,
+      threshold: Double, op: String): GateResult = {
+    val pass = op match {
+      case "<=" => value <= threshold
+      case ">=" => value >= threshold
+      case _ => value == threshold
+    }
+    GateResult(query, gate, value, threshold, op, pass)
+  }
+
+  /** recall = |approx ∩ exact| / |exact| over (query_id, neighbor_id). */
+  private def annRecall(exact: DataFrame, approx: DataFrame): Double = {
+    val e = exact.select("query_id", "neighbor_id")
+    val a = approx.select("query_id", "neighbor_id")
+    e.join(a, Seq("query_id", "neighbor_id"), "left_semi").count()
+      .toDouble / e.count()
+  }
+
+  /** All gates at `d` (or the `only` subset). Each runs
+    * independently: a throwing gate records NaN/fail rather than
+    * aborting the sweep. ALS models and the eval split come from
+    * Recommend's per-(session, dir) caches, so gates re-measure on
+    * fits the Verify queries already paid for.
+    */
+  def all(s: SparkSession, d: String,
+      only: Set[String] = Set.empty): Seq[GateResult] = {
+    val specs: Seq[(String, String, String, Double, () => Double)] = Seq(
+      ("q20_als_user_recs", "topk_and_score_order_violations", "<=", 0.0,
+        () => {
+          val recs = ml.Recommend.userRecs.fn(s, d)
+          val over = recs.groupBy("user_id").count()
+            .filter(col("count") > ml.Recommend.TopK).count()
+          val w = Window.partitionBy("user_id").orderBy("rank")
+          val disorder = recs.withColumn("prev", lag("score", 1).over(w))
+            .filter(col("prev").isNotNull &&
+              col("score") > col("prev") + 1e-6).count()
+          (over + disorder).toDouble
+        }),
+      ("q21_als_item_factors", "factor_dim_violations", "<=", 0.0,
+        () => ml.Recommend.itemFactors.fn(s, d)
+          .groupBy("product_id").count()
+          .filter(col("count") =!= ml.Recommend.effRank(s)).count()
+          .toDouble),
+      ("q22_item_sim_cosine", "threshold_topk_violations", "<=", 0.0,
+        () => {
+          val sims = ml.Recommend.itemSims.fn(s, d)
+          val bad = sims.filter(col("sim") <= ml.Recommend.SimThreshold ||
+            col("sim") > 1.0 + 1e-9).count()
+          val over = sims.groupBy("product_id").count()
+            .filter(col("count") > ml.Recommend.TopK).count()
+          (bad + over).toDouble
+        }),
+      // The synthetic sfDir ratings are near-noise (the ALS fit at the
+      // reference's production params measures 1.87 RMSE vs a 1.23
+      // global-mean baseline at sf0.01), so an absolute RMSE bound
+      // there gates the DATA, not the operator. Quality is gated where
+      // quality is measurable — MlSpec's bound on the reference's own
+      // ratings fixture — and the sfDir grid is gated structurally.
+      ("q23_als_rmse", "reference_fixture_rmse", "<=", 1.35,
+        () => {
+          import org.apache.spark.ml.recommendation.ALS
+          val ratings = sources.DelimitedSource.ratings(s, RefRatings)
+            .select("userId", "productId", "score")
+          val Array(train, test) =
+            ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+          val m = new ALS()
+            .setUserCol("userId").setItemCol("productId")
+            .setRatingCol("score")
+            .setRank(50).setMaxIter(10).setRegParam(0.3)
+            .setSeed(42L).setColdStartStrategy("drop")
+            .fit(train)
+          ml.Recommend.evaluateRmse(m, test)
+        }),
+      ("q24_als_grid_search", "grid_structure_violations", "<=", 0.0,
+        () => {
+          // default 2x2 grid; searching must never lose to not
+          // searching (the production combo is one of the cells)
+          val grid = ml.Recommend.gridSearch.fn(s, d).collect()
+          val prod = ml.Recommend.alsRmse.fn(s, d).head().getDouble(0)
+          val minRmse = grid.map(_.getDouble(2)).min
+          val v1 = if (grid.length == 4) 0 else 1
+          val v2 = if (minRmse <= prod + 1e-5) 0 else 1
+          (v1 + v2).toDouble
+        }),
+      ("q26_multimodal_features", "undecoded_payloads", "<=", 0.0,
+        () => mm.Multimodal.mediaFeatures.fn(s, d)
+          .filter(col("decoded") === false).count().toDouble),
+      ("q31_dedup_minhash_lsh", "recall_vs_exact_jaccard_0.9", ">=", 0.95,
+        () => {
+          import graft.functions.HashFunctions.sorted_intersect_size
+          val toks = dedup.Dedup.tokenSets(Tables.documents(s, d))
+          val a = toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+          val b = toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+          val exact = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+            .withColumn("inter",
+              sorted_intersect_size(col("ta"), col("tb")).cast("double"))
+            .withColumn("j", col("inter") /
+              (size(col("ta")) + size(col("tb")) - col("inter")))
+            .filter(col("j") >= 0.9).select("doc_a", "doc_b").cache()
+          val n = exact.count()
+          val lsh = dedup.Dedup.verifiedPairs(s, d).select("doc_a", "doc_b")
+          val found =
+            exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi").count()
+          exact.unpersist()
+          if (n == 0) Double.NaN else found.toDouble / n
+        }),
+      ("q32_dedup_simhash", "exact_dup_pair_misses", "<=", 0.0,
+        () => {
+          // identical texts ⇒ identical signatures ⇒ the banded join
+          // must emit every exact-dup pair at hamming 0
+          val fp = Tables.documents(s, d)
+            .select(col("doc_id"), md5(col("text")).as("fp"))
+          val dups = fp.select(col("doc_id").as("doc_a"), col("fp"))
+            .join(fp.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+            .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+          val got = dedup.Dedup.simhash.fn(s, d).select("doc_a", "doc_b")
+          dups.join(got, Seq("doc_a", "doc_b"), "left_anti").count().toDouble
+        }),
+      ("q36_ann_lsh", "recall_at_5_vs_exact", ">=", 0.8,
+        () => annRecall(search.Ann.bruteForce.fn(s, d),
+          search.Ann.lshTopK.fn(s, d))),
+      ("q42_fingerprint", "coverage_and_dup_collision_violations", "<=", 0.0,
+        () => fingerprintWithDocs(s, d)),
+      ("q45_approx_distinct", "max_hll_rel_err", "<=", 0.1,
+        () => ops.Analytics.approxDistinct.fn(s, d)
+          .agg(max("rel_err")).head().getDouble(0)),
+      ("q48_ann_ivf", "recall_at_5_vs_exact", ">=", 0.8,
+        () => annRecall(search.Ann.bruteForce.fn(s, d),
+          search.Ann.ivfTopK.fn(s, d))),
+      ("q49_dedup_clusters", "labeling_and_keeper_violations", "<=", 0.0,
+        () => {
+          val c = dedup.Dedup.clusters.fn(s, d)
+          val docs = Tables.documents(s, d).count()
+          val v1 = math.abs(c.count() - docs)
+          val v2 = math.abs(c.select("doc_id").distinct().count() - docs)
+          val bad = c.groupBy("cluster_id")
+            .agg(min("doc_id").as("mn"),
+              sum(when(col("is_keeper"), 1).otherwise(0)).as("k"))
+            .filter(col("mn") =!= col("cluster_id") || col("k") =!= 1)
+            .count()
+          (v1 + v2 + bad).toDouble
+        }),
+      ("q63_corpus_sketch", "max_jaccard_err_sigmas", "<=", 4.0,
+        () => {
+          val k = 64
+          val est = text.TextAnalysis.corpusSketch.fn(s, d)
+          val toks = Tables.documents(s, d)
+            .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+            .distinct()
+          val sizes = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+          val exact = toks.select(col("lang").as("lang_a"), col("t"))
+            .join(toks.select(col("lang").as("lang_b"), col("t")), "t")
+            .filter(col("lang_a") < col("lang_b"))
+            .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("ni"))
+            .join(sizes.select(col("lang").as("lang_a"),
+              col("n").as("na")), "lang_a")
+            .join(sizes.select(col("lang").as("lang_b"),
+              col("n").as("nb")), "lang_b")
+            .select(col("lang_a"), col("lang_b"),
+              (col("ni").cast("double") /
+                (col("na") + col("nb") - col("ni"))).as("exact"))
+          est.join(exact, Seq("lang_a", "lang_b")).collect().map { r =>
+            val e = r.getAs[Double]("est_vocab_jaccard")
+            val x = r.getAs[Double]("exact")
+            math.abs(e - x) / (math.sqrt(x * (1 - x) / k) + 1e-9)
+          }.max
+        }),
+      ("q66_quantile_sketch", "max_rank_error", "<=", 0.025,
+        () => {
+          val probs = Seq(0.25, 0.5, 0.75, 0.95)
+          val est = ops.Statistics.quantileSketch.fn(s, d).collect()
+          val groups = Tables.lineitem(s, d)
+            .select(col("l_returnflag"),
+              col("l_extendedprice").cast("double"))
+            .collect().groupBy(_.getString(0))
+            .map { case (g, rs) => g -> rs.map(_.getDouble(1)) }
+          est.flatMap { r =>
+            val vals = groups(r.getString(0))
+            probs.zipWithIndex.map { case (p, i) =>
+              val rank =
+                vals.count(_ <= r.getDouble(i + 1)).toDouble / vals.length
+              math.abs(rank - p)
+            }
+          }.max
+        }),
+      ("q68_decontaminate_bloom", "false_negatives_vs_exact", "<=", 0.0,
+        () => {
+          val exact = dedup.Dedup
+            .benchShingleHits(Tables.documents(s, d), 97).select("doc_id")
+          val flagged =
+            dedup.Dedup.decontaminateBloom.fn(s, d).select("doc_id")
+          exact.join(flagged, Seq("doc_id"), "left_anti").count().toDouble
+        }),
+      ("q73_semdedup", "labeling_and_dup_of_violations", "<=", 0.0,
+        () => {
+          val out = search.Ann.semDedup.fn(s, d)
+          val n = Tables.embeddings(s, d).count()
+          val v1 = math.abs(out.count() - n)
+          val selfRef = out.filter(!col("is_kept") &&
+            col("dup_of") >= col("vec_id")).count()
+          val kept = out.filter(col("is_kept"))
+            .select(col("vec_id").as("dup_of"))
+          val orphan = out.filter(!col("is_kept"))
+            .join(kept, Seq("dup_of"), "left_anti").count()
+          (v1 + selfRef + orphan).toDouble
+        }),
+      ("q75_incremental_neardup", "pair_diff_vs_full_pass", "<=", 0.0,
+        () => {
+          val sets = dedup.Dedup.tokenSets(Tables.documents(s, d))
+          def key(df: DataFrame) = df.select(col("doc_a"), col("doc_b"),
+            round(col("jaccard"), 4).as("j"))
+          val incr = key(dedup.Dedup.incrementalPairs(
+            sets.filter(col("doc_id") % 7 === 0),
+            sets.filter(col("doc_id") % 7 =!= 0)))
+          val full = key(dedup.Dedup.minhashPairs(sets, 64, 8, 0.9)
+            .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0))
+          (incr.exceptAll(full).count() + full.exceptAll(incr).count())
+            .toDouble
+        }),
+      ("q77_quality_classifier", "held_out_auc", ">=", 0.85,
+        () => ml.QualityModel.heldOutAuc(s, d)),
+      ("q84_ann_pq", "recall_at_5_vs_exact", ">=", 0.8,
+        () => annRecall(search.Ann.bruteForce.fn(s, d),
+          search.Pq.pqTopK.fn(s, d))),
+      ("q91_fuzzy_decontaminate", "soundness_and_recall_violations", "<=",
+        0.0,
+        () => {
+          import graft.functions.HashFunctions.sorted_intersect_size
+          val sets = dedup.Dedup.tokenSets(Tables.documents(s, d))
+          val bench = sets.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("bench_id"), col("toks").as("toks_b"))
+          val corpus = sets.filter(col("doc_id") % 97 =!= 0)
+            .select(col("doc_id"), col("toks").as("toks_a"))
+          val exact = corpus.crossJoin(broadcast(bench))
+            .withColumn("inter", sorted_intersect_size(col("toks_a"),
+              col("toks_b")).cast("double"))
+            .withColumn("j", col("inter") / (size(col("toks_a")) +
+              size(col("toks_b")) - col("inter")))
+            .groupBy("doc_id").agg(max("j").as("true_max")).cache()
+          val got = dedup.Dedup.fuzzyDecontaminate.fn(s, d)
+            .select(col("doc_id"), col("max_jaccard"))
+          // soundness: every flagged doc truly has a >= 0.8 match and
+          // never over-reports; recall: every true J >= 0.9 doc flagged
+          val unsound = got.join(exact, "doc_id")
+            .filter(col("true_max") < 0.8 ||
+              col("max_jaccard") > col("true_max") + 5e-5).count()
+          val missed = exact.filter(col("true_max") >= 0.9)
+            .join(got, Seq("doc_id"), "left_anti").count()
+          exact.unpersist()
+          (unsound + missed).toDouble
+        })
+    )
+    specs.filter(g => only.isEmpty || only(g._1))
+      .map { case (query, gate, op, thr, f) =>
+      try mk(query, gate, f(), thr, op)
+      catch { case e: Throwable =>
+        System.err.println(s"[gates] $query/$gate failed: ${e.getMessage}")
+        GateResult(query, gate, Double.NaN, thr, op, pass = false)
+      }
+    }
+  }
+
+  /** q42's contract: one fingerprint row per document, and exact-dup
+    * texts (same md5) always collide on fingerprint. Returns the
+    * violation count.
+    */
+  private def fingerprintWithDocs(s: SparkSession, d: String): Double = {
+    val docs = Tables.documents(s, d)
+    val f = text.TextAnalysis.fingerprint.fn(s, d)
+    val coverage = math.abs(f.count() - docs.count())
+    val collide = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(f.select(col("doc_id"), col("fingerprint")), "doc_id")
+      .groupBy("fp").agg(countDistinct("fingerprint").as("nf"))
+      .filter(col("nf") =!= 1).count()
+    (coverage + collide).toDouble
+  }
+
+  /** Render results as the SPECGATES.json artifact. */
+  def toJson(rs: Seq[GateResult]): String = {
+    def v(x: Double): String =
+      if (x.isNaN) "null"
+      else if (x == x.floor && math.abs(x) < 1e15) x.toLong.toString
+      else f"$x%.6f"
+    rs.map { r =>
+      s"""  "${r.query}": {"gate": "${r.gate}", "value": ${v(r.value)},""" +
+        s""" "threshold": ${v(r.threshold)}, "op": "${r.op}",""" +
+        s""" "pass": ${r.pass}}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+  }
+
+  def writeJson(rs: Seq[GateResult], path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      toJson(rs).getBytes("UTF-8"))
+}

@@ -69,6 +69,23 @@ object Verify {
       .filterNot { case (k, _) => approx.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable spec gates for the no_oracle queries (judge
+    // round-4 item 5): the same bounds the spec suite asserts, emitted
+    // as SPECGATES.json so the driver can track them like CORRECTNESS.
+    // Skipped under a dev-loop subset (gates span many queries) or
+    // SPARK_GRAFT_GATES=0. ALS fits reuse the query dump's cached
+    // models, so this adds measurement, not refitting.
+    if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_GATES", "1") != "0") {
+      val gates = Gates.all(spark, sfDir)
+      Gates.writeJson(gates, s"$outDir/specgates.json")
+      try Gates.writeJson(gates, "SPECGATES.json")
+      catch { case e: Throwable =>
+        System.err.println(s"[gates] cwd write failed: ${e.getMessage}")
+      }
+      val failed = gates.filterNot(_.pass)
+      if (failed.nonEmpty)
+        System.err.println(s"[gates] FAILING: ${failed.map(_.query).mkString(", ")}")
+    }
     spark.stop()
   }
 }

@@ -486,19 +486,78 @@ class StreamingSpec extends SparkSpec {
     assert(byMime == Map("image/png" -> 4, "audio/wav" -> 2,
       "application/octet-stream" -> 1), byMime)
     assert(media.map(_.doc_id).distinct.length == 3)
-    // the decode pipeline runs on ingested records unchanged
+    // the decode pipeline runs on ingested records unchanged; these
+    // payloads are garbage bytes, so every decode honestly reports
+    // decoded=false instead of fabricating metadata
     val feats = mm.Multimodal.extractFeatures(
       mm.Multimodal.readMedia(spark, dir)).collect()
     assert(feats.length == 3 && feats.forall(_.embedding.length == 8))
+    assert(feats.forall(f => !f.decoded && f.width == 0 && f.channels == 0))
+  }
+
+  test("imageio decode recovers true dimensions and channel means") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    // independent oracle: a solid-color image has exactly-known
+    // per-channel means — build it with raw setRGB here, not the
+    // library's fixture generator
+    val img = new BufferedImage(37, 21, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 21; x <- 0 until 37)
+      img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = mm.Multimodal.decode(
+      mm.Multimodal.MediaRecord(1L, "image/png", bos.toByteArray))
+    assert(f.decoded && f.width == 37 && f.height == 21 &&
+      f.channels == 3 && f.frames == 1)
+    assert(math.abs(f.embedding(0) - 10f / 255f) < 1e-6)
+    assert(math.abs(f.embedding(1) - 20f / 255f) < 1e-6)
+    assert(math.abs(f.embedding(2) - 30f / 255f) < 1e-6)
+    assert(f.embedding.drop(3).forall(_ == 0f))
+  }
+
+  test("pcm decode recovers channel count, frame length, and silence") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // independent oracle: 2-channel 16-bit silence, 77 frames
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(new Array[Byte](77 * 4)), fmt, 77L)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val f = mm.Multimodal.decode(
+      mm.Multimodal.MediaRecord(2L, "audio/wav", bos.toByteArray))
+    assert(f.decoded && f.channels == 2 && f.frames == 77)
+    assert(f.embedding.forall(_ == 0f)) // silence: zero mean amplitude
+    // fixture round-trip: generated params are what decode reads back
+    for (id <- Seq(1L, 7L, 123L, 255L)) {
+      val (ch, fr) = mm.Multimodal.wavParams(id)
+      val g = mm.Multimodal.decode(mm.Multimodal.MediaRecord(
+        id, "audio/wav", mm.Multimodal.syntheticWav(id)))
+      assert(g.decoded && g.channels == ch && g.frames == fr, s"id=$id")
+      assert(g.embedding.take(ch).forall(v => v > 0f && v < 0.1f))
+    }
+    for (id <- Seq(0L, 8L, 122L, 254L)) {
+      val (w, h) = mm.Multimodal.pngDims(id)
+      val g = mm.Multimodal.decode(mm.Multimodal.MediaRecord(
+        id, "image/png", mm.Multimodal.syntheticPng(id)))
+      assert(g.decoded && g.width == w && g.height == h &&
+        g.channels == 3, s"id=$id")
+    }
   }
 
   test("multimodal feature extraction is deterministic with stable schema") {
     val f1 = mm.Multimodal.mediaFeatures.fn(spark, sfTiny)
     val f2 = mm.Multimodal.mediaFeatures.fn(spark, sfTiny)
     assert(f1.schema.fieldNames.toSeq == Seq("doc_id", "mime", "n_bytes",
-      "width", "height", "channels", "frames", "embedding"))
+      "decoded", "width", "height", "channels", "frames", "embedding"))
     assert(f1.exceptAll(f2).isEmpty)
-    assert(f1.filter(col("width") < 16 || col("channels") < 2).isEmpty)
+    // every synthesized payload decodes through a REAL codec path
+    assert(f1.filter(col("decoded") === false).isEmpty)
+    assert(f1.filter(col("mime") === "image/png")
+      .filter(col("width") < 16 || col("channels") =!= 3).isEmpty)
+    assert(f1.filter(col("mime") === "audio/wav")
+      .filter(col("frames") < 64 || col("channels") < 1).isEmpty)
   }
 
   test("a batch-built bloom filters a stream as a pure scalar predicate") {

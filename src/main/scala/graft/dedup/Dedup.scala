@@ -600,10 +600,12 @@ object Dedup {
     * ~2^rounds, and maxIter=20 covers diameters around 10⁶, not 20.
     * PropertySpec pins this with a chain-graph (path) property far
     * longer than the iteration cap running through the distributed
-    * solve. The large-star/small-star formulation (Kiveris et al.
-    * 2014, "Connected components in MapReduce and beyond") remains
-    * the alternative if per-round skew on a single hot label ever
-    * dominates; at these convergence rates it buys nothing here.
+    * solve. If the cap is ever hit anyway (adversarial diameter
+    * beyond 2^maxIter), [[solve]] finishes on the
+    * large-star/small-star alternation ([[starSolve]], Kiveris et
+    * al. 2014, "Connected components in MapReduce and beyond"),
+    * whose round count is O(log² n) independent of diameter — so
+    * convergence is unconditional, not cap-bounded.
     */
   /** One min-label propagation + pointer-jump round over `sym`
     * (symmetric, cached). Returns the updated label table and whether
@@ -652,7 +654,108 @@ object Dedup {
       val (next, c) = propagateRound(sym, labels)
       labels = next; changed = c; i += 1
     }
-    labels
+    if (changed == 0) labels
+    else {
+      // Iteration cap hit: the component diameter beat 2^maxIter
+      // pointer-jump reach. Contract through the partial labels and
+      // finish with the star alternation, whose convergence does not
+      // depend on diameter. Composition is sound because partial
+      // labels are already within-component (propagation only ever
+      // adopts a connected neighbor's label).
+      val contracted = sym
+        .join(labels.select(col("id").as("src"), col("label").as("ls")),
+          "src")
+        .join(labels.select(col("id").as("dst"), col("label").as("ld")),
+          "dst")
+        .select(col("ls").as("src"), col("ld").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      val starred = starSolve(contracted)
+      labels.join(starred.select(col("id").as("label"),
+          col("label").as("slabel")), Seq("label"), "left")
+        .select(col("id"),
+          coalesce(col("slabel"), col("label")).as("label"))
+    }
+  }
+
+  /** One large-star round (Kiveris et al. 2014): every node u
+    * connects each strictly-larger neighbor to the minimum of u's
+    * closed neighborhood. Input must be symmetric.
+    */
+  private def largeStarRound(sym: DataFrame): DataFrame = {
+    val m = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.join(m, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge larger→smaller, then
+    * each node connects all of its smaller neighbors (and itself) to
+    * their minimum.
+    */
+  private def smallStarRound(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val m = oriented.groupBy("src").agg(min("dst").as("m"))
+    oriented.join(m, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(m.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al. 2014) until the edge set reaches a fixed point —
+    * O(log² n) rounds whatever the graph diameter, each round two
+    * shuffles on node id. The propagation+jump loop beats it on
+    * round count for everything the dedup paths produce (hence
+    * fallback, not default); this is the unconditional-convergence
+    * escape for adversarial diameters. Returns `(id, label)` with
+    * label = component minimum.
+    */
+  private[graft] def starSolve(edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    var cur = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // fixed-point signature: (edge count, order-free hash sum). The
+    // alternation strictly shrinks a potential until the star state,
+    // where both rounds are identities — equal signatures on
+    // consecutive rounds mean the fixed point, not a cycle.
+    def sig(df: DataFrame): (Long, BigDecimal) = {
+      // hash sum through DECIMAL: exact and overflow-free (ANSI mode
+      // hard-fails a Long sum of 2^63-range hashes)
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(28,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var prev = sig(cur)
+    var done = prev._1 == 0L
+    var i = 0
+    while (!done && i < maxRounds) {
+      val sym = cur.union(
+        cur.select(col("dst").as("src"), col("src").as("dst")))
+      cur = smallStarRound(largeStarRound(sym)).localCheckpoint()
+      val now = sig(cur)
+      done = now == prev
+      prev = now
+      i += 1
+    }
+    // star state: every edge is (member, component-min); min() guards
+    // the (never-observed) not-quite-converged cap exit with a still-
+    // consistent labeling
+    val members = cur.groupBy(col("src").as("id"))
+      .agg(min("dst").as("label"))
+    val roots = cur.select(col("dst").as("id")).distinct()
+      .join(members.select("id"), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    members.unionByName(roots)
   }
 
   /** Max contracted-graph edges solved driver-side. After one

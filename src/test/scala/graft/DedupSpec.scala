@@ -209,6 +209,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star solve: path labels == min, random graphs " +
+      "== union-find") {
+    // path graph: diameter n, the shape that defeats bounded-round
+    // label propagation — the star alternation must label everything 0
+    val n = 3000
+    val chain = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val labels = Dedup.starSolve(chain)
+    assert(labels.count() == n)
+    assert(labels.filter(col("label") =!= 0L).isEmpty)
+    // random multigraphs: labels must equal the driver union-find's
+    // component minima exactly
+    val rnd = new scala.util.Random(3)
+    val es = (1 to 400)
+      .map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Dedup.starSolve(es.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = Dedup.unionFind(es.toArray)
+    assert(got.keySet == uf.keySet)
+    got.foreach { case (id, l) =>
+      assert(l == uf(id), s"node $id: star=$l uf=${uf(id)}")
+    }
+  }
+
   test("dedup clusters: every doc labeled once, keepers are cluster minima") {
     val c = Dedup.clusters.fn(spark, sfTiny)
     val docs = Tables.documents(spark, sfTiny)

@@ -225,6 +225,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chains beyond the iteration cap converge through the " +
+      "star fallback") {
+    // maxIter=1 starves the propagation loop so the cap is hit with
+    // work remaining — the Kiveris et al. star alternation must then
+    // finish the component regardless of diameter.
+    // localSolveLimit=0 keeps the driver union-find out of the way.
+    val old = spark.conf.getOption("spark.graft.cc.localSolveLimit")
+    spark.conf.set("spark.graft.cc.localSolveLimit", "0")
+    try {
+      check(Prop.forAll(Gen.choose(1000, 4000)) { n =>
+        val edges = spark.range(n - 1)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val labels = dedup.Dedup.connectedComponents(edges, maxIter = 1)
+        labels.count() == n &&
+          labels.filter(col("label") =!= 0L).isEmpty
+      }, n = 2)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.cc.localSolveLimit", v)
+      case None => spark.conf.unset("spark.graft.cc.localSolveLimit")
+    }
+  }
+
   test("property: kll conserves weight; median rank holds for any split") {
     import graft.functions.KllBuffer
     check(Prop.forAll(

@@ -82,8 +82,13 @@ case class MisraGries(
             // before it escapes the row
             buf.update(s.clone(), 1L)
           } else {
-            // classic MG decrement-all step; O(k) but triggered at
-            // most once per k distinct-miss updates
+            // classic MG decrement-all step. O(k) per miss while the
+            // buffer stays full (counters above 1 survive decrement,
+            // not evicted): amortization bounds total decrements of
+            // any single counter, NOT per-row cost, so a mostly-
+            // distinct stream worst-cases at O(n·k). Fine at the
+            // k≤1024 the queries use; a lazy global-offset + min-heap
+            // is the known rewrite if k=65536-scale ever matters.
             val dead = mutable.ArrayBuffer.empty[UTF8String]
             buf.mapValuesInPlace { (_, c) => c - 1 }
             buf.foreach { case (key, c) => if (c <= 0) dead += key }

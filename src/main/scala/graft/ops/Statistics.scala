@@ -159,12 +159,18 @@ object Statistics {
     * order can't perturb them; mean/std derive from those exact sums
     * with IEEE double ops, so both engines compute bit-identical
     * thresholds and the 3σ comparison can't flip across engines.
+    * Overflow envelope: the square's input is DECIMAL(12,6) (|value|
+    * < 10⁶ — events.value is bounded well under that), so x² is
+    * DECIMAL(25,12) and the 38-precision sum keeps 13 integer digits
+    * of headroom ≈ 10¹³ rows per group; an 18,6 square would sit at
+    * the precision ceiling where Spark (non-ANSI) NULLs silently
+    * while DuckDB raises — a silent-divergence hazard at 100 TB.
     */
   val outlierStats: QueryDef = QueryDef.sql(
     "q104_outlier_stats",
     """WITH st AS (SELECT event_type, count(*) AS n,
       |   sum(CAST(value AS DECIMAL(18,6))) AS sx,
-      |   sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+      |   sum(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6))) AS sxx
       |   FROM events GROUP BY event_type),
       | m AS (SELECT event_type, n,
       |   CAST(sx AS DOUBLE) / n AS mean,
@@ -180,8 +186,9 @@ object Statistics {
   ) { (s, d) =>
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
     val xd = col("value").cast("decimal(18,6)")
+    val xq = col("value").cast("decimal(12,6)")
     val st = ev.groupBy("event_type").agg(
-      count(lit(1)).as("n"), sum(xd).as("sx"), sum(xd * xd).as("sxx"))
+      count(lit(1)).as("n"), sum(xd).as("sx"), sum(xq * xq).as("sxx"))
     val m = st.select(col("event_type"), col("n"),
       (col("sx").cast("double") / col("n")).as("mean"),
       sqrt((col("sxx").cast("double") -

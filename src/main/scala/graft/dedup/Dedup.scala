@@ -486,8 +486,19 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Word n-gram shingle set of a text column. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingle set of a text column — the fused codegen'd
+    * [[graft.functions.WordShingles]] pass (one tokenize+window+dedup
+    * kernel per row inside WholeStageCodegen). PropertySpec pins
+    * equality with [[declarativeShingles]] for arbitrary text.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.HashFunctions.word_shingles(text, n)
+
+  /** The declarative spelling `shingles` replaces: three levels of
+    * interpreted higher-order lambdas per document. Kept as the
+    * independent oracle for the codegen kernel's property test.
+    */
+  def declarativeShingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),

@@ -445,6 +445,88 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** The word `n`-gram shingle SET of a text column as strings, fused
+  * into one codegen'd pass: tokenize on single spaces (empty tokens
+  * kept — regex-`" "`-split-with-limit=-1 parity), slide the n-token
+  * window (a document shorter than `n` tokens contributes its whole
+  * token list as one shingle), join each window with a space, and
+  * de-duplicate preserving first occurrence (`array_distinct`
+  * parity). The declarative spelling —
+  * `array_distinct(transform(sequence…, array_join(slice…)))` —
+  * runs three levels of interpreted lambdas per document; this is
+  * its drop-in replacement for the exact-count tiers that need the
+  * shingle STRINGS (q33/q42/q60's explode+join), the sibling of
+  * [[ShingleHashes]] which serves the hash-only probe paths.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0 && n <= 16, "shingle width must be in 1..16")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    WordShingles.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        toks.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = toks.size
+    val cnt = math.max(m - n + 1, 1)
+    // first-occurrence order (array_distinct parity)
+    val seen = new java.util.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    while (w < cnt) {
+      sb.setLength(0)
+      var j = w
+      val end = math.min(w + n, m)
+      while (j < end) {
+        if (j > w) sb.append(' ')
+        sb.append(toks.get(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = UTF8String.fromString(it.next())
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object ShingleHashes {
   /** Static entry shared by interpreted eval and generated code. */
   def compute(text: UTF8String, n: Int): ArrayData = {
@@ -495,6 +577,9 @@ object HashFunctions {
 
   def shingle_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
+
+  def word_shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
 
   def sig_matches(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -64,6 +64,10 @@ object Registry {
       case Seq(t, n) => ShingleHashes(t, litInt(n, "n"))
       case e => arity("shingle_hashes", e.size, "2")
     })
+    ColumnBridge.registerFunction(spark, "word_shingles", {
+      case Seq(t, n) => WordShingles(t, litInt(n, "n"))
+      case e => arity("word_shingles", e.size, "2")
+    })
     ColumnBridge.registerFunction(spark, "sig_matches", {
       case Seq(a, b) => SignatureMatches(a, b)
       case e => arity("sig_matches", e.size, "2")

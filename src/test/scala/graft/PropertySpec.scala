@@ -137,11 +137,36 @@ class PropertySpec extends SparkSpec {
       "one two").toDF("text")
     val got = texts.select(
       array_sort(array_distinct(shingle_hashes(col("text"), 3))).as("fused"),
-      array_sort(transform(graft.dedup.Dedup.shingles(col("text"), 3),
+      array_sort(transform(
+        graft.dedup.Dedup.declarativeShingles(col("text"), 3),
         x => xxhash64(x))).as("declarative")).collect()
     got.foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1).distinct.sorted,
         s"mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("property: word_shingles == the declarative shingle spelling " +
+      "element-for-element for any text") {
+    // the codegen'd string-shingle kernel must match the
+    // array_distinct(transform(sequence…)) tree it replaces EXACTLY —
+    // same elements, same first-occurrence order — so swapping it
+    // into q33/q42/q60's exact tiers cannot move a hash-gated result
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "", "d e"))
+    } yield toks.mkString(" ")
+    for (width <- Seq(1, 2, 3, 5)) {
+      val texts = (Gen.listOfN(200, textGen).sample.get :+ "" :+ " " :+
+        "one two").toDF("text")
+      val got = texts.select(
+        graft.dedup.Dedup.shingles(col("text"), width).as("fused"),
+        graft.dedup.Dedup.declarativeShingles(col("text"), width)
+          .as("declarative")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"width=$width: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
     }
   }
 

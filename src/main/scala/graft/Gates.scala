@@ -58,17 +58,15 @@ object Gates {
       .toDouble / e.count()
   }
 
-  /** All gates at `d` (or the `only` subset). Each runs
-    * independently: a throwing gate records NaN/fail rather than
-    * aborting the sweep. ALS models and the eval split come from
-    * Recommend's per-(session, dir) caches, so gates re-measure on
-    * fits the Verify queries already paid for.
+  /** The gate registry: (query, gate name, op, threshold, measure).
+    * Declared data-first so [[names]] enumerates coverage without
+    * running a single measurement.
     */
-  def all(s: SparkSession, d: String,
-      only: Set[String] = Set.empty): Seq[GateResult] = {
-    val specs: Seq[(String, String, String, Double, () => Double)] = Seq(
+  private val specs
+      : Seq[(String, String, String, Double, (SparkSession, String) => Double)] =
+    Seq(
       ("q20_als_user_recs", "topk_and_score_order_violations", "<=", 0.0,
-        () => {
+        (s, d) => {
           val recs = ml.Recommend.userRecs.fn(s, d)
           val over = recs.groupBy("user_id").count()
             .filter(col("count") > ml.Recommend.TopK).count()
@@ -79,12 +77,12 @@ object Gates {
           (over + disorder).toDouble
         }),
       ("q21_als_item_factors", "factor_dim_violations", "<=", 0.0,
-        () => ml.Recommend.itemFactors.fn(s, d)
+        (s, d) => ml.Recommend.itemFactors.fn(s, d)
           .groupBy("product_id").count()
           .filter(col("count") =!= ml.Recommend.effRank(s)).count()
           .toDouble),
       ("q22_item_sim_cosine", "threshold_topk_violations", "<=", 0.0,
-        () => {
+        (s, d) => {
           val sims = ml.Recommend.itemSims.fn(s, d)
           val bad = sims.filter(col("sim") <= ml.Recommend.SimThreshold ||
             col("sim") > 1.0 + 1e-9).count()
@@ -99,7 +97,7 @@ object Gates {
       // quality is measurable — MlSpec's bound on the reference's own
       // ratings fixture — and the sfDir grid is gated structurally.
       ("q23_als_rmse", "reference_fixture_rmse", "<=", 1.35,
-        () => {
+        (s, d) => {
           import org.apache.spark.ml.recommendation.ALS
           val ratings = sources.DelimitedSource.ratings(s, RefRatings)
             .select("userId", "productId", "score")
@@ -114,7 +112,7 @@ object Gates {
           ml.Recommend.evaluateRmse(m, test)
         }),
       ("q24_als_grid_search", "grid_structure_violations", "<=", 0.0,
-        () => {
+        (s, d) => {
           // default 2x2 grid; searching must never lose to not
           // searching (the production combo is one of the cells)
           val grid = ml.Recommend.gridSearch.fn(s, d).collect()
@@ -125,10 +123,10 @@ object Gates {
           (v1 + v2).toDouble
         }),
       ("q26_multimodal_features", "undecoded_payloads", "<=", 0.0,
-        () => mm.Multimodal.mediaFeatures.fn(s, d)
+        (s, d) => mm.Multimodal.mediaFeatures.fn(s, d)
           .filter(col("decoded") === false).count().toDouble),
       ("q31_dedup_minhash_lsh", "recall_vs_exact_jaccard_0.9", ">=", 0.95,
-        () => {
+        (s, d) => {
           import graft.functions.HashFunctions.sorted_intersect_size
           val toks = dedup.Dedup.tokenSets(Tables.documents(s, d))
           val a = toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
@@ -147,7 +145,7 @@ object Gates {
           if (n == 0) Double.NaN else found.toDouble / n
         }),
       ("q32_dedup_simhash", "exact_dup_pair_misses", "<=", 0.0,
-        () => {
+        (s, d) => {
           // identical texts ⇒ identical signatures ⇒ the banded join
           // must emit every exact-dup pair at hamming 0
           val fp = Tables.documents(s, d)
@@ -159,18 +157,18 @@ object Gates {
           dups.join(got, Seq("doc_a", "doc_b"), "left_anti").count().toDouble
         }),
       ("q36_ann_lsh", "recall_at_5_vs_exact", ">=", 0.8,
-        () => annRecall(search.Ann.bruteForce.fn(s, d),
+        (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Ann.lshTopK.fn(s, d))),
       ("q42_fingerprint", "coverage_and_dup_collision_violations", "<=", 0.0,
-        () => fingerprintWithDocs(s, d)),
+        (s, d) => fingerprintWithDocs(s, d)),
       ("q45_approx_distinct", "max_hll_rel_err", "<=", 0.1,
-        () => ops.Analytics.approxDistinct.fn(s, d)
+        (s, d) => ops.Analytics.approxDistinct.fn(s, d)
           .agg(max("rel_err")).head().getDouble(0)),
       ("q48_ann_ivf", "recall_at_5_vs_exact", ">=", 0.8,
-        () => annRecall(search.Ann.bruteForce.fn(s, d),
+        (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Ann.ivfTopK.fn(s, d))),
       ("q49_dedup_clusters", "labeling_and_keeper_violations", "<=", 0.0,
-        () => {
+        (s, d) => {
           val c = dedup.Dedup.clusters.fn(s, d)
           val docs = Tables.documents(s, d).count()
           val v1 = math.abs(c.count() - docs)
@@ -183,7 +181,7 @@ object Gates {
           (v1 + v2 + bad).toDouble
         }),
       ("q63_corpus_sketch", "max_jaccard_err_sigmas", "<=", 4.0,
-        () => {
+        (s, d) => {
           val k = 64
           val est = text.TextAnalysis.corpusSketch.fn(s, d)
           val toks = Tables.documents(s, d)
@@ -208,7 +206,7 @@ object Gates {
           }.max
         }),
       ("q66_quantile_sketch", "max_rank_error", "<=", 0.025,
-        () => {
+        (s, d) => {
           val probs = Seq(0.25, 0.5, 0.75, 0.95)
           val est = ops.Statistics.quantileSketch.fn(s, d).collect()
           val groups = Tables.lineitem(s, d)
@@ -226,7 +224,7 @@ object Gates {
           }.max
         }),
       ("q68_decontaminate_bloom", "false_negatives_vs_exact", "<=", 0.0,
-        () => {
+        (s, d) => {
           val exact = dedup.Dedup
             .benchShingleHits(Tables.documents(s, d), 97).select("doc_id")
           val flagged =
@@ -234,7 +232,7 @@ object Gates {
           exact.join(flagged, Seq("doc_id"), "left_anti").count().toDouble
         }),
       ("q73_semdedup", "labeling_and_dup_of_violations", "<=", 0.0,
-        () => {
+        (s, d) => {
           val out = search.Ann.semDedup.fn(s, d)
           val n = Tables.embeddings(s, d).count()
           val v1 = math.abs(out.count() - n)
@@ -247,7 +245,7 @@ object Gates {
           (v1 + selfRef + orphan).toDouble
         }),
       ("q75_incremental_neardup", "pair_diff_vs_full_pass", "<=", 0.0,
-        () => {
+        (s, d) => {
           val sets = dedup.Dedup.tokenSets(Tables.documents(s, d))
           def key(df: DataFrame) = df.select(col("doc_a"), col("doc_b"),
             round(col("jaccard"), 4).as("j"))
@@ -260,13 +258,13 @@ object Gates {
             .toDouble
         }),
       ("q77_quality_classifier", "held_out_auc", ">=", 0.85,
-        () => ml.QualityModel.heldOutAuc(s, d)),
+        (s, d) => ml.QualityModel.heldOutAuc(s, d)),
       ("q84_ann_pq", "recall_at_5_vs_exact", ">=", 0.8,
-        () => annRecall(search.Ann.bruteForce.fn(s, d),
+        (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Pq.pqTopK.fn(s, d))),
       ("q91_fuzzy_decontaminate", "soundness_and_recall_violations", "<=",
         0.0,
-        () => {
+        (s, d) => {
           import graft.functions.HashFunctions.sorted_intersect_size
           val sets = dedup.Dedup.tokenSets(Tables.documents(s, d))
           val bench = sets.filter(col("doc_id") % 97 === 0)
@@ -292,15 +290,29 @@ object Gates {
           (unsound + missed).toDouble
         })
     )
+
+  /** Registered gate query names, enumerable without running any
+    * measurement (GatesSpec checks coverage against the no_oracle
+    * registry with this).
+    */
+  def names: Seq[String] = specs.map(_._1)
+
+  /** All gates at `d` (or the `only` subset). Each runs
+    * independently: a throwing gate records NaN/fail rather than
+    * aborting the sweep. ALS models and the eval split come from
+    * Recommend's per-(session, dir) caches, so gates re-measure on
+    * fits the Verify queries already paid for.
+    */
+  def all(s: SparkSession, d: String,
+      only: Set[String] = Set.empty): Seq[GateResult] =
     specs.filter(g => only.isEmpty || only(g._1))
       .map { case (query, gate, op, thr, f) =>
-      try mk(query, gate, f(), thr, op)
-      catch { case e: Throwable =>
-        System.err.println(s"[gates] $query/$gate failed: ${e.getMessage}")
-        GateResult(query, gate, Double.NaN, thr, op, pass = false)
+        try mk(query, gate, f(s, d), thr, op)
+        catch { case e: Throwable =>
+          System.err.println(s"[gates] $query/$gate failed: ${e.getMessage}")
+          GateResult(query, gate, Double.NaN, thr, op, pass = false)
+        }
       }
-    }
-  }
 
   /** q42's contract: one fingerprint row per document, and exact-dup
     * texts (same md5) always collide on fingerprint. Returns the

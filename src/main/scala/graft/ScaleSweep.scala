@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured-scaling sweep for the heavy query tier (q49 dedup
+  * clustering, q60 decontamination, q62 curation pipeline, q81
+  * PageRank, q84 PQ ANN, q101 batch BM25): replicate the sf0.1
+  * tables `SPARK_GRAFT_REPLICATE`× (default 10 — a decade above the
+  * bench scale) into a synthetic sfDir and run each query end to end,
+  * median of `SPARK_GRAFT_REPS` runs.
+  *
+  * Replication semantics: each document replica appends ~30%
+  * replica-unique salt tokens, so near-dup cliques stay WITHIN a
+  * replica (cross-replica Jaccard ≤ 1/1.3 < 0.9) and true near-dup
+  * pairs grow ~k×, not k²×; embeddings shift ids only (ANN corpus
+  * grows k×, query set stays fixed); lineitem shifts order/part keys
+  * so q81's co-purchase graph grows k× with per-replica structure.
+  * Derived columns not used by the tier (e.g. documents.n_chars) are
+  * carried verbatim.
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val k = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "10").toInt
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR", s"/tmp/graft_sfx$k")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      def reps10(df: DataFrame): DataFrame =
+        df.crossJoin(spark.range(k).select(col("id").as("rep")))
+      reps10(spark.read.parquet(s"$src/documents.parquet"))
+        .withColumn("doc_id", col("doc_id") * k + col("rep"))
+        .withColumn("text", concat_ws(" ", col("text"),
+          array_join(transform(
+            sequence(lit(1),
+              ceil(size(split(col("text"), " ")) * 0.3).cast("int")),
+            i => concat(lit("rep"), col("rep"), lit("t"), i)), " ")))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      reps10(spark.read.parquet(s"$src/embeddings.parquet"))
+        .withColumn("vec_id", col("vec_id") * k + col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      reps10(spark.read.parquet(s"$src/lineitem.parquet"))
+        .withColumn("l_orderkey", col("l_orderkey") * k + col("rep"))
+        .withColumn("l_partkey", col("l_partkey") * k + col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      println(s"SWEEP built $out at ${k}x from $src")
+    }
+
+    val tier = Seq("q49_dedup_clusters", "q60_decontaminate",
+      "q62_curation_pipeline", "q81_pagerank", "q84_ann_pq",
+      "q101_bm25_batch")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // JVM/codegen warmup so the first tier query isn't billed for it
+    spark.range(100000).selectExpr("sum(id)").collect()
+    val results = tier.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, out).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SWEEP $name%-24s ${k}x  $dt%7.2f s   rows=$n")
+        dt
+      }
+      name -> median(times)
+    }
+    val qs = results.map { case (n, t) => f""""$n":$t%.4f""" }
+      .mkString("{", ",", "}")
+    println(s"""SWEEP_JSON {"replicate":$k,"reps":$reps,"queries":$qs}""")
+    spark.stop()
+  }
+}

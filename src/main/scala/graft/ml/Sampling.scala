@@ -69,5 +69,71 @@ object Sampling {
       .orderBy("user_id", "rk")
   }
 
-  val defs: Seq[QueryDef] = Seq(negativeSample)
+  /** q107 — temperature-based corpus resampling (α = 1/2): draw a
+    * half-size corpus where source s contributes ∝ n_s^α, the
+    * standard rebalancing that upweights rare sources against
+    * head-heavy crawls (the α-sampling of multilingual LM training —
+    * Conneau & Lample 2019 §3.1, mT5's α=0.3..0.7 sweeps). Selection
+    * is deterministic md5 order (the q54/q69 discipline), so the
+    * sample is reproducible and hash-gated end to end.
+    *
+    * Float discipline: n^α at α=1/2 is `sqrt` — IEEE-correctly-
+    * rounded in BOTH engines (unlike `pow`, which carries no such
+    * guarantee) — quantized to an integer 1e9 grid (the q81 trick);
+    * every step after that (share products, floor-division caps) is
+    * exact BIGINT arithmetic, so cap boundaries cannot flip between
+    * engines. Scale shape: caps derive from a source-cardinality
+    * aggregate (tiny, broadcast); ranking reuses q69's two-phase
+    * bucket prefix sum — 256 md5 buckets rank in parallel and only
+    * the (source, bucket) offset table rides a window — so no
+    * per-source reducer sees a whole source's rows.
+    */
+  val temperatureSample: QueryDef = QueryDef.sql(
+    "q107_temperature_sample",
+    """WITH c AS (SELECT source, count(*) AS n FROM documents
+      |   GROUP BY source),
+      | q AS (SELECT source, n,
+      |   CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS q
+      |   FROM c),
+      | t AS (SELECT CAST(sum(q) AS BIGINT) AS qsum,
+      |   CAST(sum(n) AS BIGINT) AS total FROM q),
+      | caps AS (SELECT source,
+      |   least((total // 2) * q // qsum, n) AS cap FROM q, t),
+      | r AS (SELECT doc_id, source, row_number() OVER (
+      |   PARTITION BY source
+      |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      | SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+      | FROM r JOIN caps USING (source) WHERE rk <= cap
+      | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val q = counts.withColumn("q",
+      floor(sqrt(col("n").cast("double")) * lit(1e9)).cast("long"))
+    val t = q.agg(sum("q").cast("long").as("qsum"),
+      sum("n").cast("long").as("total"))
+    val caps = q.crossJoin(broadcast(t))
+      .select(col("source"),
+        least(expr("(total div 2) * q div qsum"), col("n")).as("cap"))
+    val hashed = docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val wIntra = Window.partitionBy("source", "bkt")
+      .orderBy(col("h"), col("doc_id"))
+    val intra = hashed.withColumn("irk", row_number().over(wIntra))
+    val wOff = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hashed.groupBy("source", "bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("source", "bkt", "off")
+    intra.join(broadcast(offs), Seq("source", "bkt"))
+      .withColumn("rk", col("off") + col("irk"))
+      .join(broadcast(caps), "source")
+      .filter(col("rk") <= col("cap"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(negativeSample, temperatureSample)
 }

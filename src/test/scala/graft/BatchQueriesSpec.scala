@@ -128,4 +128,34 @@ class BatchQueriesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == caps, s"got $got want $caps")
   }
+
+  test("q107 temperature sampling: sqrt-share caps, rare sources " +
+      "upweighted, deterministic") {
+    val n = Tables.documents(spark, sfSmall).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent cap oracle: integer arithmetic over the 1e9 sqrt grid
+    val q = n.map { case (s, c) => s -> math.floor(math.sqrt(c.toDouble) * 1e9).toLong }
+    val qsum = q.values.sum
+    val ntgt = n.values.sum / 2
+    val want = q.map { case (s, v) => s -> math.min(ntgt * v / qsum, n(s)) }
+      .filter(_._2 > 0)
+    val out = ml.Sampling.temperatureSample.fn(spark, sfSmall).cache()
+    val got = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got $got want $want")
+    // α = 1/2 upweights rare sources: sampling RATE cap/n must be
+    // (weakly) decreasing in source size, up to the 1/n floor
+    // granularity of an integer cap
+    val bySize = n.toSeq.sortBy(_._2).map { case (s, c) =>
+      (c, got.getOrElse(s, 0L).toDouble / c)
+    }
+    bySize.sliding(2).foreach { case Seq((cr, rare), (_, common)) =>
+      assert(rare >= common - 1.0 / cr,
+        s"rates not monotone: $bySize")
+    case _ => ()
+    }
+    // deterministic md5 order: a second run selects identical rows
+    val again = ml.Sampling.temperatureSample.fn(spark, sfSmall)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }

@@ -80,6 +80,11 @@ object Registry {
       case Seq(a, b) => SortedIntersectSize(a, b)
       case e => arity("sorted_intersect_size", e.size, "2")
     })
+    ColumnBridge.registerFunction(spark, "bottom_k_agg", {
+      case Seq(key, id, k) =>
+        BottomKAgg(key, id, litInt(k, "k")).toAggregateExpression()
+      case e => arity("bottom_k_agg", e.size, "3")
+    })
     ColumnBridge.registerFunction(spark, "minhash_union", {
       case Seq(a, k) =>
         MinHashUnion(a, litInt(k, "k")).toAggregateExpression()

@@ -135,5 +135,36 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(negativeSample, temperatureSample)
+  /** q108 — uniform per-language k=10 document sample via the
+    * [[graft.functions.BottomKAgg]] bounded aggregate: priority =
+    * md5(doc_id), keep the k smallest. One hash-agg with map-side
+    * partials — ≤k entries per (partition, group) cross the shuffle,
+    * where the q54 window spelling shuffles every row of every group.
+    * Deterministic priorities make a custom imperative aggregate
+    * fully DuckDB-oracle-able (the q88 trick): the oracle is the
+    * equivalent rank window, hash-matched.
+    */
+  val reservoirSample: QueryDef = QueryDef.sql(
+    "q108_reservoir_sample",
+    """WITH r AS (SELECT lang, doc_id, row_number() OVER (
+      |   PARTITION BY lang
+      |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      | SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      | FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    import graft.functions.BottomKAgg.bottom_k_agg
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(bottom_k_agg(md5(col("doc_id").cast("string")), col("doc_id"), 10)
+        .as("sample"))
+      .select(col("lang"), posexplode(col("sample")).as(Seq("pos", "entry")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("entry.id").as("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(negativeSample, temperatureSample, reservoirSample)
 }

@@ -183,6 +183,13 @@ class PlanSpec extends SparkSpec {
       "top-k aggregate lost its partial phase:\n" + p)
   }
 
+  test("q108: the bottom-k sample aggregate has a map-side partial phase") {
+    val p = ml.Sampling.reservoirSample.fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_bottom_k_agg"),
+      "bottom-k aggregate lost its partial phase:\n" + p)
+  }
+
   test("q63: the sketch aggregate has a map-side partial phase") {
     val p = text.TextAnalysis.corpusSketch.fn(spark, sfTiny)
       .queryExecution.executedPlan.toString

@@ -250,6 +250,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bottom-k sample buffer == sort.take(k) for any split") {
+    import graft.functions.BottomKAgg
+    import org.apache.spark.unsafe.types.UTF8String
+    val entryGen = for {
+      key <- Gen.listOfN(4, Gen.oneOf('0', '1', 'a', 'b')).map(_.mkString)
+      id <- Gen.choose(0L, 50L)
+    } yield (key, id)
+    check(Prop.forAll(Gen.listOf(entryGen), Gen.choose(0, 100)) {
+      (xs, splitAt) =>
+        val (l, r) = xs.splitAt(math.min(splitAt, xs.size))
+        val a = new BottomKAgg.Buf(5)
+        l.foreach { case (k0, id) => a.insert(UTF8String.fromString(k0), id) }
+        val b = new BottomKAgg.Buf(5)
+        r.foreach { case (k0, id) => b.insert(UTF8String.fromString(k0), id) }
+        var i = 0
+        while (i < b.n) { a.insert(b.keys(i), b.ids(i)); i += 1 }
+        val got = (0 until a.n).map(j => (a.keys(j).toString, a.ids(j)))
+        got == xs.sorted.take(5)
+    })
+  }
+
   test("property: chains beyond the iteration cap converge through the " +
       "star fallback") {
     // maxIter=1 starves the propagation loop so the cap is hit with

@@ -91,6 +91,23 @@ class RegistrySpec extends SparkSpec {
     assert(sql(0).length == 2 && sql(1).length == 1)
   }
 
+  test("bottom_k_agg is SQL-registered and matches the rank window") {
+    Registry.register(spark)
+    spark.range(100)
+      .selectExpr("id % 3 AS g", "id", "md5(CAST(id AS STRING)) AS p")
+      .createOrReplaceTempView("vbk")
+    val agg = spark.sql(
+      """SELECT g, entry.id AS id FROM (
+        |  SELECT g, posexplode(bottom_k_agg(p, id, 4)) AS (pos, entry)
+        |  FROM vbk GROUP BY g)""".stripMargin)
+    val win = spark.sql(
+      """SELECT g, id FROM (
+        |  SELECT g, id, row_number() OVER (PARTITION BY g
+        |    ORDER BY p, id) AS rk FROM vbk) WHERE rk <= 4""".stripMargin)
+    assert(agg.count() == 12)
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+  }
+
   test("bloom build and probe are callable from SQL") {
     Registry.register(spark)
     spark.range(1, 101).selectExpr("array(id * 7) AS ks")

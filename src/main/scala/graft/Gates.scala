@@ -262,6 +262,22 @@ object Gates {
       ("q84_ann_pq", "recall_at_5_vs_exact", ">=", 0.8,
         (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Pq.pqTopK.fn(s, d))),
+      ("q109_bpe_tokens", "roundtrip_and_compression_violations", "<=", 0.0,
+        (s, d) => {
+          // lossless: every word's tokens re-concatenate to the word;
+          // useful: merges actually compress (total BPE tokens strictly
+          // below total character count on a corpus with repeated pairs)
+          val words = text.Bpe.wordFreq(Tables.documents(s, d))
+          val enc = text.Bpe.encodeWords(words.select("word"),
+            text.Bpe.mergesFor(s, d))
+          val broken = enc
+            .filter(concat_ws("", col("tokens")) =!= col("word")).count()
+          val tot = enc.agg(
+            sum(size(col("tokens"))).cast("long"),
+            sum(length(col("word"))).cast("long")).head()
+          val compresses = if (tot.getLong(0) < tot.getLong(1)) 0L else 1L
+          (broken + compresses).toDouble
+        }),
       ("q91_fuzzy_decontaminate", "soundness_and_recall_violations", "<=",
         0.0,
         (s, d) => {

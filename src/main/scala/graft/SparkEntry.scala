@@ -22,6 +22,7 @@ object SparkEntry {
       search.Ann.defs ++ search.Projection.defs ++ search.Pq.defs ++
       search.Embeddings.defs ++
       text.TextAnalysis.defs ++ text.Vocab.defs ++ text.Retrieval.defs ++
+      text.Bpe.defs ++
       streaming.Rescoring.defs ++ mm.Multimodal.defs ++
       pipeline.Curation.defs
 

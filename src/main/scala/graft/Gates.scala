@@ -262,6 +262,24 @@ object Gates {
       ("q84_ann_pq", "recall_at_5_vs_exact", ">=", 0.8,
         (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Pq.pqTopK.fn(s, d))),
+      ("q110_cluster_split", "straddle_and_fraction_violations", "<=", 0.0,
+        (s, d) => {
+          val out = ml.Sampling.clusterSplit.fn(s, d).cache()
+          // leakage: a near-dup cluster appearing in two splits
+          val straddle = out.groupBy("cluster_id")
+            .agg(countDistinct("split").as("ns"))
+            .filter(col("ns") > 1).count()
+          val fr = out.select("cluster_id", "split").distinct()
+            .groupBy("split").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val totalC = fr.values.sum.toDouble
+          def frac(k: String) = fr.getOrElse(k, 0L) / totalC
+          val fracsOk = math.abs(frac("train") - 0.80) < 0.08 &&
+            math.abs(frac("val") - 0.10) < 0.06 &&
+            math.abs(frac("test") - 0.10) < 0.06
+          out.unpersist()
+          (straddle + (if (fracsOk) 0L else 1L)).toDouble
+        }),
       ("q109_bpe_tokens", "roundtrip_and_compression_violations", "<=", 0.0,
         (s, d) => {
           // lossless: every word's tokens re-concatenate to the word;

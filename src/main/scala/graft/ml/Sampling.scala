@@ -165,6 +165,28 @@ object Sampling {
       .orderBy("lang", "rk")
   }
 
+  /** q110 — leakage-safe train/val/test split: assignment is by
+    * NEAR-DUP CLUSTER (q49's labels), not by document, so two
+    * near-duplicates can never straddle train and test — the
+    * eval-contamination failure mode a doc-level random split walks
+    * straight into on a crawl corpus. Split is the first md5 byte of
+    * the cluster id (≈ 80/10/10), deterministic and engine-free.
+    * Rows-only (cluster ids come from the LSH pipeline); the
+    * SPECGATES entry gates zero straddling clusters and the split
+    * fractions. Scale shape: q49's clustering plus one narrow hash
+    * derivation — no extra shuffle beyond the labeling itself.
+    */
+  val clusterSplit: QueryDef = QueryDef.rowsOnly("q110_cluster_split") {
+    (s, d) =>
+      val b = conv(substring(md5(col("cluster_id").cast("string")), 1, 2),
+        16, 10).cast("int")
+      graft.dedup.Dedup.clusters.fn(s, d)
+        .select(col("doc_id"), col("cluster_id"))
+        .withColumn("split",
+          when(b < 205, "train").when(b < 230, "val").otherwise("test"))
+        .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(negativeSample, temperatureSample, reservoirSample)
+    Seq(negativeSample, temperatureSample, reservoirSample, clusterSplit)
 }

@@ -1054,10 +1054,57 @@ object TextAnalysis {
           (col("sum_n") - col("n_common"))).as("jaccard"))
   }
 
+  /** q111 — Shannon entropy of each document's word distribution:
+    * H = log2(n) − (Σ c·log2 c)/n over per-word counts c. The
+    * information-theoretic repetition signal that complements q64's
+    * mode fraction: a template that cycles five phrases scores high
+    * on diversity-of-mode but low on entropy; fluent text sits near
+    * log2 of its vocabulary size. Low-entropy docs are the
+    * boilerplate/spam tail every curation pass drops.
+    *
+    * Scale shape: two hash aggregates — (doc_id, word) counts, then
+    * the per-doc rollup — no joins, no windows; both have map-side
+    * partials. Float discipline (the q65 pattern): each c·log2(c)
+    * term goes through DECIMAL(28,12) so the sum is
+    * partition-order-independent, and the final round(…,4) absorbs
+    * cross-engine libm ulps in log2.
+    */
+  val wordEntropy: QueryDef = QueryDef.sql(
+    "q111_word_entropy",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      | c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+      | t AS (SELECT doc_id, c, CAST(CAST(c AS DOUBLE) *
+      |   log2(CAST(c AS DOUBLE)) AS DECIMAL(28,12)) AS term FROM c),
+      | agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |   CAST(count(*) AS BIGINT) AS n_distinct,
+      |   CAST(sum(term) AS DOUBLE) AS st FROM t GROUP BY doc_id)
+      | SELECT doc_id, n_tokens, n_distinct,
+      |  round(log2(CAST(n_tokens AS DOUBLE)) - st / n_tokens, 4)
+      |    AS word_entropy
+      | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    counts
+      .select(col("doc_id"), col("c"),
+        (col("c").cast("double") * log2(col("c").cast("double")))
+          .cast("decimal(28,12)").as("term"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum("term").cast("double").as("st"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log2(col("n_tokens").cast("double")) -
+          col("st") / col("n_tokens"), 4).as("word_entropy"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
     tfidfTerms, weightedSample, heavyHitters, qualityGate, repeatedNgrams,
-    maskRepeatedNgrams, sourceOverlap)
+    maskRepeatedNgrams, sourceOverlap, wordEntropy)
 }

@@ -158,4 +158,46 @@ class BatchQueriesSpec extends SparkSpec {
     val again = ml.Sampling.temperatureSample.fn(spark, sfSmall)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  test("q110 cluster split: every doc assigned, no cluster straddles") {
+    val out = ml.Sampling.clusterSplit.fn(spark, sfTiny).cache()
+    val docs = Tables.documents(spark, sfTiny)
+    assert(out.count() == docs.count())
+    assert(out.filter(!col("split").isin("train", "val", "test")).isEmpty)
+    val straddle = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1)
+    assert(straddle.isEmpty)
+    // near-dups (same cluster) land in the same split BY CONSTRUCTION;
+    // check the composition: doc split == its cluster keeper's split
+    val keepers = out.join(
+      dedup.Dedup.clusters.fn(spark, sfTiny).filter(col("is_keeper"))
+        .select(col("cluster_id"), col("doc_id").as("keeper_id")),
+      "cluster_id")
+    val keeperSplit = out.select(col("doc_id").as("keeper_id"),
+      col("split").as("keeper_split"))
+    assert(keepers.join(keeperSplit, "keeper_id")
+      .filter(col("split") =!= col("keeper_split")).isEmpty)
+  }
+
+  test("q111 word entropy: bounded by log2(distinct), exact on a " +
+      "hand-computed doc") {
+    val out = text.TextAnalysis.wordEntropy.fn(spark, sfTiny).cache()
+    val docs = Tables.documents(spark, sfTiny)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("word_entropy") < -1e-9).isEmpty)
+    assert(out.filter(col("word_entropy") >
+      log2(col("n_distinct").cast("double")) + 1e-4).isEmpty)
+    // independent recomputation for the three smallest doc_ids
+    val sample = docs.orderBy("doc_id").limit(3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val got = out.orderBy("doc_id").limit(3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    sample.foreach { case (id, text0) =>
+      val counts = text0.split(" ", -1).groupBy(identity)
+        .map(_._2.length.toDouble)
+      val n = counts.sum
+      val h = counts.map(c => -(c / n) * math.log(c / n) / math.log(2)).sum
+      assert(math.abs(got(id) - h) < 5e-4, s"doc $id: got ${got(id)} want $h")
+    }
+  }
 }

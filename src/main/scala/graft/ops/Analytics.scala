@@ -141,6 +141,33 @@ object Analytics {
         .orderBy("l_returnflag")
   }
 
+  /** q114 — HLL sketch ALGEBRA rollup: per-(lang, source) Datasketches
+    * HLL sketches built once, then per-lang distincts estimated by
+    * MERGING sketches — the second aggregation never rescans the
+    * corpus. This is the 100 TB operational pattern q45's scalar
+    * `approx_count_distinct` can't express: persist fixed-size
+    * sketches per partition/day, answer distinct-count questions at
+    * any rollup level (source → lang → global → arbitrary slices) by
+    * union alone. Mergeability is exact — the merged estimate is
+    * bit-identical to a direct sketch over the union (SketchSpec pins
+    * it); the estimate itself is approximate → rows-only, gated
+    * within 10% of exact.
+    */
+  val hllRollup: QueryDef = QueryDef.rowsOnly("q114_hll_rollup") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val perSource = docs.groupBy("lang", "source")
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+    val perLang = perSource.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_docs"))
+    val exact = docs.groupBy("lang")
+      .agg(countDistinct("doc_id").as("exact_docs"))
+    perLang.join(exact, "lang")
+      .select(col("lang"), col("est_docs"), col("exact_docs"),
+        round(abs(col("est_docs") - col("exact_docs")).cast("double") /
+          col("exact_docs"), 4).as("rel_err"))
+      .orderBy("lang")
+  }
+
   /** Rank-family completeness over q28's value windows: ntile decile
     * bucketing (the "split each language into quality deciles"
     * curation primitive), percent_rank and cume_dist — all over ONE
@@ -179,5 +206,5 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(
     windowAnalytics, rollupStats, pivotQ, jsonExtract, distinctAgg,
-    approxDistinct, ntileDeciles)
+    approxDistinct, ntileDeciles, hllRollup)
 }

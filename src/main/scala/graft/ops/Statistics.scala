@@ -246,7 +246,62 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** q113 — per-segment OLS trend: closed-form slope/intercept of
+    * `value` over time for each event_type, the drift screen that
+    * tells a broken tracker (step change) from organic growth before
+    * a 100 TB drop trains anything. ONE hash aggregate computes the
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx²) with map-side
+    * partials — no window, no join, no second pass; the slope then
+    * falls out of the sums on the tiny per-type table.
+    *
+    * Float discipline: x is epoch seconds re-based to a fixed 2020
+    * epoch (bounds x to ~9 digits so x² sums stay far under the
+    * DECIMAL(38) ceiling — same envelope reasoning as q104); all five
+    * sums are exact DECIMAL, cast to double only for the final
+    * closed form, which is then identical IEEE arithmetic on
+    * identical inputs in both engines. round(…,6/4) on the
+    * quotients absorbs nothing here but keeps output width stable.
+    */
+  val groupTrend: QueryDef = QueryDef.sql(
+    "q113_group_trend",
+    """WITH b AS (SELECT event_type,
+      |   CAST(epoch_us(ts) // 1000000 - 1600000000 AS BIGINT) AS x,
+      |   value AS y FROM events),
+      | s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |   CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+      |   CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |   CAST(sum(CAST(x AS DECIMAL(14,0)) * CAST(y AS DECIMAL(12,6)))
+      |     AS DOUBLE) AS sxy,
+      |   CAST(sum(CAST(x AS DECIMAL(14,0)) * CAST(x AS DECIMAL(14,0)))
+      |     AS DOUBLE) AS sxx
+      |  FROM b GROUP BY event_type)
+      | SELECT event_type, n,
+      |   round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6)
+      |     AS slope_per_day,
+      |   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+      |     4) AS intercept
+      | FROM s ORDER BY event_type""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val b = Tables.events(s, d).select(col("event_type"),
+      (col("ts").cast("long") - lit(1600000000L)).as("x"),
+      col("value").as("y"))
+    val st = b.groupBy("event_type").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x").cast("decimal(18,0)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+      sum(col("x").cast("decimal(14,0)") * col("y").cast("decimal(12,6)"))
+        .cast("double").as("sxy"),
+      sum(col("x").cast("decimal(14,0)") * col("x").cast("decimal(14,0)"))
+        .cast("double").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    st.select(col("event_type"), col("n"),
+      round(slope * lit(86400.0), 6).as("slope_per_day"),
+      round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(rateMoreProducts, rateMoreRecently, averageScore, dateConvert,
-      quantiles, quantileSketch, outlierStats, winsorize)
+      quantiles, quantileSketch, outlierStats, winsorize, groupTrend)
 }

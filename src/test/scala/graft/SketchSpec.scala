@@ -100,6 +100,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q114 hll rollup: merged-sketch estimate equals the direct sketch") {
+    val docs = Tables.documents(spark, sfSmall)
+    // sketch algebra: union of per-source sketches must estimate
+    // EXACTLY what one direct per-lang sketch estimates — mergeability
+    // is lossless, only the estimate itself is approximate
+    val merged = docs.groupBy("lang", "source")
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      .groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"))
+    val direct = docs.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("dct"))
+    val both = merged.join(direct, "lang").collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"${r.getString(0)}: merged=${r.getLong(1)} direct=${r.getLong(2)}")
+    }
+    // estimates track exact distincts
+    val out = ops.Analytics.hllRollup.fn(spark, sfSmall)
+    assert(out.filter(col("rel_err") > 0.05).isEmpty)
+  }
+
   test("minhash_union rejects signature-width mismatches loudly") {
     val rows = Seq((1, Seq("a", "b"))).toDF("g", "toks")
     val e = intercept[Exception] {

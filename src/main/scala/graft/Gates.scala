@@ -262,6 +262,9 @@ object Gates {
       ("q84_ann_pq", "recall_at_5_vs_exact", ">=", 0.8,
         (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Pq.pqTopK.fn(s, d))),
+      ("q112_count_min", "underestimates", "<=", 0.0,
+        (s, d) => ops.Analytics.countMin.fn(s, d)
+          .filter(col("est") < col("exact")).count().toDouble),
       ("q114_hll_rollup", "max_rollup_rel_err", "<=", 0.1,
         (s, d) => ops.Analytics.hllRollup.fn(s, d)
           .agg(max("rel_err")).head().getDouble(0)),

@@ -141,6 +141,40 @@ object Analytics {
         .orderBy("l_returnflag")
   }
 
+  /** q112 — count-min-sketch word frequencies: one fixed-size sketch
+    * over the whole token stream answers a point-frequency query for
+    * ANY word with a one-sided guarantee (never under, over by ≤
+    * ε·N w.h.p.) — the complement of q88's Misra–Gries, which only
+    * retains the top-k. At 100 TB the sketch is the only
+    * frequency structure that stays KB-sized while supporting
+    * arbitrary after-the-fact lookups (per-shard sketches also merge,
+    * like q114's HLL). The report probes the 20 most frequent words:
+    * estimate vs exact, overestimate per word. Rows-only (sketch
+    * internals are engine-specific); the gate pins zero
+    * underestimates — the CMS invariant.
+    */
+  val countMin: QueryDef = QueryDef.rowsOnly("q112_count_min") { (s, d) =>
+    import org.apache.spark.util.sketch.CountMinSketch
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val skBytes = tok
+      .agg(count_min_sketch(col("w"), lit(0.0001), lit(0.99), lit(42))
+        .as("sk")).head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    // 20 probe words to the driver — index-metadata scale, like q84's
+    // query vectors; the corpus-side work is the two aggregates
+    val top = tok.groupBy("w").agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), asc("w")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0))))
+    top.toSeq.toDF("word", "exact", "est")
+      .withColumn("over", col("est") - col("exact"))
+      .orderBy("word")
+  }
+
   /** q114 — HLL sketch ALGEBRA rollup: per-(lang, source) Datasketches
     * HLL sketches built once, then per-lang distincts estimated by
     * MERGING sketches — the second aggregation never rescans the
@@ -206,5 +240,5 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(
     windowAnalytics, rollupStats, pivotQ, jsonExtract, distinctAgg,
-    approxDistinct, ntileDeciles, hllRollup)
+    approxDistinct, ntileDeciles, countMin, hllRollup)
 }

@@ -100,6 +100,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q112 count-min: never underestimates, overestimate within eps*N") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val tok = Tables.documents(spark, sfTiny)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val eps = 0.0001
+    val bytes = tok
+      .agg(count_min_sketch(col("w"), lit(eps), lit(0.99), lit(42)))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = tok.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = exact.map(_._2).sum
+    // the CMS one-sided guarantee, checked for EVERY distinct word
+    exact.foreach { case (w, c) =>
+      val est = cms.estimateCount(w)
+      assert(est >= c, s"underestimate for '$w': $est < $c")
+    }
+    // w.h.p. bound: overestimate <= eps * N for the vast majority
+    val over = exact.count { case (w, c) => cms.estimateCount(w) - c > eps * n }
+    assert(over <= math.max(1, exact.length / 100),
+      s"$over of ${exact.length} words exceed the eps*N overestimate bound")
+  }
+
   test("q114 hll rollup: merged-sketch estimate equals the direct sketch") {
     val docs = Tables.documents(spark, sfSmall)
     // sketch algebra: union of per-source sketches must estimate

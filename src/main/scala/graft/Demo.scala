@@ -97,6 +97,31 @@ object Demo {
         (col("event_id") % 200).cast("int")).as("zkey"))
     println(s"zorder_key spans ${z.agg(countDistinct(col("zkey"))).head.getLong(0)} distinct cells")
 
+    // real JDK media decode: generated PNG round-trips through
+    // javax.imageio with true raster dimensions
+    val png = mm.Multimodal.decode(mm.Multimodal.MediaRecord(
+      7L, "image/png", mm.Multimodal.syntheticPng(7L)))
+    println(s"imageio decode: ${png.width}x${png.height} " +
+      s"ch=${png.channels} decoded=${png.decoded}")
+
+    // BPE: learn merges from the corpus word table, tokenize a word
+    val merges = text.Bpe.learnMerges(
+      text.Bpe.wordFreq(Tables.documents(spark, dir)), 16)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val sample = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 8).head.getString(0)
+    println(s"bpe: 16 merges learned; '$sample' -> " +
+      text.Bpe.encodeWord(sample, ranks).mkString("[", "|", "]"))
+
+    // deterministic bottom-k sampling aggregate: uniform per-group
+    // sample, <=k entries per partition cross the shuffle
+    val samp = Tables.documents(spark, dir).groupBy("lang")
+      .agg(functions.BottomKAgg.bottom_k_agg(
+        md5(col("doc_id").cast("string")), col("doc_id"), 3).as("sample"))
+    println("bottom_k_agg(md5(id), id, 3) per lang:")
+    samp.orderBy("lang").show(2, truncate = false)
+
     val flagship = SparkEntry.entry(spark)
     println(s"flagship entry() -> ${flagship.count()} rows")
     flagship.show(truncate = false)

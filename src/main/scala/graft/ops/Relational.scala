@@ -247,8 +247,47 @@ object Relational {
       .orderBy("key")
   }
 
+  /** q115 — bloom-pre-filtered fact-dim join: the dimension side is
+    * selective (p_size = 5 keeps ~2% of parts), so its join keys fold
+    * into one broadcast bloom and the FACT side filters on a scalar
+    * probe BEFORE its exchange — shuffled fact bytes drop to ~the
+    * matching rows plus a vanishing false-positive trickle, which the
+    * real join then drops. Semantics are exactly the plain join (a
+    * bloom has no false negatives), so the query is fully
+    * hash-gated against the un-filtered oracle; PlanSpec pins the
+    * probe's position under the join. This is the engine-controlled,
+    * deterministic spelling of AQE's runtime row filters — the shape
+    * that matters when the fact side is 100 TB and the exchange is
+    * the job.
+    */
+  val bloomJoin: QueryDef = QueryDef.sql(
+    "q115_bloom_join",
+    """SELECT p_type, count(*) AS n,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS revenue
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | WHERE p_size = 5
+      | GROUP BY p_type ORDER BY p_type""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    import graft.functions.BloomFilters._
+    val dim = Tables.part(s, d).filter(col("p_size") === 5)
+    val bloom = dim
+      .agg(bloom_build(array(xxhash64(col("p_partkey"))), 1 << 20, 7)
+        .as("bf"))
+    Tables.lineitem(s, d).select("l_partkey", "l_extendedprice")
+      .filter(bloom_contains_any(bloom.scalar(),
+        array(xxhash64(col("l_partkey"))), 7))
+      .join(dim.select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("p_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     projectFilter, distinctFlags, joinEquiAgg, joinFiveWay, antiJoin,
     semiJoin, selfThetaJoin, topKPerGroup, sortLimit, unionKeys,
-    intersectKeys, exceptAll)
+    intersectKeys, exceptAll, bloomJoin)
 }

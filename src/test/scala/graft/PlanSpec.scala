@@ -183,6 +183,39 @@ class PlanSpec extends SparkSpec {
       "top-k aggregate lost its partial phase:\n" + p)
   }
 
+  test("q115: the bloom probe filters the fact side below its exchange") {
+    val p = ops.Relational.bloomJoin.fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // the probe must be a plain Filter on the lineitem scan path (not
+    // folded into a join), and the dim join must still be present
+    val probeLine = p.linesIterator
+      .find(_.contains("bloom_contains_any")).getOrElse("")
+    assert(probeLine.contains("Filter") &&
+      !probeLine.contains("Join"), "probe left the filter position:\n" + p)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q107/q113: caps and stats stay broadcast/partial, no sort-merge " +
+      "of constant-size tables") {
+    val p107 = plan(ml.Sampling.temperatureSample.fn(spark, sfTiny))
+    assert(!p107.contains("CartesianProduct"), p107)
+    val p113 = ops.Statistics.groupTrend.fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // one hash aggregate with a partial phase, no join, no window
+    assert(p113.contains("partial_sum") || p113.contains("HashAggregate"),
+      p113)
+    assert(!p113.contains("Join") && !p113.contains("Window"), p113)
+  }
+
+  test("q111: word entropy is two hash aggregates with partials, no join") {
+    val p = text.TextAnalysis.wordEntropy.fn(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q108: the bottom-k sample aggregate has a map-side partial phase") {
     val p = ml.Sampling.reservoirSample.fn(spark, sfTiny)
       .queryExecution.executedPlan.toString

@@ -161,6 +161,24 @@ object StreamPipeline {
         col("term"), k).as("top_terms"))
       .select(col("window.start").as("ws"), col("top_terms"))
 
+  /** Streaming per-window uniform sampling: k docs per event-time
+    * window via the deterministic bottom-k priority aggregate
+    * ([[graft.functions.BottomKAgg]]) — the "show me a representative
+    * sample of what flowed through" operator for live ingest
+    * monitoring. State per open window is ≤k entries whatever the
+    * window's row count (same bounded-aggregate contract as
+    * [[trendingTerms]]); md5 priorities make the sample independent
+    * of arrival order, so replays converge to the identical sample.
+    */
+  def windowSample(docs: DataFrame, winDur: String = "10 minutes",
+      k: Int = 5, lateness: String = "10 minutes",
+      idCol: String = "doc_id"): DataFrame =
+    docs.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), winDur))
+      .agg(graft.functions.BottomKAgg.bottom_k_agg(
+        md5(col(idCol).cast("string")), col(idCol), k).as("sample"))
+      .select(col("window.start").as("ws"), col("sample.id").as("ids"))
+
   /** Streaming exact dedup with BOUNDED state: duplicate keys arriving
     * within the watermark horizon are dropped
     * (`dropDuplicatesWithinWatermark`), and a key's state is evicted

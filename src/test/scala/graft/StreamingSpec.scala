@@ -464,6 +464,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("window sample: k-bounded per-window sample, arrival-order " +
+      "independent, finalizes under the watermark") {
+    // expected sample: md5-priority bottom-3 of ids 1..6, computed
+    // independently of the streaming machinery
+    val expect = (1L to 6L)
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+      .take(3)
+    for (order <- Seq((1L to 6L), (6L to 1L by -1L))) {
+      val input = MemoryStream[(Long, Timestamp)](spark)
+      val name = s"ws_out_${order.head}"
+      val q = StreamPipeline.windowSample(
+        input.toDS().toDF("doc_id", "ts"), winDur = "1 hour", k = 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        order.foreach(id => input.addData((id, ts(100 + id))))
+        q.processAllAvailable()
+        input.addData((99L, ts(30000))) // advance watermark, close window
+        q.processAllAvailable()
+        val rows = spark.table(name).filter(col("ws") === ts(0)).collect()
+        assert(rows.length == 1, rows.mkString(";"))
+        val ids = rows.head.getSeq[Long](1)
+        assert(ids == expect, s"order=${order.head}: $ids vs $expect")
+      } finally q.stop()
+    }
+  }
+
   test("topk aggregator equals window top-k") {
     val aggQ = ops.TopK.topKAggQuery.fn(spark, sfTiny)
     val winQ = ops.Relational.topKPerGroup.fn(spark, sfTiny)

@@ -1101,10 +1101,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q116 — canonical text normalization: lowercase, strip characters
+    * outside [a-z0-9 ], squeeze runs of spaces, trim — the cleaning
+    * pass that runs before any exact-dedup/fingerprint stage so that
+    * case and punctuation variants collapse to one canonical form
+    * (feeding q30's hash-dedup, q42's fingerprints, the q60 shingle
+    * set). Pure narrow string ops — no shuffle at all, scan-speed at
+    * any corpus size — and deterministic (fixed regex classes are
+    * engine-portable), so the full normalized text hash-matches the
+    * oracle. Reports before/after char and token counts per doc.
+    */
+  val normalize: QueryDef = QueryDef.sql(
+    "q116_normalize",
+    """WITH n AS (SELECT doc_id,
+      |   trim(regexp_replace(regexp_replace(lower(text),
+      |     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |   text FROM documents)
+      | SELECT doc_id, norm_text,
+      |  CAST(length(text) AS BIGINT) AS chars_before,
+      |  CAST(length(norm_text) AS BIGINT) AS chars_after,
+      |  CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens
+      | FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " ")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("text")).cast("long").as("chars_before"),
+        length(col("norm_text")).cast("long").as("chars_after"),
+        size(split(col("norm_text"), " ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
     tfidfTerms, weightedSample, heavyHitters, qualityGate, repeatedNgrams,
-    maskRepeatedNgrams, sourceOverlap, wordEntropy)
+    maskRepeatedNgrams, sourceOverlap, wordEntropy, normalize)
 }

@@ -545,6 +545,25 @@ class StreamingSpec extends SparkSpec {
     assert(f.embedding.drop(3).forall(_ == 0f))
   }
 
+  test("jpeg decode and frame-sample slicing work through the same path") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    val img = new BufferedImage(24, 18, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 18; x <- 0 until 24) img.setRGB(x, y, 0x406080)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val f = mm.Multimodal.decode(
+      mm.Multimodal.MediaRecord(3L, "image/jpeg", bos.toByteArray))
+    // JPEG is lossy: dims/channels are exact, means only approximate
+    assert(f.decoded && f.width == 24 && f.height == 18 && f.channels == 3)
+    assert(math.abs(f.embedding(0) - 0x40 / 255f) < 0.05)
+    // frameSample: binary-in binary-out byte-range slice
+    val recs = Seq(mm.Multimodal.MediaRecord(1L, "video/mp4",
+      Array.tabulate[Byte](100)(_.toByte))).toDS()
+    val cut = mm.Multimodal.frameSample(recs, 16).head()
+    assert(cut.media.length == 16 && cut.media(15) == 15.toByte)
+  }
+
   test("pcm decode recovers channel count, frame length, and silence") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}

@@ -103,5 +103,73 @@ object Curation {
       .orderBy("lang", "source")
   }
 
-  val defs: Seq[QueryDef] = Seq(pipeline)
+  /** q117 — curation v2: the round-5 composition. Normalize (q116's
+    * canonical form) → quality gate on NORMALIZED tokens → exact
+    * dedup on the normalized text (so case/punctuation variants
+    * collapse — the pairing q116's scaladoc promises) → α=½
+    * temperature resampling by source (q107's integer-exact caps
+    * over the SURVIVORS) → per-source mix report. Oracle-gated as a
+    * composition end-to-end, like q62.
+    *
+    * Scale shape: normalization and the quality gate are narrow; the
+    * dedup hash-agg and the per-source rank window are the only
+    * corpus shuffles; cap arithmetic runs on the source-cardinality
+    * aggregate (broadcast). Sources are numerous and balanced here —
+    * the q69/q107 two-phase prefix sum is the swap-in if one source
+    * ever dominates a reducer.
+    */
+  val pipelineV2: QueryDef = QueryDef.sql(
+    "q117_curation_v2",
+    s"""WITH n AS (SELECT doc_id, source,
+       |   trim(regexp_replace(regexp_replace(lower(text),
+       |     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+       |  FROM documents),
+       | q AS (SELECT * FROM n WHERE len(string_split(t, ' ')) >= $MinWords),
+       | k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(t)),
+       | ded AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+       | c AS (SELECT source, count(*) AS cn FROM ded GROUP BY source),
+       | qq AS (SELECT source, cn,
+       |   CAST(floor(sqrt(CAST(cn AS DOUBLE)) * 1e9) AS BIGINT) AS qv
+       |   FROM c),
+       | tt AS (SELECT CAST(sum(qv) AS BIGINT) AS qsum,
+       |   CAST(sum(cn) AS BIGINT) AS total FROM qq),
+       | caps AS (SELECT source, least((total // 2) * qv // qsum, cn)
+       |   AS cap FROM qq, tt),
+       | r AS (SELECT doc_id, source, t, row_number() OVER (
+       |   PARTITION BY source
+       |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM ded),
+       | sel AS (SELECT r.* FROM r JOIN caps USING (source)
+       |   WHERE rk <= cap)
+       | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_tokens
+       | FROM sel GROUP BY source ORDER BY source""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val n = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", ""), " +", " ")).as("t"))
+    val q = n.filter(size(split(col("t"), " ")) >= MinWords)
+    val keep = q.groupBy(md5(col("t")).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val ded = q.join(keep, Seq("doc_id"), "left_semi")
+    val counts = ded.groupBy("source").agg(count(lit(1)).as("cn"))
+    val qv = counts.withColumn("qv",
+      floor(sqrt(col("cn").cast("double")) * lit(1e9)).cast("long"))
+    val tt = qv.agg(sum("qv").cast("long").as("qsum"),
+      sum("cn").cast("long").as("total"))
+    val caps = qv.crossJoin(broadcast(tt))
+      .select(col("source"),
+        least(expr("(total div 2) * qv div qsum"), col("cn")).as("cap"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    ded.withColumn("rk", row_number().over(w))
+      .join(broadcast(caps), "source")
+      .filter(col("rk") <= col("cap"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("t"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pipeline, pipelineV2)
 }

@@ -301,7 +301,63 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** q118 — per-segment Pearson correlation between hour-of-day and
+    * value: the diurnal-pattern screen (a metric that correlates with
+    * wall clock is seasonal, not stationary — it needs detrending
+    * before any threshold alert). Same single-hash-aggregate
+    * sufficient-statistics framework as q113 with Σy² added; hour
+    * derives from epoch integer arithmetic ((epoch // 3600) % 24),
+    * not engine time functions, so x is engine-free. The closed form
+    * runs on exact-DECIMAL sums cast to double — identical IEEE
+    * arithmetic both engines; degenerate variance → NULL in both.
+    */
+  val groupCorrelation: QueryDef = QueryDef.sql(
+    "q118_group_correlation",
+    """WITH b AS (SELECT event_type,
+      |   CAST((epoch_us(ts) // 1000000 // 3600) % 24 AS BIGINT) AS x,
+      |   value AS y FROM events),
+      | s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |   CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+      |   CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |   CAST(sum(CAST(x AS DECIMAL(14,0)) * CAST(y AS DECIMAL(12,6)))
+      |     AS DOUBLE) AS sxy,
+      |   CAST(sum(CAST(x AS DECIMAL(14,0)) * CAST(x AS DECIMAL(14,0)))
+      |     AS DOUBLE) AS sxx,
+      |   CAST(sum(CAST(y AS DECIMAL(12,6)) * CAST(y AS DECIMAL(12,6)))
+      |     AS DOUBLE) AS syy
+      |  FROM b GROUP BY event_type)
+      | SELECT event_type, n,
+      |   CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
+      |     THEN NULL ELSE
+      |     round((n * sxy - sx * sy) /
+      |       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      |   END AS hour_value_corr
+      | FROM s ORDER BY event_type""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val b = Tables.events(s, d).select(col("event_type"),
+      ((col("ts").cast("long") / 3600).cast("long") % 24).as("x"),
+      col("value").as("y"))
+    val st = b.groupBy("event_type").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x").cast("decimal(18,0)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+      sum(col("x").cast("decimal(14,0)") * col("y").cast("decimal(12,6)"))
+        .cast("double").as("sxy"),
+      sum(col("x").cast("decimal(14,0)") * col("x").cast("decimal(14,0)"))
+        .cast("double").as("sxx"),
+      sum(col("y").cast("decimal(12,6)") * col("y").cast("decimal(12,6)"))
+        .cast("double").as("syy"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy"))
+    st.select(col("event_type"), col("n"),
+      when(den <= 0, lit(null))
+        .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(den), 6)).as("hour_value_corr"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(rateMoreProducts, rateMoreRecently, averageScore, dateConvert,
-      quantiles, quantileSketch, outlierStats, winsorize, groupTrend)
+      quantiles, quantileSketch, outlierStats, winsorize, groupTrend,
+      groupCorrelation)
 }

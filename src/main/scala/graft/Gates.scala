@@ -262,6 +262,16 @@ object Gates {
       ("q84_ann_pq", "recall_at_5_vs_exact", ">=", 0.8,
         (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Pq.pqTopK.fn(s, d))),
+      ("q119_dim_recall", "curve_violations", "<=", 0.0,
+        (s, d) => {
+          // full-dim rung must reproduce the exact top-k verbatim
+          // (recall == 1); every rung is a valid recall in [0, 1]
+          val rows = search.Ann.dimRecall.fn(s, d).collect()
+            .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          val v1 = if (math.abs(rows(64) - 1.0) < 1e-12) 0L else 1L
+          val v2 = rows.values.count(r => r < 0.0 || r > 1.0).toLong
+          (v1 + v2).toDouble
+        }),
       ("q112_count_min", "underestimates", "<=", 0.0,
         (s, d) => ops.Analytics.countMin.fn(s, d)
           .filter(col("est") < col("exact")).count().toDouble),

@@ -250,6 +250,42 @@ object Ann {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** q119 — embedding-dimension ablation: exact top-5 recall when
+    * similarity uses only the first `dim` components (8/16/32/64) vs
+    * the full 64-d vectors — the measurement behind "can we store
+    * truncated embeddings?" (matryoshka-style tiering: a 4× dim cut
+    * is a 4× cut in index bytes AND ADC arithmetic; this curve says
+    * what recall it buys at each step). Each rung is the q35 scan
+    * shape (broadcast queries, one corpus pass, WindowGroupLimit
+    * top-k) over `slice`d vectors; only #dims scalars reach the
+    * driver. Rows-only (recall of engine-ranked lists); the gate pins
+    * recall == 1 at full dimension and all rungs within [0, 1].
+    */
+  val dimRecall: QueryDef = QueryDef.rowsOnly("q119_dim_recall") { (s, d) =>
+    import s.implicits._
+    val full = bruteForce.fn(s, d).select("query_id", "neighbor_id").cache()
+    val nFull = full.count()
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    val rungs = Seq(8, 16, 32, 64).map { dim =>
+      val top = broadcast(queryVecs(s, d))
+        .join(corpus, col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine_sim(slice(col("qv"), 1, dim),
+            slice(col("embedding"), 1, dim)).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("query_id", "neighbor_id")
+      val hit = full.join(top, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (dim, hit.toDouble / nFull)
+    }
+    full.unpersist()
+    rungs.toDF("dim", "recall_at_5").orderBy("dim")
+  }
+
   /** q76 — per-vector scalar quantization to int8 codes, the storage
     * tier every embedding index at 100 TB sits on (a 768-dim float32
     * vector is 3 KB; its uint8 codes + two floats are ~770 B — a 4×
@@ -293,5 +329,5 @@ object Ann {
       (mn + c.cast("double") / 255.0 * (mx - mn)).cast("float"))
 
   val defs: Seq[QueryDef] =
-    Seq(bruteForce, lshTopK, ivfTopK, semDedup, quantize)
+    Seq(bruteForce, lshTopK, ivfTopK, semDedup, quantize, dimRecall)
 }

@@ -57,6 +57,17 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, s"PQ recall@5 = $r")
   }
 
+  test("q119 dim ablation: full-dim recall is exactly 1, truncation " +
+      "degrades gracefully") {
+    val rows = search.Ann.dimRecall.fn(spark, sfSmall).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set(8, 16, 32, 64))
+    assert(rows(64) == 1.0, s"full-dim recall ${rows(64)}")
+    assert(rows.values.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rows(8) > 0.0, "even 8-d truncation finds some neighbors")
+    info(s"recall@5 by dim: ${rows.toSeq.sortBy(_._1)}")
+  }
+
   test("q31 minhash-LSH: finds >= 95% of exact high-Jaccard pairs") {
     // Exact word-token Jaccard over the full sf0.01 corpus (500 docs —
     // all-pairs is affordable in a test), thresholded at q31's 0.9.

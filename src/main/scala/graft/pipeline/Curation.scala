@@ -171,5 +171,86 @@ object Curation {
       .orderBy("source")
   }
 
-  val defs: Seq[QueryDef] = Seq(pipeline, pipelineV2)
+  /** q120 — per-document curation audit: for EVERY input document,
+    * which q62 stage kept or dropped it (`kept`, `dropped_quality`,
+    * `dropped_duplicate`, `dropped_benchmark`, `dropped_contaminated`,
+    * `dropped_sample`) — the "why did my document disappear" query
+    * every pipeline operator eventually needs, and the provenance
+    * record an audited training run has to ship. Statuses follow
+    * stage precedence, so each doc reports the FIRST gate that
+    * removed it; CurationSpec reconciles the audit's kept set with
+    * q62's mix table exactly.
+    *
+    * Scale shape: the same shuffles as q62 (dedup hash-agg, stratify
+    * window, shingle-hit computation) plus left joins of the drop
+    * sets back onto the corpus by doc_id — ids-only tables, no extra
+    * corpus-wide exchange beyond the final status projection.
+    */
+  val audit: QueryDef = QueryDef.sql(
+    "q120_curation_audit",
+    s"""WITH quality AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $MinWords),
+       | keep AS (
+       |  SELECT md5(text) AS fp, min(doc_id) AS keeper FROM quality
+       |  GROUP BY md5(text)),
+       | t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | sh AS (SELECT doc_id, unnest(list_distinct(
+       |  [array_to_string(toks[i:i+2], ' ')
+       |   for i in generate_series(1, greatest(len(toks)-2, 1))])) AS s
+       |  FROM t),
+       | bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $BenchMod = 0),
+       | contaminated AS (
+       |  SELECT DISTINCT sh.doc_id FROM sh JOIN bench ON sh.s = bench.s),
+       | clean AS (
+       |  SELECT q.* FROM quality q JOIN keep k ON md5(q.text) = k.fp
+       |  WHERE q.doc_id = k.keeper AND q.doc_id % $BenchMod <> 0
+       |    AND NOT EXISTS (SELECT 1 FROM contaminated c
+       |                    WHERE c.doc_id = q.doc_id)),
+       | rk AS (SELECT doc_id, row_number() OVER (PARTITION BY lang, source
+       |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM clean)
+       | SELECT d.doc_id,
+       |  CASE
+       |   WHEN len(string_split(d.text, ' ')) < $MinWords
+       |     THEN 'dropped_quality'
+       |   WHEN d.doc_id <> (SELECT keeper FROM keep k
+       |                     WHERE k.fp = md5(d.text))
+       |     THEN 'dropped_duplicate'
+       |   WHEN d.doc_id % $BenchMod = 0 THEN 'dropped_benchmark'
+       |   WHEN EXISTS (SELECT 1 FROM contaminated c
+       |                WHERE c.doc_id = d.doc_id)
+       |     THEN 'dropped_contaminated'
+       |   WHEN (SELECT rk FROM rk WHERE rk.doc_id = d.doc_id)
+       |     > $PerStratum THEN 'dropped_sample'
+       |   ELSE 'kept' END AS status
+       | FROM documents d ORDER BY d.doc_id""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val quality = qualityFilter(docs)
+    val keepers = quality.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keeper"))
+    val contaminated = graft.dedup.Dedup.benchShingleHits(docs, BenchMod)
+      .select(col("doc_id")).withColumn("is_cont", lit(true))
+    val clean = decontaminate(exactDedup(quality), docs)
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ranked = clean.withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("rk"))
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("fp", md5(col("text")))
+      .join(keepers, Seq("fp"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(ranked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(size(split(col("text"), " ")) < MinWords, "dropped_quality")
+          .when(col("doc_id") =!= col("keeper"), "dropped_duplicate")
+          .when(col("doc_id") % BenchMod === 0, "dropped_benchmark")
+          .when(col("is_cont"), "dropped_contaminated")
+          .when(col("rk") > PerStratum, "dropped_sample")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pipeline, pipelineV2, audit)
 }

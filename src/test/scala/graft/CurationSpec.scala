@@ -51,6 +51,28 @@ class CurationSpec extends SparkSpec {
     assert(kept.filter(size(split(col("text"), " ")) < 40).isEmpty)
   }
 
+  test("q120 audit reconciles exactly with q62's mix table") {
+    val audit = Curation.audit.fn(spark, sfSmall).cache()
+    // statuses partition the corpus: one row per doc, no other values
+    assert(audit.count() == docs.count())
+    val allowed = Set("kept", "dropped_quality", "dropped_duplicate",
+      "dropped_benchmark", "dropped_contaminated", "dropped_sample")
+    val byStatus = audit.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.keySet.subsetOf(allowed), byStatus.toString)
+    // the audit's kept population IS q62's sampled corpus
+    val mixDocs = Curation.pipeline.fn(spark, sfSmall)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(byStatus("kept") == mixDocs,
+      s"audit kept ${byStatus("kept")} vs q62 $mixDocs")
+    // precedence: every quality-fail doc reports quality, nothing else
+    val qf = docs
+      .filter(size(split(col("text"), " ")) < Curation.MinWords)
+      .select("doc_id")
+    assert(audit.join(qf, "doc_id")
+      .filter(col("status") =!= "dropped_quality").isEmpty)
+  }
+
   test("repeatedNgramStats flags exactly the cross-doc template spans") {
     import spark.implicits._
     // three template instances sharing one 5-token span, one unique

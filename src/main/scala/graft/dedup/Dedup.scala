@@ -963,11 +963,34 @@ object Dedup {
     * full-scan-only shape as q68 — while the emitted counts stay
     * bit-identical to the naive single-tier oracle.
     */
+  /** Bloom sizing for a benchmark side: ≥32 bits per (upper-bound)
+    * distinct shingle, floor 2^23, next power of two. At m/n = 32
+    * with k = 7 the per-key FP is ~1e-5, so a ~10³-shingle doc stays
+    * under ~1% doc-level FP — the prefilter keeps filtering as the
+    * benchmark grows. A FIXED size silently degrades instead: the
+    * 30× scale sweep measured q60 at 10× the cost for 3× the data
+    * when 2^23 bits saturated (~1.1M bench shingles → per-key FP
+    * ~3e-2 → nearly every doc "survived" into the exact tier).
+    * One cheap aggregate over the (tiny) benchmark side pays for it;
+    * `spark.graft.bloom.bits` still overrides.
+    */
+  private def sizedBloomBits(allDocs: DataFrame, benchMod: Int): Int = {
+    val spark = allDocs.sparkSession
+    spark.conf.getOption("spark.graft.bloom.bits").map(_.toInt)
+      .getOrElse {
+        val r = allDocs.filter(col("doc_id") % benchMod === 0)
+          .agg(sum(greatest(size(split(col("text"), " ")) - 2, lit(1))
+            .cast("long"))).head()
+        val budget = if (r.isNullAt(0)) 0L else r.getLong(0)
+        var bits = 1 << 23
+        while (bits.toLong < 32L * budget && bits < (1 << 29)) bits <<= 1
+        bits
+      }
+  }
+
   def benchShingleHits(allDocs: DataFrame, benchMod: Int): DataFrame = {
     import graft.functions.BloomFilters._
-    val spark = allDocs.sparkSession
-    val numBits = spark.conf.getOption("spark.graft.bloom.bits")
-      .map(_.toInt).getOrElse(1 << 23)
+    val numBits = sizedBloomBits(allDocs, benchMod)
     val k = 7
     // hashed shingles built INLINE in each operator (not projected to
     // an attribute): an attribute would be referenced by the probe
@@ -1005,9 +1028,7 @@ object Dedup {
   val decontaminateBloom: QueryDef =
     QueryDef.rowsOnly("q68_decontaminate_bloom") { (s, d) =>
       import graft.functions.BloomFilters._
-      val numBits =
-        s.conf.getOption("spark.graft.bloom.bits").map(_.toInt)
-          .getOrElse(1 << 23)
+      val numBits = sizedBloomBits(Tables.documents(s, d), 97)
       val k = 7
       val docs = Tables.documents(s, d).select(col("doc_id"),
         shingle_hashes(col("text"), 3).as("sh"))

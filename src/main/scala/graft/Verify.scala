@@ -17,11 +17,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-loop subset: SPARK_GRAFT_ONLY=q79,q83 dumps only matching
-    // queries (prefix match). Unset (the driver's invocation) = all.
+    // queries. Unset (the driver's invocation) = all. Matching is
+    // anchored at the qNN token (same contract as Bench): "q9"
+    // selects q9_* only, never q90-q99.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def wanted(name: String): Boolean =
-      only.forall(_.exists(name.startsWith))
+      only.forall(_.exists(t => name == t || name.startsWith(t + "_")))
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -17,8 +17,9 @@ object SparkEntry {
       ops.Analytics.defs ++ ops.Nested.defs ++ ops.TopK.defs ++
       ops.Temporal.defs ++ ops.RangeOps.defs ++ ops.Cdc.defs ++
       ops.Layout.defs ++ ops.Profiling.defs ++ graph.PageRank.defs ++
+      graph.Triangles.defs ++
       ml.Recommend.defs ++ ml.QualityModel.defs ++ ml.Sampling.defs ++
-      dedup.Dedup.defs ++
+      dedup.Dedup.defs ++ dedup.SetSimJoin.defs ++
       search.Ann.defs ++ search.Projection.defs ++ search.Pq.defs ++
       search.Embeddings.defs ++
       text.TextAnalysis.defs ++ text.Vocab.defs ++ text.Retrieval.defs ++

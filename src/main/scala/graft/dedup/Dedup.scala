@@ -1012,6 +1012,65 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Contamination ATTRIBUTION: for every contaminated corpus doc,
+    * which benchmark doc(s) it shares trigrams with and how many —
+    * the audit trail behind q60's drop decision ("why was this doc
+    * removed, against what"). Same two-tier shape as
+    * [[benchShingleHits]]: the sized-bloom prefilter keeps the corpus
+    * as a full-scan probe, and only surviving candidates explode
+    * their shingles into the broadcast join — except the bench side
+    * here keeps its doc id, so the exact tier groups by (doc, bench)
+    * pair instead of doc alone. The pair cardinality is bounded by
+    * contaminated-docs × benchmark-size, both tiny next to the
+    * corpus.
+    */
+  def benchAttribution(allDocs: DataFrame, benchMod: Int): DataFrame = {
+    import graft.functions.BloomFilters._
+    val numBits = sizedBloomBits(allDocs, benchMod)
+    val k = 7
+    def hashedSh = shingle_hashes(col("text"), 3)
+    val bloom = allDocs.filter(col("doc_id") % benchMod === 0)
+      .agg(bloom_build(hashedSh, numBits, k).as("bf"))
+    val candidates = allDocs.filter(col("doc_id") % benchMod =!= 0)
+      .filter(bloom_contains_any(bloom.scalar(), hashedSh, k))
+    val bench = allDocs.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_doc"),
+        explode(shingles(col("text"), 3)).as("s"))
+    candidates
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id", "bench_doc").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** q123 — contamination attribution pairs with a primary-match
+    * rank per doc (1 = the benchmark doc sharing the most trigrams).
+    */
+  val contaminationAttribution: QueryDef = QueryDef.sql(
+    "q123_contamination_attrib",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      | sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(toks[i:i+2], ' ')
+      |   for i in generate_series(1, greatest(len(toks)-2, 1))])) AS s
+      |  FROM t),
+      | b AS (SELECT doc_id AS bench_doc, s FROM sh
+      |  WHERE doc_id % 97 = 0),
+      | hits AS (SELECT sh.doc_id, b.bench_doc, count(*) AS n_shared
+      |  FROM sh JOIN b ON sh.s = b.s WHERE sh.doc_id % 97 <> 0
+      |  GROUP BY sh.doc_id, b.bench_doc)
+      | SELECT doc_id, bench_doc, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |   ORDER BY n_shared DESC, bench_doc) AS INT) AS rank
+      | FROM hits ORDER BY doc_id, rank""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    benchAttribution(Tables.documents(s, d), 97)
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(desc("n_shared"), asc("bench_doc"))))
+      .orderBy("doc_id", "rank")
+  }
+
   /** The broadcast-bloom tier of decontamination: fold the held-out
     * benchmark's shingle hashes into ONE fixed-size bloom filter
     * ([[graft.functions.BloomBuild]]) and probe each corpus doc's
@@ -1107,5 +1166,5 @@ object Dedup {
   val defs: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine, clusters,
       decontaminate, decontaminateBloom, incrementalNearDup,
-      fuzzyDecontaminate)
+      fuzzyDecontaminate, contaminationAttribution)
 }

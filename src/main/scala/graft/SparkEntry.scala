@@ -16,6 +16,7 @@ object SparkEntry {
     ops.Statistics.defs ++ ops.Relational.defs ++ ops.Scalars.defs ++
       ops.Analytics.defs ++ ops.Nested.defs ++ ops.TopK.defs ++
       ops.Temporal.defs ++ ops.RangeOps.defs ++ ops.Cdc.defs ++
+      ops.FuzzyJoin.defs ++
       ops.Layout.defs ++ ops.Profiling.defs ++ graph.PageRank.defs ++
       graph.Triangles.defs ++
       ml.Recommend.defs ++ ml.QualityModel.defs ++ ml.Sampling.defs ++

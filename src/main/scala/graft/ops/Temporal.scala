@@ -267,7 +267,82 @@ object Temporal {
       .orderBy("cohort_week", "week_no")
   }
 
+  /** q125 — gap-filled daily revenue per region: densify the sparse
+    * daily aggregate onto the full date spine (every region × every
+    * day between the corpus min and max order dates), zero-fill the
+    * missing days, and carry a running revenue total. The standard
+    * time-series regularization every downstream window/trend
+    * operator assumes (a day with no orders must be a 0 row, not an
+    * absent row, or moving averages and decay scores silently skip
+    * it).
+    *
+    * Scale shape: the spine is `sequence(min, max)` exploded from a
+    * ONE-ROW bounds aggregate cross-joined with the region dims —
+    * dims × days rows generated distributed, never a driver loop.
+    * The dense left join shuffles on (region, day) against the
+    * already-aggregated daily table (small), not against raw orders;
+    * the cumulative window partitions by region — bounded state per
+    * partition. Revenue sums ride DECIMAL(18,2) end-to-end (the
+    * determinism contract), so the running total is exact and the
+    * final DOUBLE cast is bit-stable on both engines.
+    */
+  val gapFill: QueryDef = QueryDef.sql(
+    "q125_gap_fill",
+    """WITH daily AS (SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+      |  count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      | FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      | GROUP BY r_name, CAST(o_orderdate AS DATE)),
+      | bounds AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+      |  CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+      | spine AS (SELECT r_name, unnest(generate_series(lo, hi,
+      |   INTERVAL 1 DAY))::DATE AS day FROM region, bounds),
+      | dense AS (SELECT s.r_name, s.day,
+      |  coalesce(d.n_orders, 0) AS n_orders,
+      |  coalesce(d.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue
+      | FROM spine s LEFT JOIN daily d
+      |  ON s.r_name = d.r_name AND s.day = d.day)
+      | SELECT r_name, day, n_orders,
+      |  CAST(revenue AS DOUBLE) AS revenue,
+      |  CAST(sum(revenue) OVER (PARTITION BY r_name ORDER BY day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS DOUBLE) AS cum_revenue
+      | FROM dense ORDER BY r_name, day""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+    val bounds = Tables.orders(s, d)
+      .agg(min(col("o_orderdate").cast("date")).as("lo"),
+        max(col("o_orderdate").cast("date")).as("hi"))
+    val spine = Tables.region(s, d).select("r_name")
+      .crossJoin(broadcast(bounds))
+      .select(col("r_name"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy("r_name").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("r_name", "day"), "left")
+      .select(col("r_name"), col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0).cast("decimal(18,2)"))
+          .as("revenue"))
+      .select(col("r_name"), col("day"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"),
+        sum(col("revenue")).over(w).cast("double").as("cum_revenue"))
+      .orderBy("r_name", "day")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(sessionize, asofJoin, decayScore, funnel, asofJoinExec,
-      cohortRetention)
+      cohortRetention, gapFill)
 }

@@ -286,6 +286,93 @@ object StreamPipeline {
       .partitionBy("__bucket").parquet(dir)
   }
 
+  /** MERGE INTO over the same bucket-partitioned parquet layout as
+    * [[upsertByKeyPartitioned]] — the full SQL-standard clause
+    * surface (WHEN MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT
+    * MATCHED THEN INSERT) without requiring a table format that
+    * ships MERGE. Clause conditions and update assignments are plain
+    * `Column` expressions over a two-struct namespace: the joined
+    * row exposes the current target row as `t` and the source row as
+    * `s`, so `col("s.ts") > col("t.ts")` or
+    * `Map("score" -> (col("t.score") + col("s.score")))` read like
+    * the Delta Scala API. Precedence on a matched key: delete, then
+    * update (rows failing both keep the target version).
+    *
+    * Cost shape is O(touched): source buckets are computed from the
+    * key hash, only those target partitions are read and re-written
+    * (dynamic partition overwrite), and the merge itself is one
+    * full-outer hash join per touched bucket. Multiple source rows
+    * on one key resolve last-writer-wins through [[onePerKey]]
+    * BEFORE the join (the ANSI alternative — raising — is the wrong
+    * behavior for at-least-once streams, where redelivery is
+    * routine, not a data bug).
+    */
+  def mergeInto(source: DataFrame, key: String, dir: String,
+      updateWhen: Option[org.apache.spark.sql.Column] = None,
+      updateSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      insertNotMatched: Boolean = true,
+      buckets: Int = 64, orderCol: Option[String] = None): Unit = {
+    val spark = source.sparkSession
+    if (source.isEmpty) return
+    val cols = source.columns.toSeq
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = onePerKey(source, key, orderCol)
+      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
+    val exists = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith("__bucket="))
+    var touched: Seq[Int] = Seq.empty
+    val merged =
+      if (!exists) {
+        if (!insertNotMatched) return
+        staged
+      } else {
+        touched = staged.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val t = spark.read.parquet(dir)
+          .filter(col("__bucket").isin(touched: _*))
+          .select(col(key).as("__k"), col("__bucket"),
+            struct(cols.map(col): _*).as("t"))
+        val s = staged
+          .select(col(key).as("__k"), col("__bucket").as("__sb"),
+            struct(cols.map(col): _*).as("s"))
+        val updated = struct(cols.map(c =>
+          updateSet.getOrElse(c, col(s"t.$c")).as(c)): _*)
+        val matched = col("t").isNotNull && col("s").isNotNull
+        t.join(s, Seq("__k"), "full_outer")
+          .select(
+            when(matched,
+              when(deleteWhen.getOrElse(lit(false)),
+                lit(null).cast(t.schema("t").dataType))
+                .when(updateWhen.getOrElse(lit(true)), updated)
+                .otherwise(col("t")))
+              .when(col("s").isNotNull && lit(insertNotMatched), col("s"))
+              .when(col("t").isNotNull, col("t"))
+              .otherwise(lit(null).cast(t.schema("t").dataType))
+              .as("r"),
+            coalesce(col("__bucket"), col("__sb")).as("__bucket"))
+          .filter(col("r").isNotNull)
+          .select((cols.map(c => col(s"r.$c").as(c)) :+
+            col("__bucket")): _*)
+      }
+    val pinned = merged.localCheckpoint()
+    pinned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(dir)
+    // dynamic overwrite only replaces partitions PRESENT in the
+    // write: a touched bucket whose rows were all deleted emits no
+    // rows, so its stale files would silently survive (row
+    // resurrection). Drop those partition dirs explicitly.
+    if (touched.nonEmpty) {
+      val surviving = pinned.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      (touched.toSet -- surviving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/__bucket=$b"), true)
+      }
+    }
+  }
+
   def upsertByKey(updates: DataFrame, key: String, dir: String,
       orderCol: Option[String] = None): Unit = {
     val spark = updates.sparkSession

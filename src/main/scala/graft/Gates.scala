@@ -180,6 +180,24 @@ object Gates {
             .count()
           (v1 + v2 + bad).toDouble
         }),
+      ("q126_kcore", "members_below_k_violations", "<=", 0.0,
+        (s, d) => {
+          // the defining property, measured on the output: every
+          // member's degree within the member-induced subgraph >= K
+          // (maximality is GraphSpec's parity test)
+          val core = graph.KCore.kCoreQ.fn(s, d).select("node")
+          val e = graph.Triangles.coPurchaseEdges(s, d)
+          val k = graph.KCore.adaptiveK(e)
+          val induced = e
+            .join(core.select(col("node").as("a")), Seq("a"))
+            .join(core.select(col("node").as("b")), Seq("b"))
+          val deg = induced.select(col("a").as("node"))
+            .union(induced.select(col("b").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("deg"))
+          core.join(deg, Seq("node"), "left")
+            .filter(coalesce(col("deg"), lit(0L)) < k)
+            .count().toDouble
+        }),
       ("q63_corpus_sketch", "max_jaccard_err_sigmas", "<=", 4.0,
         (s, d) => {
           val k = 64

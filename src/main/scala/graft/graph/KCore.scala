@@ -1,0 +1,83 @@
+package graft.graph
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core extraction by iterative peeling (Batagelj & Zaveršnik
+  * 2003; distributed formulation à la Montresor et al. 2011): delete
+  * every node with degree < k, recompute degrees, repeat to
+  * fixpoint. The surviving subgraph is the unique maximal subgraph
+  * with minimum degree ≥ k — the standard dense-community screen
+  * (link-farm detection on crawl graphs, spam-ring pruning before
+  * PageRank admission — q81's natural companion).
+  *
+  * Scale shape: each round is one degree aggregate plus two
+  * anti joins, all shuffling on the node key; the edge set only
+  * shrinks. Per-round `localCheckpoint` truncates the iterative
+  * lineage (the [[graft.dedup.Dedup]] CC lesson) and the only
+  * driver-side value is the scalar converged-yet count — the
+  * same control-decision pattern the CC fixpoint uses. Round count
+  * is bounded by the graph's degeneracy ordering depth — tens of
+  * rounds on real skewed graphs — with `maxIter` as the documented
+  * backstop.
+  */
+object KCore {
+
+  /** Nodes of the k-core of canonical edges (a, b), with each node's
+    * degree INSIDE the core subgraph. Output: (node, core_deg).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges.select("a", "b").localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val weak = degrees(e).filter(col("deg") < k).select("node")
+        .localCheckpoint()
+      if (weak.isEmpty) converged = true
+      else e = e
+        .join(weak.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(weak.select(col("node").as("b")), Seq("b"), "left_anti")
+        .localCheckpoint()
+      iter += 1
+    }
+    degrees(e).select(col("node"), col("deg").as("core_deg"))
+  }
+
+  /** The query's k, derived from the graph itself: HALF the mean
+    * degree, floored at 3. The co-purchase graph densifies with
+    * scale (mean degree ~5 at sf0.001, ~29 at sf0.01), so any FIXED
+    * k either peels nothing or everything depending on sf. The
+    * fraction matters: on near-random graphs the k-core collapses
+    * entirely once k exceeds roughly c − √(c·log c) for mean degree
+    * c (the peel cascades — measured here: the ¾·c-core is EMPTY at
+    * every sf), while c/2 sits safely below the threshold and still
+    * peels the sparse periphery. Two driver-side scalars (|E|, |V|)
+    * — a control decision, same pattern as `Scale.exactOk`.
+    */
+  def adaptiveK(edges: DataFrame): Int = {
+    val m = edges.count().toDouble
+    val n = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct().count()
+      .toDouble
+    math.max(3, math.ceil(m / math.max(n, 1.0)).toInt)
+  }
+
+  /** q126 — the (mean-degree/2)-core of the co-purchase graph
+    * (q81/q122's edge derivation). No ANSI oracle (fixpoint
+    * iteration); the gate measures the defining property on the
+    * output — zero member nodes with induced degree < k — and
+    * GraphSpec pins exact parity (membership AND maximality) against
+    * a local reference peeler on seeded random graphs.
+    */
+  val kCoreQ: QueryDef = QueryDef.rowsOnly("q126_kcore") { (s, d) =>
+    val edges = Triangles.coPurchaseEdges(s, d).localCheckpoint()
+    kCore(edges, adaptiveK(edges)).orderBy("node")
+  }
+
+  val defs: Seq[QueryDef] = Seq(kCoreQ)
+}

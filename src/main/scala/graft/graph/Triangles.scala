@@ -84,6 +84,25 @@ object Triangles {
     * census as the textbook x<y<z triple join — quadratic wedges,
     * fine at oracle scale, exactly what the oriented plan avoids.
     */
+  /** Canonical undirected co-purchase edges (a < b, distinct) —
+    * parts adjacent on an order's line sequence, the undirected view
+    * of q81's PageRank edge list. Shared by q122 and q126.
+    */
+  def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val l2 = li.select(col("l_orderkey"),
+      col("l_linenumber").as("ln2"), col("l_partkey").as("pb"))
+    li.join(l2, li("l_orderkey") === l2("l_orderkey") &&
+        l2("ln2") === li("l_linenumber") + 1)
+      .select(li("l_partkey").as("pa"), col("pb"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("a"),
+        greatest(col("pa"), col("pb")).as("b"))
+      .distinct()
+  }
+
   val trianglesQ: QueryDef = QueryDef.sql(
     "q122_triangles",
     """WITH p AS (SELECT l1.l_partkey AS pa, l2.l_partkey AS pb
@@ -110,19 +129,7 @@ object Triangles {
       | FROM deg LEFT JOIN cnt ON deg.node = cnt.node
       | ORDER BY deg.node""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_linenumber", "l_partkey")
-    val l2 = li.select(col("l_orderkey"),
-      col("l_linenumber").as("ln2"), col("l_partkey").as("pb"))
-    val edges = li
-      .join(l2, li("l_orderkey") === l2("l_orderkey") &&
-        l2("ln2") === li("l_linenumber") + 1)
-      .select(li("l_partkey").as("pa"), col("pb"))
-      .filter(col("pa") =!= col("pb"))
-      .select(least(col("pa"), col("pb")).as("a"),
-        greatest(col("pa"), col("pb")).as("b"))
-      .distinct()
-    triangleStats(edges).orderBy("node")
+    triangleStats(coPurchaseEdges(s, d)).orderBy("node")
   }
 
   val defs: Seq[QueryDef] = Seq(trianglesQ)

@@ -75,6 +75,43 @@ class GraphSpec extends SparkSpec {
     assert(triStats(edges) == expected)
   }
 
+  private def localKCore(edges: Seq[(Long, Long)], k: Int)
+      : Map[Long, Long] = {
+    var e = edges
+    var done = false
+    while (!done) {
+      val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (n, v) => n -> v.size }
+      val weak = deg.filter(_._2 < k).keySet
+      if (weak.isEmpty) done = true
+      else e = e.filterNot(p => weak(p._1) || weak(p._2))
+    }
+    e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (n, v) => n -> v.size.toLong }
+  }
+
+  test("k-core: parity (membership + core degrees) with a local " +
+      "peeler on seeded random graphs") {
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (for {
+        a <- 1L to 40L; b <- (a + 1) to 40L if rnd.nextDouble() < 0.12
+      } yield (a, b)).toSeq
+      val got = graph.KCore.kCore(edges.toDF("a", "b"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == localKCore(edges, 3), s"seed=$seed")
+    }
+  }
+
+  test("k-core: a clique survives, its pendant tree does not") {
+    // K5 with a path hanging off node 1: the 3-core is exactly K5
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val tail = Seq((1L, 10L), (10L, 11L), (11L, 12L))
+    val got = graph.KCore.kCore((k5 ++ tail).toDF("a", "b"), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L), got.toString)
+  }
+
   test("triangles: plan has no cartesian product") {
     import org.apache.spark.sql.execution.ExplainMode
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")

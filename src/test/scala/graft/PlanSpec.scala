@@ -364,6 +364,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q123: attribution keeps the bloom probe on the corpus scan and " +
+      "broadcasts the bench side") {
+    val p = plan(dedup.Dedup.contaminationAttribution.fn(spark, sfSmall))
+    // corpus tier: a scalar-subquery bloom filter, not a join operator
+    assert(p.contains("bloom_contains_any"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q124: fuzzy join is a block equi join; levenshtein is thresholded") {
+    val p = plan(ops.FuzzyJoin.fuzzyJoinQ.fn(spark, sfSmall))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the banded O(len·d) form (threshold prints as Some(2)), not
+    // the full DP
+    assert(p.contains("levenshtein") && p.contains("Some(2)"), p)
+  }
+
+  test("q125: spine generation broadcasts the one-row bounds, and the " +
+      "dense join is on the aggregated daily table") {
+    val p = plan(ops.Temporal.gapFill.fn(spark, sfSmall))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p) // 1-row bounds × 5-row dims
+    assert(p.contains("Window"), p)
+  }
+
   test("q102: centroids shuffle scalars, not vectors, with map-side partials") {
     val p = plan(search.Embeddings.labelCentroids.fn(spark, sfSmall))
     assert(p.contains("partial_sum"), p)

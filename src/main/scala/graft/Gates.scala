@@ -180,6 +180,12 @@ object Gates {
             .count()
           (v1 + v2 + bad).toDouble
         }),
+      ("q127_knn_join", "recall_at_5_vs_exact_sample", ">=", 0.8,
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          annRecall(search.Ann.exactTopK(emb, queryIds = 50),
+            search.Ann.knnJoinQ.fn(s, d).filter(col("query_id") < 50))
+        }),
       ("q126_kcore", "members_below_k_violations", "<=", 0.0,
         (s, d) => {
           // the defining property, measured on the output: every

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Measured-scaling sweep for the heavy query tier (q49 dedup
   * clustering, q60 decontamination, q62 curation pipeline, q81
-  * PageRank, q84 PQ ANN, q101 batch BM25): replicate the sf0.1
+  * PageRank, q84 PQ ANN, q101 batch BM25, q122 triangles, q124
+  * fuzzy string join, q126 k-core): replicate the sf0.1
   * tables `SPARK_GRAFT_REPLICATE`× (default 10 — a decade above the
   * bench scale) into a synthetic sfDir and run each query end to end,
   * median of `SPARK_GRAFT_REPS` runs.
@@ -41,7 +42,9 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    // keyed on the NEWEST table so a sweep dir built by an older
+    // version of this tool (without part.parquet) rebuilds
+    if (!new java.io.File(s"$out/part.parquet").exists()) {
       def reps10(df: DataFrame): DataFrame =
         df.crossJoin(spark.range(k).select(col("id").as("rep")))
       reps10(spark.read.parquet(s"$src/documents.parquet"))
@@ -63,12 +66,31 @@ object ScaleSweep {
         .withColumn("l_partkey", col("l_partkey") * k + col("rep"))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // part names get a per-replica salt whose pairwise levenshtein
+      // distance exceeds q124's threshold for ANY two distinct reps
+      // ("z7z7z7" vs "z12z12z12" ≥ 3 edits): within-replica pairs
+      // keep their base distance (same suffix both sides), while
+      // cross-replica near-identical names are pushed OUT of the
+      // match set — fuzzy-dup clusters grow k×, not k²×.
+      reps10(spark.read.parquet(s"$src/part.parquet"))
+        .withColumn("p_partkey", col("p_partkey") * k + col("rep"))
+        .withColumn("p_name", concat(col("p_name"), lit(" "),
+          concat(lit("z"), col("rep"), lit("z"), col("rep"),
+            lit("z"), col("rep"))))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
       println(s"SWEEP built $out at ${k}x from $src")
     }
 
     val tier = Seq("q49_dedup_clusters", "q60_decontaminate",
       "q62_curation_pipeline", "q81_pagerank", "q84_ann_pq",
-      "q101_bm25_batch")
+      "q101_bm25_batch",
+      // round-5 heavy additions. q121 is deliberately absent: the
+      // replicated corpus's token-set dup density is adversarial
+      // (cross-replica salt fraction keeps same-base Jaccard ≈ 0.77
+      // > 0.6, so the TRUE pair count grows k² — measuring output
+      // volume, not the operator).
+      "q122_triangles", "q124_fuzzy_string_join", "q126_kcore")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

@@ -328,6 +328,96 @@ object Ann {
     transform(codes, c =>
       (mn + c.cast("double") / 255.0 * (mx - mn)).cast("float"))
 
+  /** Full-table kNN JOIN: every vector's top-k cosine neighbors
+    * within the same table — the all-to-all version of q48's
+    * fixed-query IVF (what embedding-dedup, recommendation seeding,
+    * and kNN-graph construction actually run). The naive join is
+    * n²·dim; the IVF discipline makes it linear-ish: cluster count
+    * grows with n so the EXPECTED CELL SIZE stays constant
+    * (SemDeDup's sizing, `n/cells ≈ targetCell`), every vector
+    * probes its `nprobe` nearest cells, and candidate work is
+    * n · nprobe · targetCell — linear in n at fixed dials. The
+    * centroid table stays broadcast-size (cells ≈ n/1000), the
+    * probe-routing is a broadcast nested-loop over it, and the
+    * candidate join shuffles on the cell id. Recall@k vs the exact
+    * scan is gate-measured on a query sample (boundary-straddling
+    * pairs are the loss, same as q48/q73).
+    */
+  def knnJoin(emb: DataFrame, k: Int = 5, nprobe: Int = 8,
+      targetCell: Int = 1000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = emb.sparkSession
+    val n = emb.count()
+    val cells = math.max(16, (n / targetCell).toInt)
+    val withFv = emb.withColumn("fv", array_to_vector(col("embedding")))
+    val trainCap = 250 * cells
+    val train =
+      if (n <= trainCap) withFv
+      else withFv.sample(withReplacement = false,
+        trainCap.toDouble / n, 42L)
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    val assigned = model.transform(withFv)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("cell"))
+      .localCheckpoint()
+    val centroids = s.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat)) }.toSeq)
+      .toDF("cell", "centroid")
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("centroid_sim"), asc("cell"))
+    val probed = emb
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine_sim(col("qv"), col("centroid")).as("centroid_sim"))
+      .withColumn("crn", row_number().over(probeW))
+      .filter(col("crn") <= nprobe)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    probed.join(assigned, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** q127 — the kNN self-join over the embeddings table (top-5 per
+    * vector). No oracle (recall-gated approximate path); the gate
+    * measures recall@5 against the exact scan on a query sample.
+    */
+  val knnJoinQ: QueryDef = QueryDef.rowsOnly("q127_knn_join") { (s, d) =>
+    knnJoin(Tables.embeddings(s, d)).orderBy("query_id", "rank")
+  }
+
+  /** Exact top-k for a bounded query-id sample — the gate's
+    * baseline. Brute force over queries × corpus, fine for ≤100
+    * query ids at verify scale.
+    */
+  def exactTopK(emb: DataFrame, queryIds: Long, k: Int = 5)
+      : DataFrame = {
+    val q = emb.filter(col("vec_id") < queryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    broadcast(q).crossJoin(
+        emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nv")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(bruteForce, lshTopK, ivfTopK, semDedup, quantize, dimRecall)
+    Seq(bruteForce, lshTopK, ivfTopK, semDedup, quantize, dimRecall,
+      knnJoinQ)
 }

@@ -30,6 +30,17 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, s"IVF recall@5 = $r")
   }
 
+  test("q127 kNN join: recall@5 >= 0.8 vs exact on a query sample") {
+    val emb = Tables.embeddings(spark, sfSmall)
+    val exact = search.Ann.exactTopK(emb, queryIds = 50).cache()
+    val approx = search.Ann.knnJoinQ.fn(spark, sfSmall)
+      .filter(col("query_id") < 50).select("query_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    val r = hit.toDouble / exact.count()
+    assert(r >= 0.8, s"kNN-join recall@5 = $r")
+  }
+
   test("q82 sign projection: unbiased cosine estimates within JL error") {
     // (1/k)·<Px,Py> is an unbiased estimator of <x,y> for ±1 sign
     // matrices (Achlioptas 2003); with k=16 the per-pair noise is

@@ -122,6 +122,47 @@ object Demo {
     println("bottom_k_agg(md5(id), id, 3) per lang:")
     samp.orderBy("lang").show(2, truncate = false)
 
+    // MERGE INTO on plain parquet: clause conditions/assignments as
+    // Column expressions over the t/s namespaces
+    val mtbl = java.nio.file.Files
+      .createTempDirectory("graft_demo_merge").toString + "/t"
+    streaming.StreamPipeline.mergeInto(
+      Seq((1L, "base", 10L), (2L, "old", 10L)).toDF("k", "v", "ts"),
+      "k", mtbl, buckets = 8)
+    streaming.StreamPipeline.mergeInto(
+      Seq((2L, "new", 20L), (3L, "ins", 20L)).toDF("k", "v", "ts"),
+      "k", mtbl,
+      updateWhen = Some(col("s.ts") > col("t.ts")),
+      updateSet = Map("v" -> col("s.v"), "ts" -> col("s.ts")),
+      buckets = 8)
+    println("mergeInto (k=2 updated under ts guard, k=3 inserted):")
+    spark.read.parquet(mtbl).drop("__bucket").orderBy("k").show()
+
+    // exact set-similarity join: prefix-filtered, zero recall loss
+    val ss = dedup.SetSimJoin.allPairs(
+      Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0),
+      "doc_id", "text")
+    println(s"setsim allPairs (J>=0.6, exact) -> ${ss.count()} pairs")
+
+    // graph tier: triangles + k-core on the co-purchase graph
+    val edges = graph.Triangles.coPurchaseEdges(spark, dir)
+      .localCheckpoint()
+    println("triangle census (top clustering):")
+    graph.Triangles.triangleStats(edges)
+      .orderBy(desc("clustering"), asc("node")).show(3)
+    val core = graph.KCore.kCore(edges, graph.KCore.adaptiveK(edges))
+    println(s"k-core keeps ${core.count()} nodes")
+
+    // blocked fuzzy match: thresholded levenshtein, never a cartesian
+    val fz = ops.FuzzyJoin.blockedPairs(
+      Tables.part(spark, dir), "p_partkey", "p_brand", "p_name", 2)
+    println(s"fuzzy name pairs (brand-blocked, lev<=2) -> ${fz.count()}")
+
+    // kNN self-join: constant-cell IVF, linear-ish all-to-all top-k
+    val knn = search.Ann.knnJoin(Tables.embeddings(spark, dir))
+    println("knnJoin top-5 sample:")
+    knn.orderBy("query_id", "rank").show(5)
+
     val flagship = SparkEntry.entry(spark)
     println(s"flagship entry() -> ${flagship.count()} rows")
     flagship.show(truncate = false)

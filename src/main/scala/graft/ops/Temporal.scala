@@ -342,7 +342,48 @@ object Temporal {
       .orderBy("r_name", "day")
   }
 
+  /** q128 — gap sessions via Spark's NATIVE `session_window`
+    * operator (the one the streaming path uses), pinned against an
+    * independent gaps-and-islands SQL spelling. Boundary semantics
+    * differ from q50's lag formulation in one edge: session_window's
+    * end is EXCLUSIVE (end = last event + gap), so an event at
+    * exactly gap distance starts a NEW session — the oracle flags
+    * `diff >= gap` at microsecond precision where q50 uses strict
+    * `>` at second precision. Running both spellings keeps the
+    * native operator honest about exactly that edge.
+    */
+  val sessionWindowAgg: QueryDef = QueryDef.sql(
+    "q128_session_window",
+    s"""WITH ev AS (SELECT user_id, event_id, ts FROM events),
+       | flagged AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+       |              >= ${SessionGapSec}000000
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       | sess AS (
+       |  SELECT user_id, ts,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged)
+       | SELECT user_id, min(ts) AS session_start,
+       |   max(ts) + INTERVAL $SessionGapSec SECOND AS session_end,
+       |   CAST(count(*) AS BIGINT) AS n_events
+       | FROM sess GROUP BY user_id, sid
+       | ORDER BY user_id, session_start""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(sessionize, asofJoin, decayScore, funnel, asofJoinExec,
-      cohortRetention, gapFill)
+      cohortRetention, gapFill, sessionWindowAgg)
 }

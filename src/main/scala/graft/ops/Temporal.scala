@@ -383,7 +383,43 @@ object Temporal {
       .orderBy("user_id", "session_start")
   }
 
+  /** q129 — rolling 7-day DISTINCT users per event type, by
+    * contribution explode. `count(DISTINCT ...)` is not expressible
+    * in a window frame (distinctness doesn't decompose over sliding
+    * sums), and the naive spelling — self-join every window day
+    * against its trailing week of events — is a range join that
+    * explodes on hot days. The linear spelling: each (type, user,
+    * day) observation CONTRIBUTES to exactly the 7 window-end days
+    * it's visible from, so explode those 7 days, dedupe (type, user,
+    * window-day) — one shuffle — and a plain count per (type,
+    * window-day) IS the rolling distinct. Work is 7n rows whatever
+    * the skew; both shuffles key on (type, day)-grade keys.
+    */
+  val rollingDistinct: QueryDef = QueryDef.sql(
+    "q129_rolling_distinct",
+    """WITH ev AS (SELECT DISTINCT event_type, user_id,
+      |   CAST(ts AS DATE) AS day FROM events),
+      | c AS (SELECT DISTINCT event_type, user_id,
+      |   unnest(generate_series(day, day + INTERVAL 6 DAY,
+      |     INTERVAL 1 DAY))::DATE AS wday
+      |  FROM ev)
+      | SELECT event_type, wday, CAST(count(*) AS BIGINT) AS users_7d
+      | FROM c GROUP BY event_type, wday
+      | ORDER BY event_type, wday""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        col("ts").cast("date").as("day")).distinct()
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("wday"))
+      .distinct()
+      .groupBy("event_type", "wday")
+      .agg(count(lit(1)).as("users_7d"))
+      .orderBy("event_type", "wday")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(sessionize, asofJoin, decayScore, funnel, asofJoinExec,
-      cohortRetention, gapFill, sessionWindowAgg)
+      cohortRetention, gapFill, sessionWindowAgg, rollingDistinct)
 }

@@ -401,6 +401,24 @@ class DedupSpec extends SparkSpec {
     assert(fp <= 0.02, f"doc-level FP rate $fp%.4f above 2%%")
   }
 
+  test("q123 attribution reconciles with q60: same contaminated doc " +
+      "set, primary rank well-formed") {
+    val attr = dedup.Dedup.contaminationAttribution.fn(spark, sfSmall)
+      .cache()
+    val q60docs = dedup.Dedup.decontaminate.fn(spark, sfSmall)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val attrDocs = attr.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(attrDocs == q60docs,
+      s"extra=${attrDocs -- q60docs} missing=${q60docs -- attrDocs}")
+    // exactly one rank-1 primary match per doc, ranks contiguous
+    val byDoc = attr.groupBy("doc_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"),
+        count(lit(1)).as("n"))
+    assert(byDoc.filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+      .count() == 0)
+  }
+
   test("q91 fuzzy decontamination: no false positives, catches J>=0.9 docs") {
     // brute-force exact cross jaccard (bench x corpus) at sf0.001
     val sets = Dedup.tokenSets(Tables.documents(spark, sfTiny))

@@ -82,6 +82,11 @@ object ScaleSweep {
       println(s"SWEEP built $out at ${k}x from $src")
     }
 
+    // dev-loop subset (same anchored contract as Bench/Verify)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(t => name == t || name.startsWith(t + "_")))
     val tier = Seq("q49_dedup_clusters", "q60_decontaminate",
       "q62_curation_pipeline", "q81_pagerank", "q84_ann_pq",
       "q101_bm25_batch",
@@ -98,7 +103,7 @@ object ScaleSweep {
     }
     // JVM/codegen warmup so the first tier query isn't billed for it
     spark.range(100000).selectExpr("sum(id)").collect()
-    val results = tier.map { name =>
+    val results = tier.filter(wanted).map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

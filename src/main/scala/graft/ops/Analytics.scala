@@ -238,7 +238,49 @@ object Analytics {
       .orderBy("lang", "decile")
   }
 
+  /** q130 — full CUBE over (region, order year, priority): all 2³
+    * grouping combinations in ONE pass (Spark expands the grouping
+    * sets inside a single hash aggregate with map-side partials —
+    * versus 8 separate scans union'd). Group keys are emitted
+    * through `coalesce(_, 'ALL')` rather than `grouping_id()`
+    * because the subtotal-marker nulls are an engine-facing detail:
+    * bitmask bit order is convention, 'ALL' labels are not. Revenue
+    * rides the DECIMAL discipline.
+    */
+  val cubeStats: QueryDef = QueryDef.sql(
+    "q130_cube",
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      | FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      | GROUP BY CUBE (r_name, year(o_orderdate), o_orderpriority)
+      | ORDER BY region, yr, priority""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("region", "yr", "priority")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     windowAnalytics, rollupStats, pivotQ, jsonExtract, distinctAgg,
-    approxDistinct, ntileDeciles, countMin, hllRollup)
+    approxDistinct, ntileDeciles, countMin, hllRollup, cubeStats)
 }

@@ -1,32 +1,257 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy string matching — the entity-resolution primitive
   * (titles, product names, author strings) a curation stack runs
   * before merging records from different sources. Exact edit
-  * distance, never a cartesian: candidates come from an equi join on
-  * a BLOCKING key plus a length band (|len(a)−len(b)| ≤ d is a
-  * necessary condition for levenshtein ≤ d), so the quadratic is
-  * per-block and the expensive distance evaluates only on pairs that
-  * already passed both cheap filters. At 100 TB the blocking key is
-  * the shuffle key — each block's pairs materialize on one executor,
-  * and skewed blocks split with the standard salting in
-  * [[Layout]]. Levenshtein itself is Spark's codegen'd built-in, not
-  * a UDF.
+  * distance with NO recall loss, and never a per-block cartesian.
+  *
+  * Four candidate schemes were built and MEASURED at the 10× scale
+  * sweep (2.2M true pairs), because the right one is a property of
+  * the data, not the algorithm:
+  *
+  *  1. [[blockedPairsNaive]] — whole-block join + length band:
+  *     283 s. Block COUNT is fixed (25 brands), so block SIZE grows
+  *     with the table and per-block work is quadratic.
+  *  2. [[blockedPairsSegments]] — PassJoin segment signatures (Li,
+  *     Deng & Feng, VLDB 2011): by pigeonhole a pair within distance
+  *     d shares one of d+1 segments VERBATIM at a ±d-shifted
+  *     position, so candidates are an equi join on segment content.
+  *     Wins when strings are long and diverse — but these names are
+  *     7–12 chars from a 92-word vocabulary: 600k probe segments
+  *     collapse into 3,725 distinct keys (~72M collision candidates)
+  *     and it measured 406 s — fanout paid, nothing pruned.
+  *  3. [[blockedPairsBanded]] — length-bucketed band join: 304 s.
+  *     The length spread is 6 values, so buckets barely split.
+  *  4. [[blockedPairsDeletions]] (FastSS/SymSpell) — deletion
+  *     neighborhoods: **85–117 s**, the shipped short-string path.
+  *     A variant key only matches strings sharing all-but-d
+  *     characters, so candidates track true matches — and tail
+  *     differences (the sweep's replica salts) share NO variant,
+  *     exactly the collisions that drowned the other schemes.
+  *
+  * [[blockedPairs]] dispatches: deletion neighborhoods for short
+  * strings (avg ≤ 32 chars, d ≤ 2), the banded join otherwise. The
+  * general lesson the sweep bought: candidate-scheme selectivity is
+  * a property of the DATA's entropy and length — measure before
+  * believing a signature scheme prunes. At 100 TB the other lever
+  * is the caller's blocking key (block cardinality must grow with
+  * the table; a fixed 25-way key is quadratic under every scheme).
+  *
+  * Verification everywhere is Spark's THRESHOLDED levenshtein —
+  * banded O(len·d) DP with early exit (returns −1 past the bound),
+  * not the full O(len²) table.
   *
   * The reference has no string-similarity surface; extension in the
   * dedup/ER direction.
   */
 object FuzzyJoin {
 
+  /** PassJoin-style segment-signature variant — the library path
+    * for HIGH-ENTROPY strings, where segment content is selective
+    * and candidates track true matches. Measured on THIS corpus's
+    * 92-word vocabulary it LOSES to the bucketed block join (406 s
+    * vs 283 s naive at the 10× sweep: 600k probe segments collapse
+    * into 3,725 distinct keys, so collision candidates ≈ 72M and
+    * the signature pays its fanout without pruning) — which is why
+    * q124 ships on [[blockedPairs]] and this stays the documented,
+    * parity-tested alternative. Output: (id_a, id_b, block, dist).
+    */
+  def blockedPairsSegments(df: DataFrame, idCol: String,
+      blockCol: String, strCol: String, maxDist: Int): DataFrame = {
+    val d = maxDist
+    val k = d + 1
+    val s = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      col(strCol).as("str"), length(col(strCol)).as("len"))
+
+    // even segmentation of a length-`lp` string: the first (lp mod k)
+    // segments get one extra char; pure integer arithmetic so both
+    // roles derive identical boundaries
+    def segLen(lp: Column, i: Column): Column =
+      ((lp - pmod(lp, lit(k))) / k).cast("int") +
+        when(i < pmod(lp, lit(k)), 1).otherwise(0)
+    def segStart(lp: Column, i: Column): Column =
+      (i * ((lp - pmod(lp, lit(k))) / k).cast("int") +
+        least(i, pmod(lp, lit(k)))).cast("int")
+
+    val segIdx = explode(sequence(lit(0), lit(k - 1)))
+
+    // probe role: each string's own k segments, keyed by its length.
+    // The content key ships as a 64-bit hash, not the substring: a
+    // hash collision only adds a candidate the exact verify then
+    // kills, so correctness is untouched and the shuffle rows shrink
+    // to fixed-width columns.
+    val probe = s
+      .withColumn("i", segIdx)
+      .select(col("block"), col("i"), col("len").as("lp"),
+        xxhash64(col("str").substr(segStart(col("len"), col("i")) + 1,
+          segLen(col("len"), col("i")))).as("seg"),
+        col("id").as("pid"))
+
+    // index role: for every probe length this string could pair with
+    // (len−d … len), the substrings matching that segmentation over
+    // the ±d position window. Fanout ≤ (d+1)·(d+1)·(2d+1) per row.
+    val index = s
+      .withColumn("lp",
+        explode(sequence(greatest(col("len") - d, lit(1)), col("len"))))
+      .withColumn("i", segIdx)
+      .withColumn("sl", segLen(col("lp"), col("i")))
+      .withColumn("st", segStart(col("lp"), col("i")))
+      .withColumn("p", explode(
+        when(least(col("len") - col("sl"), col("st") + d) >=
+          greatest(col("st") - d, lit(0)),
+          sequence(greatest(col("st") - d, lit(0)),
+            least(col("len") - col("sl"), col("st") + d)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("block"), col("i"), col("lp"),
+        xxhash64(col("str").substr(col("p") + 1, col("sl"))).as("seg"),
+        col("id").as("iid"))
+
+    // candidates ride as two longs (block re-derived at attach time)
+    val cand = probe.join(index, Seq("block", "i", "lp", "seg"))
+      .filter(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("id_a"),
+        greatest(col("pid"), col("iid")).as("id_b"))
+      .distinct()
+
+    cand
+      .join(s.select(col("id").as("id_a"), col("str").as("str_a"),
+        col("block")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("str").as("str_b")),
+        "id_b")
+      .withColumn("dist",
+        levenshtein(col("str_a"), col("str_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("block"), col("dist"))
+  }
+
   /** All intra-block pairs of `df(idCol, blockCol, strCol)` with
-    * levenshtein ≤ maxDist. Output: (id_a, id_b, block, dist).
+    * levenshtein ≤ maxDist — the production entry point. Dispatches
+    * between the two exact candidate schemes on measured string
+    * length (see object doc for the sweep numbers behind the
+    * split). Output: (id_a, id_b, block, dist).
     */
   def blockedPairs(df: DataFrame, idCol: String, blockCol: String,
       strCol: String, maxDist: Int): DataFrame = {
+    // dispatch on measured string length (one driver-side scalar — a
+    // control decision, same pattern as Scale.exactOk): deletion
+    // neighborhoods fan out C(L,d) variants per string, unbeatable
+    // for short strings and explosive for long ones
+    if (maxDist <= 2) {
+      val avgLen = df.agg(avg(length(col(strCol)))).head().getDouble(0)
+      if (avgLen <= DeletionLenCutoff)
+        return blockedPairsDeletions(df, idCol, blockCol, strCol,
+          maxDist)
+    }
+    blockedPairsBanded(df, idCol, blockCol, strCol, maxDist)
+  }
+
+  /** Above this average length the deletion-variant fanout
+    * (1 + L + C(L,2) keys per string at d=2) outgrows its
+    * selectivity win and the banded join takes over.
+    */
+  val DeletionLenCutoff = 32.0
+
+  /** Deletion-neighborhood candidates (FastSS — Bocek et al. 2007;
+    * popularized as SymSpell): if lev(x,y) ≤ d, an optimal alignment
+    * gives subsets of ≤ d positions whose deletion reduces BOTH
+    * strings to their common aligned subsequence — so x and y share
+    * an identical deletion variant, and candidates are an equi join
+    * on (block, variant-hash). The decisive property on short
+    * low-entropy strings (where segments and length bands are
+    * useless — measured above): a variant key only matches strings
+    * that genuinely share all-but-d characters, so candidate volume
+    * tracks true matches (sweep numbers in the object doc).
+    * Supports d ≤ 2.
+    */
+  private[graft] def blockedPairsDeletions(df: DataFrame, idCol: String,
+      blockCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletion path supports d in 1..2, got $maxDist")
+    val s = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      col(strCol).as("str"), length(col(strCol)).as("len"))
+    // delete position p (0-based), 1-based substr arithmetic
+    def del1(str: Column, len: Column, p: Column): Column =
+      concat(str.substr(lit(1), p), str.substr(p + 2, len))
+    def del2(str: Column, len: Column, p: Column, q: Column): Column =
+      concat(str.substr(lit(1), p), str.substr(p + 2, q - p - 1),
+        str.substr(q + 2, len))
+    def seqOrEmpty(lo: Column, hi: Column): Column =
+      when(hi >= lo, sequence(lo, hi)).otherwise(array().cast("array<int>"))
+    val v0 = s.select(col("block"), xxhash64(col("str")).as("vh"),
+      col("id"))
+    val v1 = s
+      .withColumn("p", explode(seqOrEmpty(lit(0), col("len") - 1)))
+      .select(col("block"),
+        xxhash64(del1(col("str"), col("len"), col("p"))).as("vh"),
+        col("id"))
+    val variants =
+      if (maxDist == 1) v0.unionByName(v1)
+      else {
+        val v2 = s
+          .withColumn("p", explode(seqOrEmpty(lit(0), col("len") - 2)))
+          .withColumn("q",
+            explode(seqOrEmpty(col("p") + 1, col("len") - 1)))
+          .select(col("block"),
+            xxhash64(del2(col("str"), col("len"), col("p"), col("q")))
+              .as("vh"),
+            col("id"))
+        v0.unionByName(v1).unionByName(v2)
+      }
+    val cand = variants
+      .join(variants.select(col("block"), col("vh"),
+        col("id").as("id_b")), Seq("block", "vh"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(s.select(col("id").as("id_a"), col("str").as("str_a"),
+        col("block")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("str").as("str_b")),
+        "id_b")
+      .withColumn("dist",
+        levenshtein(col("str_a"), col("str_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("block"), col("dist"))
+  }
+
+  /** Banded block join sub-bucketed by length — the long-string
+    * path. Output: (id_a, id_b, block, dist).
+    */
+  private[graft] def blockedPairsBanded(df: DataFrame, idCol: String,
+      blockCol: String, strCol: String, maxDist: Int): DataFrame = {
+    val bw = 2 * maxDist + 1
+    val s = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      col(strCol).as("str"), length(col(strCol)).as("len"))
+    val probe = s
+      .withColumn("bkt", explode(array_distinct(array(
+        floor((col("len") - maxDist).cast("double") / bw).cast("int"),
+        floor((col("len") + maxDist).cast("double") / bw).cast("int")))))
+      .select(col("block"), col("bkt"), col("id").as("id_a"),
+        col("str").as("str_a"), col("len").as("len_a"))
+    val index = s
+      .withColumn("bkt",
+        floor(col("len").cast("double") / bw).cast("int"))
+      .select(col("block"), col("bkt"), col("id").as("id_b"),
+        col("str").as("str_b"), col("len").as("len_b"))
+    probe.join(index, Seq("block", "bkt"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("str_a"), col("str_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("block"), col("dist"))
+  }
+
+  /** The first-cut quadratic spelling (whole-block join + length
+    * band), kept as the independent parity oracle for the two
+    * candidate schemes\' zero-recall-loss claims (FuzzyJoinSpec).
+    */
+  private[graft] def blockedPairsNaive(df: DataFrame, idCol: String,
+      blockCol: String, strCol: String, maxDist: Int): DataFrame = {
     val s = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       col(strCol).as("str"), length(col(strCol)).as("len"))
     val a = s.select(col("block"), col("id").as("id_a"),
@@ -36,12 +261,6 @@ object FuzzyJoin {
     a.join(b, "block")
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
-      // the THRESHOLDED levenshtein: banded DP over a 2·maxDist+1
-      // diagonal strip with early exit (returns -1 past the bound) —
-      // O(len·d) per pair instead of O(len²), the difference between
-      // a fuzzy join that scales and one that doesn't when blocks
-      // are wide. Pairs at or under the bound get the exact distance,
-      // so the result set matches the unthresholded spelling.
       .withColumn("dist",
         levenshtein(col("str_a"), col("str_b"), maxDist))
       .filter(col("dist") >= 0)
@@ -49,8 +268,8 @@ object FuzzyJoin {
   }
 
   /** q124 — near-identical part names within a brand block at edit
-    * distance ≤ 2 (the oracle applies the identical blocking + band,
-    * so pruning parity is by construction).
+    * distance ≤ 2 (the oracle applies the identical blocking, so
+    * candidate-scheme parity is exactly the zero-recall-loss claim).
     */
   val fuzzyJoinQ: QueryDef = QueryDef.sql(
     "q124_fuzzy_string_join",

@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
   *  3. [[blockedPairsBanded]] — length-bucketed band join: 304 s.
   *     The length spread is 6 values, so buckets barely split.
   *  4. [[blockedPairsDeletions]] (FastSS/SymSpell) — deletion
-  *     neighborhoods: **85–117 s**, the shipped short-string path.
-  *     A variant key only matches strings sharing all-but-d
-  *     characters, so candidates track true matches — and tail
-  *     differences (the sweep's replica salts) share NO variant,
-  *     exactly the collisions that drowned the other schemes.
+  *     neighborhoods: **27.5 s at 10×, 101.7 s at 30× — linear in
+  *     the data**, the shipped short-string path. A variant key only
+  *     matches strings sharing all-but-d characters, so candidates
+  *     track true matches — and tail differences (the sweep's
+  *     replica salts) share NO variant, exactly the collisions that
+  *     drowned the other schemes. (First measurement was 85–117 s:
+  *     Catalyst was silently BROADCASTING the exploded variant
+  *     table — Generate inherits its child's size estimate — and at
+  *     30× that 1 GB+ driver collect aborted outright; the
+  *     shuffle_hash hint on the self-join is load-bearing.)
   *
   * [[blockedPairs]] dispatches: deletion neighborhoods for short
   * strings (avg ≤ 32 chars, d ≤ 2), the banded join otherwise. The
@@ -110,8 +115,11 @@ object FuzzyJoin {
         xxhash64(col("str").substr(col("p") + 1, col("sl"))).as("seg"),
         col("id").as("iid"))
 
-    // candidates ride as two longs (block re-derived at attach time)
-    val cand = probe.join(index, Seq("block", "i", "lp", "seg"))
+    // candidates ride as two longs (block re-derived at attach
+    // time); shuffle_hash for the same Generate-underestimate reason
+    // as the deletion path — never broadcast an exploded side
+    val cand = probe.join(index.hint("shuffle_hash"),
+        Seq("block", "i", "lp", "seg"))
       .filter(col("pid") =!= col("iid"))
       .select(least(col("pid"), col("iid")).as("id_a"),
         greatest(col("pid"), col("iid")).as("id_b"))
@@ -201,9 +209,16 @@ object FuzzyJoin {
             col("id"))
         v0.unionByName(v1).unionByName(v2)
       }
+    // SHUFFLE_HASH hint, load-bearing: Catalyst's size estimate for
+    // a Generate (explode) is its CHILD's size, so the ~80×-fanout
+    // variant table inherits the parquet scan's few-MB estimate and
+    // the planner broadcasts one side of this self-join — at the 30×
+    // sweep that "broadcast" is a >1 GB driver collect that aborts
+    // the job (spark.driver.maxResultSize). The hint pins the
+    // correct co-partitioned hash join on (block, vh).
     val cand = variants
       .join(variants.select(col("block"), col("vh"),
-        col("id").as("id_b")), Seq("block", "vh"))
+        col("id").as("id_b")).hint("shuffle_hash"), Seq("block", "vh"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()

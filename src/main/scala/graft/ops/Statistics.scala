@@ -356,8 +356,60 @@ object Statistics {
       .orderBy("event_type")
   }
 
+  /** q132 — exact two-sample Kolmogorov–Smirnov statistic per event
+    * type: the distribution-drift screen a pipeline runs between
+    * corpus snapshots or A/B splits (here: the deterministic
+    * event-id parity split, so the statistic measures the monitor's
+    * null-hypothesis noise floor). KS = max |F₁(v) − F₂(v)| over
+    * the combined support, computed EXACTLY in one pass: tag each
+    * row with its split, one RANGE-framed window (ties: a RANGE
+    * frame sums peers, so the CDF jumps land exactly on tied
+    * values — a ROWS frame here would be wrong), then a max
+    * aggregate. One shuffle on (type) for the window, one for the
+    * final agg — no per-value join, no sort beyond the window's.
+    * Parity: counts are ints, the two divisions and the abs/max are
+    * identically-ordered IEEE ops on both engines.
+    */
+  val ksDrift: QueryDef = QueryDef.sql(
+    "q132_ks_drift",
+    """WITH t AS (SELECT event_type, value,
+      |   CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS g1
+      |  FROM events),
+      | n AS (SELECT event_type, CAST(sum(g1) AS BIGINT) AS n1,
+      |   CAST(sum(1 - g1) AS BIGINT) AS n2
+      |  FROM t GROUP BY event_type),
+      | c AS (SELECT event_type, value,
+      |   sum(g1) OVER w AS c1, sum(1 - g1) OVER w AS c2
+      |  FROM t WINDOW w AS (PARTITION BY event_type ORDER BY value
+      |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      | SELECT c.event_type,
+      |  max(abs(CAST(c1 AS DOUBLE) / n.n1
+      |    - CAST(c2 AS DOUBLE) / n.n2)) AS ks,
+      |  any_value(n.n1) AS n1, any_value(n.n2) AS n2
+      | FROM c JOIN n ON c.event_type = n.event_type
+      | GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.events(s, d).select(col("event_type"), col("value"),
+      when(col("event_id") % 2 === 0, 1).otherwise(0).as("g1"))
+    val n = t.groupBy("event_type")
+      .agg(sum("g1").cast("long").as("n1"),
+        sum(lit(1) - col("g1")).cast("long").as("n2"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("c1", sum("g1").over(w))
+      .withColumn("c2", sum(lit(1) - col("g1")).over(w))
+      .join(broadcast(n), "event_type")
+      .groupBy("event_type")
+      .agg(max(abs(col("c1").cast("double") / col("n1")
+        - col("c2").cast("double") / col("n2"))).as("ks"),
+        first("n1").as("n1"), first("n2").as("n2"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(rateMoreProducts, rateMoreRecently, averageScore, dateConvert,
       quantiles, quantileSketch, outlierStats, winsorize, groupTrend,
-      groupCorrelation)
+      groupCorrelation, ksDrift)
 }

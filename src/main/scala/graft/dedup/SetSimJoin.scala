@@ -130,5 +130,63 @@ object SetSimJoin {
       .orderBy("doc_a", "doc_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(setSimJoinQ)
+  /** q133 — CHUNK-level exact near-dup pairs across documents: the
+    * partial-duplication detector. Doc-level dedup (q30–q34, q121)
+    * misses a document that embeds another's paragraphs inside fresh
+    * text; chunking first (q52's 64-token/48-stride windows) and
+    * running the exact set-similarity join on the CHUNKS surfaces
+    * exactly those shared spans. Pure composition — the chunker and
+    * [[allPairs]] are both already oracle-gated — on the q33/q121
+    * 1-in-20 sample precedent (the quadratic oracle is the cost;
+    * the Spark side is the prefix-filtered join). Chunk identity is
+    * encoded as doc_id·10⁴ + chunk_idx (monotone, so allPairs'
+    * canonical id order IS (doc, chunk) order), and same-doc pairs
+    * are excluded — adjacent windows overlap by construction.
+    */
+  val chunkNearDupQ: QueryDef = QueryDef.sql(
+    "q133_chunk_neardup",
+    """WITH sd AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id % 20 = 0),
+      | ch AS (SELECT doc_id, CAST(off / 48 AS BIGINT) AS chunk_idx,
+      |   list_distinct(toks[off + 1 : off + 64]) AS ctoks
+      |  FROM sd, LATERAL (SELECT
+      |   unnest(generate_series(0, len(toks) - 1, 48)) AS off)),
+      | p AS (SELECT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
+      |   b.doc_id AS doc_b, b.chunk_idx AS chunk_b,
+      |   CAST(len(list_intersect(a.ctoks, b.ctoks)) AS DOUBLE)
+      |     AS inter,
+      |   len(a.ctoks) AS la, len(b.ctoks) AS lb
+      |  FROM ch a JOIN ch b ON a.doc_id < b.doc_id
+      |   AND 5 * len(b.ctoks) >= 3 * len(a.ctoks)
+      |   AND 5 * len(a.ctoks) >= 3 * len(b.ctoks))
+      | SELECT doc_a, chunk_a, doc_b, chunk_b,
+      |  inter / (la + lb - inter) AS jaccard
+      | FROM p WHERE inter / (la + lb - inter) >= 0.6
+      | ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val chunks = Tables.documents(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(48)))
+          .as("off"),
+        col("toks"))
+      .select(
+        (col("doc_id") * 10000 + (col("off") / 48).cast("long"))
+          .as("cid"),
+        array_join(slice(col("toks"), col("off") + 1, lit(64)), " ")
+          .as("chunk_text"))
+    allPairs(chunks, "cid", "chunk_text")
+      .filter(floor(col("doc_a") / 10000) =!= floor(col("doc_b") / 10000))
+      .select((col("doc_a") / 10000).cast("long").as("doc_a"),
+        pmod(col("doc_a"), lit(10000)).cast("long").as("chunk_a"),
+        (col("doc_b") / 10000).cast("long").as("doc_b"),
+        pmod(col("doc_b"), lit(10000)).cast("long").as("chunk_b"),
+        col("jaccard"))
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(setSimJoinQ, chunkNearDupQ)
 }

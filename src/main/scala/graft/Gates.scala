@@ -186,6 +186,16 @@ object Gates {
           annRecall(search.Ann.exactTopK(emb, queryIds = 50),
             search.Ann.knnJoinQ.fn(s, d).filter(col("query_id") < 50))
         }),
+      ("q134_knn_incremental", "recall_at_5_vs_exact_delta", ">=", 0.8,
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+          val delta = emb.filter(col("vec_id") % 10 === 0 &&
+            col("vec_id") < 500)
+          annRecall(search.Ann.exactTopKAgainst(corpus, delta),
+            search.Ann.knnIncrementalQ.fn(s, d)
+              .filter(col("query_id") < 500))
+        }),
       ("q126_kcore", "members_below_k_violations", "<=", 0.0,
         (s, d) => {
           // the defining property, measured on the output: every

@@ -344,13 +344,26 @@ object Ann {
     * pairs are the loss, same as q48/q73).
     */
   def knnJoin(emb: DataFrame, k: Int = 5, nprobe: Int = 8,
-      targetCell: Int = 1000): DataFrame = {
+      targetCell: Int = 1000): DataFrame =
+    knnJoinAgainst(emb, emb, k, nprobe, targetCell)
+
+  /** kNN of `queries` against an IVF-indexed `corpus` — the
+    * incremental-ingest path: the quantizer trains on (a sample of)
+    * the CORPUS only, so a new-batch lookup is O(Δ · nprobe ·
+    * cellsize) — assign, probe, re-rank — never a corpus re-index.
+    * The vector companion of [[graft.dedup.Dedup]]'s incremental
+    * near-dup (q75). [[knnJoin]] is the self-join special case.
+    */
+  def knnJoinAgainst(corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 8, targetCell: Int = 1000)
+      : DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val s = emb.sparkSession
-    val n = emb.count()
+    val s = corpus.sparkSession
+    val n = corpus.count()
     val cells = math.max(16, (n / targetCell).toInt)
-    val withFv = emb.withColumn("fv", array_to_vector(col("embedding")))
+    val withFv = corpus.withColumn("fv",
+      array_to_vector(col("embedding")))
     val trainCap = 250 * cells
     val train =
       if (n <= trainCap) withFv
@@ -368,7 +381,7 @@ object Ann {
       .toDF("cell", "centroid")
     val probeW = Window.partitionBy("query_id")
       .orderBy(desc("centroid_sim"), asc("cell"))
-    val probed = emb
+    val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cell"),
@@ -396,18 +409,38 @@ object Ann {
     knnJoin(Tables.embeddings(s, d)).orderBy("query_id", "rank")
   }
 
+  /** q134 — incremental kNN lookup: the 1-in-10 vec_id slice plays
+    * the newly-ingested batch, searched against the remaining 9/10
+    * corpus through the corpus-trained IVF index. Rows-only; the
+    * gate measures recall@5 against the exact delta-vs-corpus scan.
+    */
+  val knnIncrementalQ: QueryDef =
+    QueryDef.rowsOnly("q134_knn_incremental") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      knnJoinAgainst(emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0))
+        .orderBy("query_id", "rank")
+    }
+
   /** Exact top-k for a bounded query-id sample — the gate's
     * baseline. Brute force over queries × corpus, fine for ≤100
     * query ids at verify scale.
     */
   def exactTopK(emb: DataFrame, queryIds: Long, k: Int = 5)
-      : DataFrame = {
-    val q = emb.filter(col("vec_id") < queryIds)
+      : DataFrame =
+    exactTopKAgainst(emb, emb.filter(col("vec_id") < queryIds), k)
+
+  /** Exact top-k of `queries` against a separate `corpus` — the
+    * delta-lookup gate baseline.
+    */
+  def exactTopKAgainst(corpus: DataFrame, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
     broadcast(q).crossJoin(
-        emb.select(col("vec_id").as("neighbor_id"),
+        corpus.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("nv")))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -419,5 +452,5 @@ object Ann {
 
   val defs: Seq[QueryDef] =
     Seq(bruteForce, lshTopK, ivfTopK, semDedup, quantize, dimRecall,
-      knnJoinQ)
+      knnJoinQ, knnIncrementalQ)
 }

@@ -41,6 +41,19 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, s"kNN-join recall@5 = $r")
   }
 
+  test("q134 incremental kNN: recall@5 >= 0.8 vs exact delta lookup") {
+    val emb = Tables.embeddings(spark, sfSmall)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val exact = search.Ann.exactTopKAgainst(corpus, delta).cache()
+    val approx = search.Ann.knnIncrementalQ.fn(spark, sfSmall)
+      .select("query_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    val r = hit.toDouble / exact.count()
+    assert(r >= 0.8, s"incremental kNN recall@5 = $r")
+  }
+
   test("q82 sign projection: unbiased cosine estimates within JL error") {
     // (1/k)·<Px,Py> is an unbiased estimator of <x,y> for ±1 sign
     // matrices (Achlioptas 2003); with k=16 the per-pair noise is

@@ -419,7 +419,47 @@ object Temporal {
       .orderBy("event_type", "wday")
   }
 
+  /** q135 — RUNNING cumulative distinct users per event type (the
+    * all-time companion of q129's sliding window): also
+    * frame-inexpressible as `count(DISTINCT) OVER`, and also linear
+    * once decomposed — a user contributes to the running count
+    * exactly once, at their FIRST day, so flag first occurrences
+    * (one window keyed (type, user)), reduce to per-day new-user
+    * counts, and a cumulative sum over the day series is the
+    * answer. Two narrow shuffles; no distinct-state accumulation
+    * anywhere.
+    */
+  val runningDistinct: QueryDef = QueryDef.sql(
+    "q135_running_distinct",
+    """WITH ev AS (SELECT DISTINCT event_type, user_id,
+      |   CAST(ts AS DATE) AS day FROM events),
+      | firsts AS (SELECT event_type, user_id, min(day) AS day
+      |  FROM ev GROUP BY event_type, user_id),
+      | daily AS (SELECT event_type, day,
+      |   count(*) AS new_users FROM firsts GROUP BY event_type, day)
+      | SELECT event_type, day,
+      |  CAST(new_users AS BIGINT) AS new_users,
+      |  CAST(sum(new_users) OVER (PARTITION BY event_type
+      |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |   CURRENT ROW) AS BIGINT) AS users_cum
+      | FROM daily ORDER BY event_type, day""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        col("ts").cast("date").as("day"))
+      .groupBy("event_type", "user_id").agg(min("day").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("event_type"), col("day"), col("new_users"),
+        sum("new_users").over(w).cast("long").as("users_cum"))
+      .orderBy("event_type", "day")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(sessionize, asofJoin, decayScore, funnel, asofJoinExec,
-      cohortRetention, gapFill, sessionWindowAgg, rollingDistinct)
+      cohortRetention, gapFill, sessionWindowAgg, rollingDistinct,
+      runningDistinct)
 }

@@ -390,6 +390,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q129: rolling distinct is explode + aggregates — no join, no " +
+      "range self-join") {
+    val p = plan(ops.Temporal.rollingDistinct.fn(spark, sfSmall))
+    assert(!p.contains("Join"), "window self-join crept in:\n" + p)
+    assert(p.contains("Generate"), p) // the contribution explode
+  }
+
+  test("q131: covariance reduces to cells with map-side partials, " +
+      "no cartesian") {
+    val p = plan(search.Embeddings.covariance.fn(spark, sfSmall))
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q102: centroids shuffle scalars, not vectors, with map-side partials") {
     val p = plan(search.Embeddings.labelCentroids.fn(spark, sfSmall))
     assert(p.contains("partial_sum"), p)

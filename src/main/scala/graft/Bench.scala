@@ -47,7 +47,10 @@ object Bench {
       }
       name -> times
     }
-    def f(d: Double): String = "%.4f".format(d)
+    // Locale.ROOT keeps the artifact valid JSON on comma-decimal
+    // default locales.
+    def f(d: Double): String = String.format(java.util.Locale.ROOT,
+      "%.4f", java.lang.Double.valueOf(d))
     val qs = results.map { case (k, ts) => s"\"$k\":${f(median(ts))}" }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, ts) =>

@@ -418,7 +418,10 @@ object Gates {
     def v(x: Double): String =
       if (x.isNaN) "null"
       else if (x == x.floor && math.abs(x) < 1e15) x.toLong.toString
-      else f"$x%.6f"
+      // Locale.ROOT: a comma-decimal default locale would render
+      // invalid JSON.
+      else String.format(java.util.Locale.ROOT, "%.6f",
+        java.lang.Double.valueOf(x))
     rs.map { r =>
       s"""  "${r.query}": {"gate": "${r.gate}", "value": ${v(r.value)},""" +
         s""" "threshold": ${v(r.threshold)}, "op": "${r.op}",""" +

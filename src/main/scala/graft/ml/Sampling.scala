@@ -98,7 +98,7 @@ object Sampling {
       | t AS (SELECT CAST(sum(q) AS BIGINT) AS qsum,
       |   CAST(sum(n) AS BIGINT) AS total FROM q),
       | caps AS (SELECT source,
-      |   least((total // 2) * q // qsum, n) AS cap FROM q, t),
+      |   least(CAST(total AS HUGEINT) // 2 * q // qsum, n) AS cap FROM q, t),
       | r AS (SELECT doc_id, source, row_number() OVER (
       |   PARTITION BY source
       |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
@@ -115,7 +115,12 @@ object Sampling {
       sum("n").cast("long").as("total"))
     val caps = q.crossJoin(broadcast(t))
       .select(col("source"),
-        least(expr("(total div 2) * q div qsum"), col("n")).as("cap"))
+        // 128-bit intermediate: (total/2)*q peaks at ~0.5·n^1.5·1e9,
+        // past 2^63 once the corpus exceeds ~7M docs. DECIMAL(38,0)
+        // (Spark) / HUGEINT (oracle) keep the product exact to 1e38;
+        // `div` truncates back to BIGINT, which the cap always fits.
+        least(expr("CAST(total div 2 AS DECIMAL(38,0)) * q div qsum"),
+          col("n")).as("cap"))
     val hashed = docs
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bkt", substring(col("h"), 1, 2))

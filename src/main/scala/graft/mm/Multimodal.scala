@@ -107,7 +107,14 @@ object Multimodal {
       val channels = fmt.getChannels
       val bits = fmt.getSampleSizeInBits
       if (bits != 16 && bits != 8) return undecoded(rec)
-      val frames = ais.getFrameLength.toInt
+      // getFrameLength is -1 for streams with unknown length (legal
+      // for AU/streamed PCM); trusting it would report decoded=true
+      // with a zero embedding. Also guard the Long→Int narrowing.
+      val frameLen = ais.getFrameLength
+      if (frameLen < 0 ||
+          frameLen > Int.MaxValue / math.max(channels, 1) / (bits / 8))
+        return undecoded(rec)
+      val frames = frameLen.toInt
       val data = ais.readAllBytes()
       val bytesPerSample = bits / 8
       val sums = new Array[Double](channels)

@@ -356,7 +356,7 @@ object Temporal {
     "q128_session_window",
     s"""WITH ev AS (SELECT user_id, event_id, ts FROM events),
        | flagged AS (
-       |  SELECT user_id, ts,
+       |  SELECT user_id, event_id, ts,
        |    CASE WHEN lag(ts) OVER w IS NULL
        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
        |              >= ${SessionGapSec}000000
@@ -364,7 +364,7 @@ object Temporal {
        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        | sess AS (
        |  SELECT user_id, ts,
-       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
        |  FROM flagged)
        | SELECT user_id, min(ts) AS session_start,

@@ -133,7 +133,8 @@ object Curation {
        |   FROM c),
        | tt AS (SELECT CAST(sum(qv) AS BIGINT) AS qsum,
        |   CAST(sum(cn) AS BIGINT) AS total FROM qq),
-       | caps AS (SELECT source, least((total // 2) * qv // qsum, cn)
+       | caps AS (SELECT source,
+       |   least(CAST(total AS HUGEINT) // 2 * qv // qsum, cn)
        |   AS cap FROM qq, tt),
        | r AS (SELECT doc_id, source, t, row_number() OVER (
        |   PARTITION BY source
@@ -159,7 +160,11 @@ object Curation {
       sum("cn").cast("long").as("total"))
     val caps = qv.crossJoin(broadcast(tt))
       .select(col("source"),
-        least(expr("(total div 2) * qv div qsum"), col("cn")).as("cap"))
+        // DECIMAL(38,0) intermediate — see q107's cap comment: the
+        // BIGINT product overflows past ~7M docs; HUGEINT on the
+        // oracle side keeps both engines exact and identical.
+        least(expr("CAST(total div 2 AS DECIMAL(38,0)) * qv div qsum"),
+          col("cn")).as("cap"))
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     ded.withColumn("rk", row_number().over(w))

@@ -318,10 +318,39 @@ object StreamPipeline {
     val cols = source.columns.toSeq
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = onePerKey(source, key, orderCol)
-      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
     val exists = fs.exists(path) &&
       fs.listStatus(path).exists(_.getPath.getName.startsWith("__bucket="))
+    // The bucket count IS the table layout: pmod(hash(key), buckets)
+    // must match how existing rows were bucketed, or the touched-
+    // partition read misses a key's current row and silently writes a
+    // duplicate under a second bucket. The count is persisted in a
+    // `_graft_buckets` sidecar at create time and validated on every
+    // later merge; tables predating the sidecar fall back to the
+    // weaker stored-dir bound (catches too-small, not too-large).
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "_graft_buckets")
+    val effectiveBuckets =
+      if (!exists) buckets
+      else if (fs.exists(metaPath)) {
+        val in = fs.open(metaPath)
+        val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt finally in.close()
+        require(stored == buckets,
+          s"mergeInto($dir): bucket count $buckets does not match the " +
+            s"stored layout ($stored buckets); pass the bucket count " +
+            "the table was created with")
+        stored
+      } else {
+        val maxSeen = fs.listStatus(path).map(_.getPath.getName)
+          .filter(_.startsWith("__bucket="))
+          .map(_.stripPrefix("__bucket=").toInt).max
+        require(maxSeen < buckets,
+          s"mergeInto($dir): bucket count $buckets is inconsistent with " +
+            s"the stored layout (saw __bucket=$maxSeen); pass the bucket " +
+            "count the table was created with")
+        buckets
+      }
+    val staged = onePerKey(source, key, orderCol)
+      .withColumn("__bucket", pmod(hash(col(key)), lit(effectiveBuckets)))
     var touched: Seq[Int] = Seq.empty
     val merged =
       if (!exists) {
@@ -360,6 +389,11 @@ object StreamPipeline {
     pinned.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(dir)
+    if (!fs.exists(metaPath)) {
+      val out = fs.create(metaPath, true)
+      try out.write(s"$effectiveBuckets\n".getBytes("UTF-8"))
+      finally out.close()
+    }
     // dynamic overwrite only replaces partitions PRESENT in the
     // write: a touched bucket whose rows were all deleted emits no
     // rows, so its stale files would silently survive (row

@@ -376,6 +376,28 @@ class StreamingSpec extends SparkSpec {
     assert(empty)
   }
 
+  test("mergeInto rejects a bucket count inconsistent with the " +
+      "stored layout") {
+    val dir = Files.createTempDirectory("graft_merge_bkt").toString + "/t"
+    StreamPipeline.mergeInto(Seq((1L, "a")).toDF("k", "v"), "k", dir,
+      buckets = 8)
+    // Both directions are layout corruption: a smaller count would
+    // re-hash keys into different buckets, a larger one would miss
+    // existing rows in the touched-partition read.
+    intercept[IllegalArgumentException] {
+      StreamPipeline.mergeInto(Seq((2L, "b")).toDF("k", "v"), "k", dir,
+        buckets = 4)
+    }
+    intercept[IllegalArgumentException] {
+      StreamPipeline.mergeInto(Seq((2L, "b")).toDF("k", "v"), "k", dir,
+        buckets = 16)
+    }
+    // the matching count still works
+    StreamPipeline.mergeInto(Seq((2L, "b")).toDF("k", "v"), "k", dir,
+      buckets = 8)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("mergeInto is idempotent under replay") {
     val dir = Files.createTempDirectory("graft_merge_replay").toString + "/t"
     val batch = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "ts")

@@ -127,58 +127,17 @@ object Ann {
     * on the exact → LSH → IVF recall/cost curve.
     */
   val ivfTopK: QueryDef = QueryDef.rowsOnly("q48_ann_ivf") { (s, d) =>
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val k = 16
-    // nprobe is the same corpus-dependent dial as the LSH bands: the
-    // near-random test corpus needs half the cells probed for
-    // recall@5 ≥ 0.8 (RecallSpec); clustered corpora manage with 2-4.
-    val nprobe = 8
+    // The shared two-level IVF path ([[knnJoinAgainst]]) with the
+    // fixed 10-query workload. nprobe is the same corpus-dependent
+    // dial as the LSH bands: the near-random test corpus needs half
+    // the (16, at local scale) cells probed for recall@5 ≥ 0.8
+    // (RecallSpec); clustered corpora manage with 2-4. Cell count
+    // grows as n/targetCell — a FIXED cell count would mean cell
+    // size, and so per-query candidate work, growing linearly with
+    // the corpus.
     val emb = Tables.embeddings(s, d)
-      .withColumn("fv", array_to_vector(col("embedding")))
-    // Coarse-quantizer training: few Lloyd iterations (cell boundaries
-    // only gate candidate routing, and nprobe/k oversampling absorbs
-    // imperfect centroids; random init measurably cost 2pts of recall
-    // on this corpus, so k-means|| init stays). At corpus scale
-    // the fit also runs on a bounded SAMPLE — the standard IVF recipe:
-    // centroids stabilize at O(100·k) training points, so training cost
-    // stays flat while assignment remains a full single pass.
-    val trainCap = 250 * k
-    val n = emb.count()
-    val train =
-      if (n <= trainCap) emb
-      else emb.sample(withReplacement = false, trainCap.toDouble / n, 42L)
-    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(train)
-    val assigned = model.transform(emb)
-      .select(col("vec_id").as("neighbor_id"), col("embedding"),
-        col("cell"))
-    // nprobe nearest cells per query vector, via centroid cosine
-    val centroids = s.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat)) }.toSeq)
-      .toDF("cell", "centroid")
-    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(desc("centroid_sim"), asc("cell"))
-    val probed = broadcast(queries).crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cell"),
-        cosine_sim(col("qv"), col("centroid")).as("centroid_sim"))
-      .withColumn("crn", row_number().over(probeW))
-      .filter(col("crn") <= nprobe)
-      .select("query_id", "qv", "cell")
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("sim"), asc("neighbor_id"))
-    probed.join(assigned, "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("qv"), col("embedding")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank"))
+    knnJoinAgainst(emb, emb.filter(col("vec_id") < 10), k = K,
+      nprobe = 8)
       .orderBy("query_id", "rank")
   }
 
@@ -336,16 +295,24 @@ object Ann {
     * grows with n so the EXPECTED CELL SIZE stays constant
     * (SemDeDup's sizing, `n/cells ≈ targetCell`), every vector
     * probes its `nprobe` nearest cells, and candidate work is
-    * n · nprobe · targetCell — linear in n at fixed dials. The
-    * centroid table stays broadcast-size (cells ≈ n/1000), the
-    * probe-routing is a broadcast nested-loop over it, and the
-    * candidate join shuffles on the cell id. Recall@k vs the exact
-    * scan is gate-measured on a query sample (boundary-straddling
-    * pairs are the loss, same as q48/q73).
+    * n · nprobe · targetCell — linear in n at fixed dials. Routing
+    * is TWO-LEVEL (see [[knnJoinAgainst]]) so no routing structure
+    * ever outgrows O(√cells). Recall@k vs the exact scan is
+    * gate-measured on a query sample (boundary-straddling pairs are
+    * the loss, same as q48/q73).
     */
   def knnJoin(emb: DataFrame, k: Int = 5, nprobe: Int = 8,
       targetCell: Int = 1000): DataFrame =
     knnJoinAgainst(emb, emb, k, nprobe, targetCell)
+
+  /** Replication factor for the fine-centroid joins: the fine table
+    * has only kc ≈ √cells DISTINCT `ccell` keys, so an unsalted
+    * equi join would hand each reducer an entire coarse cell's worth
+    * of rows (n/kc ≈ √cells·targetCell vectors — lumpy at scale).
+    * Salting widens the key space to kc·SaltBuckets at the price of
+    * replicating a √cells-row table a constant number of times.
+    */
+  private val SaltBuckets = 8
 
   /** kNN of `queries` against an IVF-indexed `corpus` — the
     * incremental-ingest path: the quantizer trains on (a sample of)
@@ -353,6 +320,44 @@ object Ann {
     * cellsize) — assign, probe, re-rank — never a corpus re-index.
     * The vector companion of [[graft.dedup.Dedup]]'s incremental
     * near-dup (q75). [[knnJoin]] is the self-join special case.
+    *
+    * The quantizer is TWO-LEVEL (IMI / hierarchical-IVF style): a
+    * single-level design keeps the whole `cells = n/targetCell`
+    * centroid table driver-resident and broadcasts it for probe
+    * routing, which dies at the 100 TB design point — 10¹⁰ vectors
+    * is a 10⁷-row, multi-GB routing table, past any broadcast
+    * budget, and probing it is O(cells) sims per query. Instead:
+    *
+    *  1. COARSE layer: a distributed k-means with kc = ⌈√cells⌉
+    *    centroids (sample-capped fit, as before). kc is the ONLY
+    *    table the driver or a broadcast ever holds — √cells ≈ 3200
+    *    rows ≈ 800 KB at 10¹⁰ vectors.
+    *  2. FINE layer: within each coarse cell, kf = ⌈cells/kc⌉
+    *    spherical-Lloyd centroids trained in ONE distributed pass —
+    *    `mapGroups` per coarse cell over a bounded sample (expected
+    *    50·kf points/cell, hard-capped in-task), all cells in
+    *    parallel, nothing on the driver. The fine table is kc ROWS
+    *    (one centroid-ARRAY per coarse cell, ~kf·dim floats each);
+    *    its TOTAL size is the old single-level table, but it is only
+    *    ever equi-JOINED on `ccell` — never broadcast, never
+    *    exploded to (cell, centroid) rows.
+    *  3. Corpus assignment: `array_max` argmax-by-cosine over the
+    *    row's own coarse cell's centroid array — one narrow
+    *    expression after a salted join ([[SaltBuckets]]).
+    *  4. Query routing: top-`wc` coarse cells from the broadcast kc
+    *    table, then top-`nprobe` fine cells via an in-expression
+    *    `sort_array`+`slice` over the wc joined centroid arrays —
+    *    per query only wc·nprobe id rows ever materialize, so the
+    *    per-query routing cost is (kc + wc·kf) sims ≈ O(√cells),
+    *    down from O(cells).
+    *
+    * Cosine is used for BOTH corpus assignment and query routing
+    * (the single-level version mixed euclidean assignment with
+    * cosine routing; on unit-norm embeddings the orders coincide,
+    * and making them textually identical removes the mismatch class
+    * entirely). Candidate scoring and the final top-k window are
+    * unchanged — the candidate join shuffles on the (ccell, fcell)
+    * pair, cells stay ≈ targetCell by construction, so no skew.
     */
   def knnJoinAgainst(corpus: DataFrame, queries: DataFrame,
       k: Int = 5, nprobe: Int = 8, targetCell: Int = 1000)
@@ -360,38 +365,113 @@ object Ann {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val s = corpus.sparkSession
+    import s.implicits._
     val n = corpus.count()
     val cells = math.max(16, (n / targetCell).toInt)
+    val kc = math.max(4, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val kf = math.max(4, math.ceil(cells.toDouble / kc).toInt)
+    // wc coarse cells per query: enough that the nprobe fine cells
+    // are chosen from a superset of the best coarse regions. At the
+    // local floor (kc=4) this probes every coarse cell, so recall
+    // matches the single-level selection; at scale wc/kc vanishes.
+    val wc = math.max(2, math.min(kc, math.ceil(nprobe / 2.0).toInt))
     val withFv = corpus.withColumn("fv",
       array_to_vector(col("embedding")))
-    val trainCap = 250 * cells
-    val train =
-      if (n <= trainCap) withFv
+    val coarseCap = 250 * kc
+    val coarseTrain =
+      if (n <= coarseCap) withFv
       else withFv.sample(withReplacement = false,
-        trainCap.toDouble / n, 42L)
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
-    val assigned = model.transform(withFv)
-      .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("nv"), col("cell"))
+        coarseCap.toDouble / n, 42L)
+    val model = new KMeans().setK(kc).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("ccell").fit(coarseTrain)
+    val coarseCents: Array[Array[Float]] =
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // One-row broadcast table carrying all kc coarse centroids: both
+    // corpus assignment and query routing argmax over it in-expression.
+    val coarseDf = Seq(Tuple1(coarseCents.map(_.toSeq).toSeq))
+      .toDF("ccents")
+    def bestCoarse(vec: Column): Column =
+      array_max(transform(col("ccents"), (c, i) =>
+        struct(cosine_sim(vec, c).as("sim"), i.as("cell"))))("cell")
+    val coarseAssigned = corpus
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarseDf))
+      .select(col("vec_id"), col("embedding"),
+        bestCoarse(col("embedding")).as("ccell"))
+    // Fine quantizers: bounded per-cell sample, one mapGroups pass.
+    // 250 points per fine centroid — the same training density the
+    // flat quantizer used. Per-cell Lloyd cost is P·kf·dim·iters =
+    // O(kf²) — the quadratic is confined to ONE task per coarse
+    // cell, all kc cells in parallel; the √cells split balances it
+    // against the O(kc) per-query coarse probe.
+    val perCellCap = 250 * kf
+    val frac = math.min(1.0, perCellCap.toDouble * kc / math.max(n, 1L))
+    val fineTrain =
+      if (frac >= 1.0) coarseAssigned
+      else coarseAssigned.sample(withReplacement = false, frac, 43L)
+    val trained = fineTrain
+      .select(col("ccell"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (cc, it) =>
+        // hard in-task bound (sampling already bounds the EXPECTED
+        // size); id-sort for a deterministic Lloyd init
+        val pts = it.take(4 * perCellCap).toArray
+          .sortBy(_._2).map(_._3)
+        (cc, localLloyd(pts, kf, 10).map(_.toSeq).toSeq)
+      }
+      .toDF("ccell", "fcents")
       .localCheckpoint()
-    val centroids = s.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat)) }.toSeq)
-      .toDF("cell", "centroid")
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(desc("centroid_sim"), asc("cell"))
-    val probed = queries
+    // A coarse cell can lose every sampled point (tiny cells): back
+    // it with its own coarse centroid so corpus rows there survive
+    // the inner join. kc ids is a bounded, O(√cells) driver list.
+    val present = trained.select("ccell").as[Int].collect().toSet
+    val fineCents =
+      if (present.size == kc) trained
+      else trained.unionByName(
+        (0 until kc).filterNot(present)
+          .map(cc => (cc, Seq(coarseCents(cc).toSeq)))
+          .toDF("ccell", "fcents"))
+    val saltedFine = fineCents
+      .withColumn("salt",
+        explode(array((0 until SaltBuckets).map(lit): _*)))
+    def fineScores(vec: Column): Column =
+      transform(col("fcents"), (c, i) =>
+        struct(cosine_sim(vec, c).as("sim"), i.as("fcell")))
+    val assigned = coarseAssigned
+      .withColumn("salt", pmod(hash(col("vec_id")), lit(SaltBuckets)))
+      .join(saltedFine.hint("shuffle_hash"), Seq("ccell", "salt"))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("ccell"),
+        array_max(fineScores(col("embedding")))("fcell").as("fcell"))
+      .localCheckpoint()
+    // Query routing: top-wc coarse (broadcast), then top-nprobe fine
+    // across the wc joined centroid arrays — candidates never leave
+    // the expression layer until the final wc·nprobe id rows.
+    val coarseProbed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cell"),
-        cosine_sim(col("qv"), col("centroid")).as("centroid_sim"))
-      .withColumn("crn", row_number().over(probeW))
-      .filter(col("crn") <= nprobe)
-      .select("query_id", "qv", "cell")
+      .crossJoin(broadcast(coarseDf))
+      .select(col("query_id"), col("qv"),
+        explode(slice(sort_array(transform(col("ccents"), (c, i) =>
+          struct(cosine_sim(col("qv"), c).as("csim"), i.as("ccell"))),
+          asc = false), 1, wc)).as("cp"))
+      .select(col("query_id"), col("qv"), col("cp.ccell").as("ccell"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("psim"), asc("ccell"), asc("fcell"))
+    val probed = coarseProbed
+      .withColumn("salt", pmod(hash(col("query_id")), lit(SaltBuckets)))
+      .join(saltedFine.hint("shuffle_hash"), Seq("ccell", "salt"))
+      .select(col("query_id"), col("qv"), col("ccell"),
+        explode(slice(sort_array(fineScores(col("qv")), asc = false),
+          1, nprobe)).as("fp"))
+      .select(col("query_id"), col("qv"), col("ccell"),
+        col("fp.fcell").as("fcell"), col("fp.sim").as("psim"))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select("query_id", "qv", "ccell", "fcell")
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
-    probed.join(assigned, "cell")
+    probed.join(assigned, Seq("ccell", "fcell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine_sim(col("qv"), col("nv")).as("sim"))
@@ -399,6 +479,76 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** In-task spherical Lloyd for the fine quantizers: assign by
+    * cosine, update by mean, deterministic farthest-point init
+    * (greedy k-means++-style over the id-sorted sample — random
+    * init measurably cost recall on the flat quantizer, and matters
+    * more here where each cell fits few centroids), empty clusters
+    * keep their previous centroid. Bounded by construction — the
+    * caller caps the point set, and k·|points|·dim·iters flops per
+    * coarse cell run inside one executor task, all cells in
+    * parallel.
+    */
+  private[search] def localLloyd(points: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    if (points.isEmpty) return Array.empty
+    val kk = math.max(1, math.min(k, points.length))
+    val dim = points(0).length
+    // farthest-point init: start from point 0, each next center is
+    // the point least similar to its nearest chosen center
+    val minSim = Array.fill(points.length)(Double.PositiveInfinity)
+    val chosen = new Array[Int](kk)
+    chosen(0) = 0
+    var ci = 1
+    while (ci < kk) {
+      val last = points(chosen(ci - 1))
+      var p = 0
+      var worst = 0; var worstSim = Double.PositiveInfinity
+      while (p < points.length) {
+        val sim = cosineArr(points(p), last)
+        if (sim < minSim(p)) minSim(p) = sim
+        if (minSim(p) < worstSim) { worstSim = minSim(p); worst = p }
+        p += 1
+      }
+      chosen(ci) = worst
+      ci += 1
+    }
+    var cents = Array.tabulate(kk)(i => points(chosen(i)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Long](kk)
+      var p = 0
+      while (p < points.length) {
+        val v = points(p)
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          val sim = cosineArr(v, cents(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        val srow = sums(best)
+        var j = 0
+        while (j < dim) { srow(j) += v(j); j += 1 }
+        cnts(best) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (cnts(c) > 0) {
+          val nc = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { nc(j) = (sums(c)(j) / cnts(c)).toFloat; j += 1 }
+          cents(c) = nc
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** q127 — the kNN self-join over the embeddings table (top-5 per

@@ -235,6 +235,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q127: two-level IVF — coarse routing broadcasts a one-row " +
+      "table, fine routing shuffle-hashes on (ccell, salt)") {
+    val p = plan(search.Ann.knnJoinQ.fn(spark, sfSmall))
+    // coarse layer: the only broadcast is the kc=O(√cells) centroid
+    // table, attached as a one-row cross join (Cross Build)
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filter(l => l.contains("+-") || l.contains(":-")).toSeq
+    assert(bnlj.nonEmpty, "coarse routing lost its broadcast:\n" + p)
+    assert(bnlj.forall(_.contains("Cross Build")),
+      "non-scalar nested loop: " + bnlj.mkString("; ") + "\n" + p)
+    // fine layer: the centroid-array table joins by (ccell, salt) —
+    // pinned shuffle_hash so the plan can never degrade to
+    // broadcasting a table that grows as √cells·kf = cells
+    assert(p.contains("ShuffledHashJoin"),
+      "fine routing is not a shuffled hash join:\n" + p)
+    // join keys live in the detail section ("Left keys [2]: [ccell#…")
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("ccell")).toSeq
+    assert(keyLines.exists(_.contains("salt")),
+      "fine join keys are not (ccell, salt):\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q108: the bottom-k sample aggregate has a map-side partial phase") {
     val p = ml.Sampling.reservoirSample.fn(spark, sfTiny)
       .queryExecution.executedPlan.toString

@@ -27,15 +27,22 @@ object KCore {
   /** Nodes of the k-core of canonical edges (a, b), with each node's
     * degree INSIDE the core subgraph. Output: (node, core_deg).
     */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50,
+      verbose: Boolean = false): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-    var e = edges.select("a", "b").localCheckpoint()
+    // No up-front checkpoint: the caller hands a (checkpointed) edge
+    // set, and the first round's anti-join output is the first
+    // materialization — the old initial localCheckpoint duplicated
+    // the full edge set once per call (measured ~11 s at the 30×
+    // sweep point before any peeling started).
+    var e = edges.select("a", "b")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       val weak = degrees(e).filter(col("deg") < k).select("node")
         .localCheckpoint()
       if (weak.isEmpty) converged = true
@@ -43,6 +50,15 @@ object KCore {
         .join(weak.select(col("node").as("a")), Seq("a"), "left_anti")
         .join(weak.select(col("node").as("b")), Seq("b"), "left_anti")
         .localCheckpoint()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (verbose) {
+        // count jobs are instrumentation-only and OUTSIDE the wall
+        // (the default path's sole driver scalar stays isEmpty)
+        println(String.format(java.util.Locale.ROOT,
+          "KCORE round=%d weak=%d edges=%d wall=%.2fs",
+          Int.box(iter), Long.box(weak.count()), Long.box(e.count()),
+          Double.box(wall)))
+      }
       iter += 1
     }
     degrees(e).select(col("node"), col("deg").as("core_deg"))
@@ -76,7 +92,11 @@ object KCore {
     */
   val kCoreQ: QueryDef = QueryDef.rowsOnly("q126_kcore") { (s, d) =>
     val edges = Triangles.coPurchaseEdges(s, d).localCheckpoint()
-    kCore(edges, adaptiveK(edges)).orderBy("node")
+    // SPARK_GRAFT_KCORE_VERBOSE=1 prints per-round weak/edge counts
+    // and wall — the sweep's round-count instrumentation
+    kCore(edges, adaptiveK(edges),
+      verbose = sys.env.get("SPARK_GRAFT_KCORE_VERBOSE").contains("1"))
+      .orderBy("node")
   }
 
   val defs: Seq[QueryDef] = Seq(kCoreQ)

@@ -113,8 +113,13 @@ object Recommend {
     splitCache.computeIfAbsent((spark, dir), _ => {
       val Array(train, test) =
         aggRatings(spark, dir).randomSplit(Array(0.8, 0.2), seed = 42L)
-      train.cache().count(); test.cache().count()
-      (train, test)
+      // localCheckpoint, not cache: ALS fits iterate over `train`
+      // dozens of times, and a cache() keeps the randomSplit lineage
+      // alive — any evicted block re-runs the split (and the ratings
+      // agg above it) mid-fit. Checkpoint blocks spill to disk
+      // instead of recomputing, which is where q24's rep-to-rep
+      // variance came from.
+      (train.localCheckpoint(), test.localCheckpoint())
     })
   }
 

@@ -309,9 +309,27 @@ object Gates {
       ("q112_count_min", "underestimates", "<=", 0.0,
         (s, d) => ops.Analytics.countMin.fn(s, d)
           .filter(col("est") < col("exact")).count().toDouble),
-      ("q114_hll_rollup", "max_rollup_rel_err", "<=", 0.1,
-        (s, d) => ops.Analytics.hllRollup.fn(s, d)
-          .agg(max("rel_err")).head().getDouble(0)),
+      ("q114_hll_rollup", "rollup_and_approx_regime_violations", "<=", 0.0,
+        (s, d) => {
+          // (1) the rollup itself stays within 10% of exact on the
+          // real corpus. At sf0.01 cardinalities the sketch is in its
+          // exact regime, so (2) re-measures on a synthetic 2M-id
+          // stream where HLL genuinely approximates: the merged
+          // estimate must be off by MORE than zero (a zero error here
+          // would mean the gate was only ever exercising the exact
+          // regime) and within the 2% four-sigma bound for lgK=12.
+          val rollupErr = ops.Analytics.hllRollup.fn(s, d)
+            .agg(max("rel_err")).head().getDouble(0)
+          val big = s.range(2000000L)
+            .select(col("id"), pmod(col("id"), lit(4)).as("g"))
+          val est = big.groupBy("g")
+            .agg(hll_sketch_agg(col("id")).as("sk"))
+            .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+            .head().getLong(0)
+          val synthErr = math.abs(est - 2000000L) / 2000000.0
+          ((if (rollupErr <= 0.1) 0 else 1) +
+            (if (synthErr > 0.0 && synthErr <= 0.02) 0 else 1)).toDouble
+        }),
       ("q110_cluster_split", "straddle_and_fraction_violations", "<=", 0.0,
         (s, d) => {
           val out = ml.Sampling.clusterSplit.fn(s, d).cache()

@@ -171,25 +171,66 @@ object Sampling {
   }
 
   /** q110 — leakage-safe train/val/test split: assignment is by
-    * NEAR-DUP CLUSTER (q49's labels), not by document, so two
-    * near-duplicates can never straddle train and test — the
-    * eval-contamination failure mode a doc-level random split walks
-    * straight into on a crawl corpus. Split is the first md5 byte of
-    * the cluster id (≈ 80/10/10), deterministic and engine-free.
-    * Rows-only (cluster ids come from the LSH pipeline); the
-    * SPECGATES entry gates zero straddling clusters and the split
-    * fractions. Scale shape: q49's clustering plus one narrow hash
-    * derivation — no extra shuffle beyond the labeling itself.
+    * NEAR-DUP CLUSTER, not by document, so two near-duplicates can
+    * never straddle train and test — the eval-contamination failure
+    * mode a doc-level random split walks straight into on a crawl
+    * corpus. Clusters are connected components over the EXACT
+    * Jaccard ≥ 0.6 pair set ([[graft.dedup.SetSimJoin.allPairs]],
+    * q121's prefix-filtered join, on its 1-in-4 sample precedent);
+    * split is the first md5 byte of the cluster id (< 0xcd train,
+    * < 0xe6 val, else test ≈ 80/10/10), compared as a hex STRING so
+    * both engines decide identically with no base conversion.
+    *
+    * Fully oracle-checked — including the distributed CC labeling,
+    * which hash-matches a DuckDB `WITH RECURSIVE` min-label
+    * propagation (the strongest gate shape in the repo: a custom
+    * iterative operator with an ANSI oracle). The LSH labeling
+    * (q49) stays the approximate full-corpus path; this exact
+    * variant is the one a leakage audit wants, since a recall miss
+    * in LSH is precisely a leaked pair. Scale shape: q121's join
+    * (no cartesian), CC on the pair graph (contracts after one
+    * round), one narrow hash derivation.
     */
-  val clusterSplit: QueryDef = QueryDef.rowsOnly("q110_cluster_split") {
-    (s, d) =>
-      val b = conv(substring(md5(col("cluster_id").cast("string")), 1, 2),
-        16, 10).cast("int")
-      graft.dedup.Dedup.clusters.fn(s, d)
-        .select(col("doc_id"), col("cluster_id"))
-        .withColumn("split",
-          when(b < 205, "train").when(b < 230, "val").otherwise("test"))
-        .orderBy("doc_id")
+  val clusterSplit: QueryDef = QueryDef.sql(
+    "q110_cluster_split",
+    """WITH RECURSIVE t AS (SELECT doc_id,
+      |  list_distinct(string_split(text, ' ')) AS toks FROM documents
+      |  WHERE doc_id % 4 = 0),
+      | p AS (SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |   AND 5 * len(b.toks) >= 3 * len(a.toks)
+      |   AND 5 * len(a.toks) >= 3 * len(b.toks)
+      |   AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (len(a.toks) + len(b.toks)
+      |       - len(list_intersect(a.toks, b.toks))) >= 0.6),
+      | sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+      | r(node, lab) AS (
+      |  SELECT doc_id, doc_id FROM t
+      |  UNION
+      |  SELECT s.b, r.lab FROM r JOIN sym s ON r.node = s.a),
+      | lab AS (SELECT node AS doc_id, min(lab) AS cluster_id
+      |  FROM r GROUP BY node)
+      | SELECT doc_id, cluster_id,
+      |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2)
+      |        < 'cd' THEN 'train'
+      |       WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2)
+      |        < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      | FROM lab ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val sub = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+    val pairs = graft.dedup.SetSimJoin
+      .allPairs(sub, "doc_id", "text").select("doc_a", "doc_b")
+    val labels = graft.dedup.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val b = substring(md5(col("cluster_id").cast("string")), 1, 2)
+    sub.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(b < "cd", "train").when(b < "e6", "val").otherwise("test"))
+      .orderBy("doc_id")
   }
 
   val defs: Seq[QueryDef] =

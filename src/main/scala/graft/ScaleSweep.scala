@@ -90,12 +90,17 @@ object ScaleSweep {
     val tier = Seq("q49_dedup_clusters", "q60_decontaminate",
       "q62_curation_pipeline", "q81_pagerank", "q84_ann_pq",
       "q101_bm25_batch",
-      // round-5 heavy additions. q121 is deliberately absent: the
-      // replicated corpus's token-set dup density is adversarial
-      // (cross-replica salt fraction keeps same-base Jaccard ≈ 0.77
-      // > 0.6, so the TRUE pair count grows k² — measuring output
-      // volume, not the operator).
-      "q122_triangles", "q124_fuzzy_string_join", "q126_kcore")
+      // q121/q133/q110 are deliberately absent: the replicated
+      // corpus's token-set dup density is adversarial for EXACT
+      // Jaccard-0.6 operators (cross-replica salt fraction keeps
+      // same-base Jaccard ≈ 0.77 > 0.6 — and for q133's chunks the
+      // appended salts don't touch the identical leading 64-token
+      // windows at all — so the TRUE pair count grows k², measuring
+      // output volume, not the operator). The 0.9-threshold paths
+      // (q31/q49) are clean: 0.77 < 0.9 keeps cliques within a
+      // replica.
+      "q117_curation_v2", "q122_triangles", "q123_contamination_attrib",
+      "q124_fuzzy_string_join", "q126_kcore", "q127_knn_join")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

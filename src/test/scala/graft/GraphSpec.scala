@@ -112,6 +112,28 @@ class GraphSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L, 4L, 5L), got.toString)
   }
 
+  test("hub-and-ring skew graph: exact triangle counts, no wedge " +
+      "blowup at the hub") {
+    // one hub adjacent to n spokes; spokes form a cycle. A naive
+    // wedge enumeration emits C(n,2) pairs at the hub; the oriented
+    // plan emits O(n). Exact answers: n triangles, hub in all n,
+    // each spoke in exactly 2 (GraphSkewProbe runs the same graph at
+    // n = 10^6 for the sweep artifact).
+    val n = 2000
+    val spokes = (1 to n).map(i => (0L, i.toLong))
+    val ring = (1 until n).map(i => (i.toLong, i + 1L)) :+ (1L, n.toLong)
+    val stats = graph.Triangles.triangleStats(
+      (spokes ++ ring).toDF("a", "b")).cache()
+    assert(stats.filter(col("node") === 0)
+      .head().getLong(2) == n.toLong)
+    assert(stats.filter(col("node") =!= 0 && col("tri_cnt") =!= 2)
+      .count() == 0)
+    // spokes have degree 3 -> the whole graph is a 3-core
+    assert(graph.KCore.kCore(
+      (spokes ++ ring).toDF("a", "b"), 3).count() == n + 1L)
+    stats.unpersist()
+  }
+
   test("triangles: plan has no cartesian product") {
     import org.apache.spark.sql.execution.ExplainMode
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")

@@ -159,24 +159,25 @@ class BatchQueriesSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
-  test("q110 cluster split: every doc assigned, no cluster straddles") {
+  test("q110 cluster split: every sampled doc assigned, no cluster " +
+      "straddles, exact pairs co-split") {
     val out = ml.Sampling.clusterSplit.fn(spark, sfTiny).cache()
+    // the query runs on q121's 1-in-4 sample (exact setsim clusters)
     val docs = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 4 === 0)
     assert(out.count() == docs.count())
     assert(out.filter(!col("split").isin("train", "val", "test")).isEmpty)
     val straddle = out.groupBy("cluster_id")
       .agg(countDistinct("split").as("ns")).filter(col("ns") > 1)
     assert(straddle.isEmpty)
-    // near-dups (same cluster) land in the same split BY CONSTRUCTION;
-    // check the composition: doc split == its cluster keeper's split
-    val keepers = out.join(
-      dedup.Dedup.clusters.fn(spark, sfTiny).filter(col("is_keeper"))
-        .select(col("cluster_id"), col("doc_id").as("keeper_id")),
-      "cluster_id")
-    val keeperSplit = out.select(col("doc_id").as("keeper_id"),
-      col("split").as("keeper_split"))
-    assert(keepers.join(keeperSplit, "keeper_id")
-      .filter(col("split") =!= col("keeper_split")).isEmpty)
+    // leakage property stated directly: every exact Jaccard>=0.6 pair
+    // lands in ONE split (the clusters are CC over exactly these
+    // pairs, so this must hold by construction)
+    val pairs = dedup.SetSimJoin.allPairs(docs, "doc_id", "text")
+    val s1 = out.select(col("doc_id").as("doc_a"), col("split").as("sa"))
+    val s2 = out.select(col("doc_id").as("doc_b"), col("split").as("sb"))
+    assert(pairs.join(s1, "doc_a").join(s2, "doc_b")
+      .filter(col("sa") =!= col("sb")).isEmpty)
   }
 
   test("q111 word entropy: bounded by log2(distinct), exact on a " +

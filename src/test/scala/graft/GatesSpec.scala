@@ -12,10 +12,15 @@ class GatesSpec extends SparkSpec {
   private val noOracle =
     SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).toSet
 
-  test("gate registry covers exactly the no_oracle queries") {
-    assert(Gates.names.toSet == noOracle,
-      s"missing=${noOracle -- Gates.names.toSet} " +
-        s"extra=${Gates.names.toSet -- noOracle}")
+  test("gate registry covers every no_oracle query") {
+    // every no_oracle query MUST have a gate; a gate MAY additionally
+    // back an oracle-checked query (q110: the hash check plus the
+    // semantic leakage gate is the strongest combination)
+    val oracleBacked = Set("q110_cluster_split")
+    assert((noOracle -- Gates.names.toSet).isEmpty,
+      s"missing=${noOracle -- Gates.names.toSet}")
+    assert((Gates.names.toSet -- noOracle -- oracleBacked).isEmpty,
+      s"extra=${Gates.names.toSet -- noOracle -- oracleBacked}")
     assert(Gates.names.distinct.size == Gates.names.size,
       "one gate entry per query")
     // a gate against a nonexistent dir degrades to NaN/fail instead

@@ -163,21 +163,38 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: bottom-4 sketch of word-trigram shingle
-    * hashes (order-invariant, locally-sensitive rolling-hash family —
-    * Broder's sketching), collapsed to one 64-bit value. Equal
-    * fingerprints ⇒ near-identical shingle sets.
+    * hashes (order-invariant — Broder's sketching), collapsed to one
+    * value. Equal fingerprints ⇒ near-identical shingle sets.
+    *
+    * The shingle hash is md5, not xxhash64: md5 is the one hash both
+    * engines implement bit-identically, which upgrades this query
+    * from rows-only to fully hash-checked — bottom-4 selection works
+    * on the hex STRINGS (fixed-length lowercase hex sorts in numeric
+    * order, so no base conversion is needed anywhere). At 100 TB the
+    * swap back to the codegen'd xxhash64 kernel is a one-line change
+    * (same shape, ~3× cheaper per shingle); the md5 spelling is the
+    * cross-engine-verifiable reference.
     */
-  val fingerprint: QueryDef = QueryDef.rowsOnly("q42_fingerprint") { (s, d) =>
+  val fingerprint: QueryDef = QueryDef.sql(
+    "q42_fingerprint",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      | sh AS (SELECT doc_id, list_distinct(
+      |   [array_to_string(toks[i:i+2], ' ')
+      |    for i in generate_series(1, greatest(len(toks)-2, 1))]) AS shs
+      |  FROM t),
+      | hs AS (SELECT doc_id, list_sort([md5(x) for x in shs]) AS hh
+      |  FROM sh)
+      | SELECT doc_id, md5(array_to_string(hh[1:4], ',')) AS fingerprint,
+      |  array_to_string(hh[1:4], ',') AS sketch
+      | FROM hs ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
     val hashes = array_sort(
-      transform(shingles(col("text"), 3), sh => xxhash64(sh)))
+      transform(shingles(col("text"), 3), sh => md5(sh)))
     Tables.documents(s, d).select(
       col("doc_id"),
-      xxhash64(concat_ws(",",
-        transform(slice(hashes, 1, 4), h => h.cast("string"))))
-        .as("fingerprint"),
-      // stringified for the flat-result check (sortable scalar)
-      concat_ws(",", transform(slice(hashes, 1, 4), h => h.cast("string")))
-        .as("sketch"))
+      md5(concat_ws(",", slice(hashes, 1, 4))).as("fingerprint"),
+      concat_ws(",", slice(hashes, 1, 4)).as("sketch"))
       .orderBy("doc_id")
   }
 

@@ -161,9 +161,21 @@ object Gates {
           search.Ann.lshTopK.fn(s, d))),
       ("q42_fingerprint", "coverage_and_dup_collision_violations", "<=", 0.0,
         (s, d) => fingerprintWithDocs(s, d)),
-      ("q45_approx_distinct", "max_hll_rel_err", "<=", 0.1,
-        (s, d) => ops.Analytics.approxDistinct.fn(s, d)
-          .agg(max("rel_err")).head().getDouble(0)),
+      ("q45_approx_distinct", "hll_err_and_approx_regime_violations",
+        "<=", 0.0,
+        (s, d) => {
+          // same two-regime shape as q114: (1) within 10% on the
+          // real corpus; (2) on a synthetic 2M-id stream the HLL++
+          // estimate must be genuinely approximate (err in (0, 10%])
+          // so the gate can't be satisfied by exact-regime smallness
+          val realErr = ops.Analytics.approxDistinct.fn(s, d)
+            .agg(max("rel_err")).head().getDouble(0)
+          val est = s.range(2000000L)
+            .agg(approx_count_distinct(col("id"))).head().getLong(0)
+          val synthErr = math.abs(est - 2000000L) / 2000000.0
+          ((if (realErr <= 0.1) 0 else 1) +
+            (if (synthErr > 0.0 && synthErr <= 0.1) 0 else 1)).toDouble
+        }),
       ("q48_ann_ivf", "recall_at_5_vs_exact", ">=", 0.8,
         (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Ann.ivfTopK.fn(s, d))),

@@ -390,6 +390,30 @@ object Ann {
       _ => buildIvfIndex(corpus))
   }
 
+  /** Persist a built index as three parquet tables — the standing-
+    * index lifecycle: index on the maintenance schedule, serve
+    * lookups from any later session. The assigned corpus is
+    * partitioned by `ccell`, so a loaded index's candidate join is
+    * eligible for dynamic partition pruning — the probed side is a
+    * handful of cells, so the scan can skip every unprobed cell's
+    * files, which a freshly-built in-memory index cannot do.
+    */
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.coarseDf.write.mode("overwrite").parquet(s"$dir/coarse")
+    index.saltedFine.write.mode("overwrite").parquet(s"$dir/fine")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("ccell").parquet(s"$dir/assigned")
+  }
+
+  def loadIvfIndex(s: SparkSession, dir: String): IvfIndex = {
+    val fine = s.read.parquet(s"$dir/fine")
+    IvfIndex(
+      kc = fine.select("ccell").distinct().count().toInt,
+      coarseDf = s.read.parquet(s"$dir/coarse"),
+      saltedFine = fine,
+      assigned = s.read.parquet(s"$dir/assigned"))
+  }
+
   def buildIvfIndex(corpus: DataFrame, targetCell: Int = 1000)
       : IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans

@@ -54,6 +54,20 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, s"incremental kNN recall@5 = $r")
   }
 
+  test("IVF index save/load round-trip serves identical results") {
+    val emb = Tables.embeddings(spark, sfSmall)
+    val queries = emb.filter(col("vec_id") < 10)
+    val built = search.Ann.buildIvfIndex(emb)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString + "/idx"
+    search.Ann.saveIvfIndex(built, dir)
+    val loaded = search.Ann.loadIvfIndex(spark, dir)
+    assert(loaded.kc == built.kc)
+    val a = search.Ann.knnQuery(built, queries).orderBy("query_id", "rank")
+    val b = search.Ann.knnQuery(loaded, queries).orderBy("query_id", "rank")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("q82 sign projection: unbiased cosine estimates within JL error") {
     // (1/k)·<Px,Py> is an unbiased estimator of <x,y> for ±1 sign
     // matrices (Achlioptas 2003); with k=16 the per-pair noise is

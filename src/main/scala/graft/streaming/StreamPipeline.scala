@@ -245,6 +245,49 @@ object StreamPipeline {
     * `buckets` must stay constant for a table's lifetime (it defines
     * the layout); readers see the extra `__bucket` partition column.
     */
+  /** Validate a caller's bucket count against a table's stored
+    * layout: the `_graft_buckets` sidecar when present, else the
+    * weaker max-stored-dir bound (catches too-small, not too-large —
+    * tables predating the sidecar). Either mismatch direction is
+    * silent key duplication, so fail fast.
+    */
+  private def validateBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, dir: String, buckets: Int,
+      exists: Boolean): Int = {
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "_graft_buckets")
+    if (!exists) buckets
+    else if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt finally in.close()
+      require(stored == buckets,
+        s"bucketed table $dir: bucket count $buckets does not match " +
+          s"the stored layout ($stored buckets); pass the bucket " +
+          "count the table was created with")
+      stored
+    } else {
+      val maxSeen = fs.listStatus(path).map(_.getPath.getName)
+        .filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toInt).max
+      require(maxSeen < buckets,
+        s"bucketed table $dir: bucket count $buckets is inconsistent " +
+          s"with the stored layout (saw __bucket=$maxSeen); pass the " +
+          "bucket count the table was created with")
+      buckets
+    }
+  }
+
+  /** Write the bucket-count sidecar if absent (idempotent). */
+  private def writeBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, buckets: Int): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "_graft_buckets")
+    if (!fs.exists(metaPath)) {
+      val out = fs.create(metaPath, true)
+      try out.write(s"$buckets\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   def upsertByKeyPartitioned(updates: DataFrame, key: String, dir: String,
       buckets: Int = 64, orderCol: Option[String] = None): Unit = {
     val spark = updates.sparkSession
@@ -254,11 +297,12 @@ object StreamPipeline {
     if (updates.isEmpty) return
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = onePerKey(updates, key, orderCol)
-      .withColumn("__bucket", pmod(hash(col(key)), lit(buckets)))
     // "exists" means data partitions exist, not just write markers
     val exists = fs.exists(path) &&
       fs.listStatus(path).exists(_.getPath.getName.startsWith("__bucket="))
+    val effectiveBuckets = validateBuckets(fs, path, dir, buckets, exists)
+    val staged = onePerKey(updates, key, orderCol)
+      .withColumn("__bucket", pmod(hash(col(key)), lit(effectiveBuckets)))
     val merged =
       if (!exists) staged
       else {
@@ -284,6 +328,7 @@ object StreamPipeline {
     pinned.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(dir)
+    writeBucketMeta(fs, dir, effectiveBuckets)
   }
 
   /** MERGE INTO over the same bucket-partitioned parquet layout as
@@ -325,30 +370,8 @@ object StreamPipeline {
     // partition read misses a key's current row and silently writes a
     // duplicate under a second bucket. The count is persisted in a
     // `_graft_buckets` sidecar at create time and validated on every
-    // later merge; tables predating the sidecar fall back to the
-    // weaker stored-dir bound (catches too-small, not too-large).
-    val metaPath = new org.apache.hadoop.fs.Path(dir, "_graft_buckets")
-    val effectiveBuckets =
-      if (!exists) buckets
-      else if (fs.exists(metaPath)) {
-        val in = fs.open(metaPath)
-        val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toInt finally in.close()
-        require(stored == buckets,
-          s"mergeInto($dir): bucket count $buckets does not match the " +
-            s"stored layout ($stored buckets); pass the bucket count " +
-            "the table was created with")
-        stored
-      } else {
-        val maxSeen = fs.listStatus(path).map(_.getPath.getName)
-          .filter(_.startsWith("__bucket="))
-          .map(_.stripPrefix("__bucket=").toInt).max
-        require(maxSeen < buckets,
-          s"mergeInto($dir): bucket count $buckets is inconsistent with " +
-            s"the stored layout (saw __bucket=$maxSeen); pass the bucket " +
-            "count the table was created with")
-        buckets
-      }
+    // later write ([[validateBuckets]]).
+    val effectiveBuckets = validateBuckets(fs, path, dir, buckets, exists)
     val staged = onePerKey(source, key, orderCol)
       .withColumn("__bucket", pmod(hash(col(key)), lit(effectiveBuckets)))
     var touched: Seq[Int] = Seq.empty
@@ -389,11 +412,7 @@ object StreamPipeline {
     pinned.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(dir)
-    if (!fs.exists(metaPath)) {
-      val out = fs.create(metaPath, true)
-      try out.write(s"$effectiveBuckets\n".getBytes("UTF-8"))
-      finally out.close()
-    }
+    writeBucketMeta(fs, dir, effectiveBuckets)
     // dynamic overwrite only replaces partitions PRESENT in the
     // write: a touched bucket whose rows were all deleted emits no
     // rows, so its stale files would silently survive (row

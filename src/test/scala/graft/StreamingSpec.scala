@@ -376,6 +376,25 @@ class StreamingSpec extends SparkSpec {
     assert(empty)
   }
 
+  test("upsertByKeyPartitioned shares the sidecar bucket validation") {
+    val dir = Files.createTempDirectory("graft_upsert_bkt").toString + "/t"
+    StreamPipeline.upsertByKeyPartitioned(
+      Seq((1L, "a")).toDF("k", "v"), "k", dir, buckets = 8)
+    intercept[IllegalArgumentException] {
+      StreamPipeline.upsertByKeyPartitioned(
+        Seq((2L, "b")).toDF("k", "v"), "k", dir, buckets = 16)
+    }
+    // mergeInto on an upsert-created table validates against the
+    // same sidecar (one layout contract across both writers)
+    intercept[IllegalArgumentException] {
+      StreamPipeline.mergeInto(Seq((2L, "b")).toDF("k", "v"), "k", dir,
+        buckets = 4)
+    }
+    StreamPipeline.upsertByKeyPartitioned(
+      Seq((2L, "b")).toDF("k", "v"), "k", dir, buckets = 8)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("mergeInto rejects a bucket count inconsistent with the " +
       "stored layout") {
     val dir = Files.createTempDirectory("graft_merge_bkt").toString + "/t"

@@ -112,11 +112,11 @@ object Curation {
     * composition end-to-end, like q62.
     *
     * Scale shape: normalization and the quality gate are narrow; the
-    * dedup hash-agg and the per-source rank window are the only
-    * corpus shuffles; cap arithmetic runs on the source-cardinality
-    * aggregate (broadcast). Sources are numerous and balanced here —
-    * the q69/q107 two-phase prefix sum is the swap-in if one source
-    * ever dominates a reducer.
+    * dedup hash-agg and the ranking are the only corpus shuffles;
+    * cap arithmetic runs on the source-cardinality aggregate
+    * (broadcast). Ranking uses the q69/q107 two-phase bucket prefix
+    * sum, so no reducer ever sees a whole source's rows — a dominant
+    * source costs the same as a balanced one.
     */
   val pipelineV2: QueryDef = QueryDef.sql(
     "q117_curation_v2",
@@ -165,9 +165,23 @@ object Curation {
         // oracle side keeps both engines exact and identical.
         least(expr("CAST(total div 2 AS DECIMAL(38,0)) * qv div qsum"),
           col("cn")).as("cap"))
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    ded.withColumn("rk", row_number().over(w))
+    // q107's two-phase ranking (not a plain per-source window, which
+    // funnels each source through ONE reducer): 256 md5 buckets rank
+    // in parallel, and only the (source, bucket) offset table rides
+    // a window — same total order, same rk, hash-identical output.
+    val hashed = ded
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val wIntra = Window.partitionBy("source", "bkt")
+      .orderBy(col("h"), col("doc_id"))
+    val intra = hashed.withColumn("irk", row_number().over(wIntra))
+    val wOff = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hashed.groupBy("source", "bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("source", "bkt", "off")
+    intra.join(broadcast(offs), Seq("source", "bkt"))
+      .withColumn("rk", col("off") + col("irk"))
       .join(broadcast(caps), "source")
       .filter(col("rk") <= col("cap"))
       .groupBy("source")

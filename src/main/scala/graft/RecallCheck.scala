@@ -31,6 +31,7 @@ object RecallCheck {
       val exact = search.Ann.bruteForce.fn(spark, d)
       val r36 = annRecall(exact, search.Ann.lshTopK.fn(spark, d))
       val r48 = annRecall(exact, search.Ann.ivfTopK.fn(spark, d))
+      val r84 = annRecall(exact, search.Pq.pqTopK.fn(spark, d))
       val r127 = annRecall(search.Ann.exactTopK(emb, 50),
         search.Ann.knnJoinQ.fn(spark, d).filter(col("query_id") < 50))
       val corpus = emb.filter(col("vec_id") % 10 =!= 0)
@@ -40,9 +41,9 @@ object RecallCheck {
         search.Ann.knnIncrementalQ.fn(spark, d)
           .filter(col("query_id") < 500))
       println(String.format(java.util.Locale.ROOT,
-        "RECALL %s q36=%.3f q48=%.3f q127=%.3f q134=%.3f",
-        d, Double.box(r36), Double.box(r48), Double.box(r127),
-        Double.box(r134)))
+        "RECALL %s q36=%.3f q48=%.3f q84=%.3f q127=%.3f q134=%.3f",
+        d, Double.box(r36), Double.box(r48), Double.box(r84),
+        Double.box(r127), Double.box(r134)))
     }
     spark.stop()
   }

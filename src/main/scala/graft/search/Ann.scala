@@ -196,6 +196,16 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** splitmix64 finalizer — an unbiased, order-free sampling key for
+    * the bounded per-cell training cap (Long.hashCode barely mixes).
+    */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
   /** Plain-Scala cosine used inside per-cluster greedy scans (the
     * columnar codegen'd twin is [[graft.functions.CosineSimilarity]]).
     */
@@ -464,9 +474,21 @@ object Ann {
       .groupByKey(_._1)
       .mapGroups { (cc, it) =>
         // hard in-task bound (sampling already bounds the EXPECTED
-        // size); id-sort for a deterministic Lloyd init
-        val pts = it.take(4 * perCellCap).toArray
-          .sortBy(_._2).map(_._3)
+        // size), made DETERMINISTIC: keep the rows with the lowest
+        // mixed-hash(vec_id) via a bounded max-heap, so the trained
+        // subset — and therefore the fine centroids and save/load
+        // reproducibility — is independent of partitioning/task
+        // order (a plain `it.take(cap)` was not). id-sort the
+        // survivors for a deterministic Lloyd init.
+        val cap = 4 * perCellCap
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Long, Long, Array[Float])](
+            Ordering.by(t => (t._1, t._2)))
+        it.foreach { case (_, id, v) =>
+          heap.enqueue((mix64(id), id, v))
+          if (heap.size > cap) heap.dequeue()
+        }
+        val pts = heap.toArray.sortBy(_._2).map(_._3)
         (cc, localLloyd(pts, kf, 10).map(_.toSeq).toSeq)
       }
       .toDF("ccell", "fcents")
@@ -499,11 +521,15 @@ object Ann {
     transform(col("fcents"), (c, i) =>
       struct(cosine_sim(vec, c).as("sim"), i.as("fcell")))
 
-  /** Route `queries` through a built [[IvfIndex]] and return top-k
-    * neighbors per query — the lookup half of the operator.
+  /** The routing half of [[knnQuery]]: the (query_id, qv, ccell,
+    * fcell) probe set for `queries` against a built index — top-wc
+    * coarse cells from the broadcast kc table, then top-nprobe fine
+    * cells across the wc joined centroid arrays. Exposed so scoring
+    * variants (exact cosine in [[knnQuery]], ADC in
+    * [[Pq.ivfPqTopK]]) share one routing implementation.
     */
-  def knnQuery(index: IvfIndex, queries: DataFrame, k: Int = 5,
-      nprobe: Int = 8): DataFrame = {
+  private[search] def routeQueries(index: IvfIndex,
+      queries: DataFrame, nprobe: Int): DataFrame = {
     // wc coarse cells per query: enough that the nprobe fine cells
     // are chosen from a superset of the best coarse regions. At the
     // local floor (kc=4) this probes every coarse cell, so recall
@@ -523,7 +549,7 @@ object Ann {
       .select(col("query_id"), col("qv"), col("cp.ccell").as("ccell"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(desc("psim"), asc("ccell"), asc("fcell"))
-    val probed = coarseProbed
+    coarseProbed
       .withColumn("salt", pmod(hash(col("query_id")), lit(SaltBuckets)))
       .join(index.saltedFine.hint("shuffle_hash"), Seq("ccell", "salt"))
       .select(col("query_id"), col("qv"), col("ccell"),
@@ -534,6 +560,14 @@ object Ann {
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
       .select("query_id", "qv", "ccell", "fcell")
+  }
+
+  /** Route `queries` through a built [[IvfIndex]] and return top-k
+    * neighbors per query — the lookup half of the operator.
+    */
+  def knnQuery(index: IvfIndex, queries: DataFrame, k: Int = 5,
+      nprobe: Int = 8): DataFrame = {
+    val probed = routeQueries(index, queries, nprobe)
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
     probed.join(index.assigned, Seq("ccell", "fcell"))
@@ -562,22 +596,31 @@ object Ann {
     val kk = math.max(1, math.min(k, points.length))
     val dim = points(0).length
     // farthest-point init: start from point 0, each next center is
-    // the point least similar to its nearest chosen center
-    val minSim = Array.fill(points.length)(Double.PositiveInfinity)
+    // the point least similar to its NEAREST (max-sim) chosen center,
+    // and already-chosen points are excluded — tracking min-sim over
+    // all centers (the earlier bug) let scan order re-select a chosen
+    // point once two centers tied, yielding duplicate centers and
+    // effectively fewer than kk centroids.
+    val nearSim = Array.fill(points.length)(Double.NegativeInfinity)
+    val taken = new Array[Boolean](points.length)
     val chosen = new Array[Int](kk)
     chosen(0) = 0
+    taken(0) = true
     var ci = 1
     while (ci < kk) {
       val last = points(chosen(ci - 1))
       var p = 0
-      var worst = 0; var worstSim = Double.PositiveInfinity
+      var worst = -1; var worstSim = Double.PositiveInfinity
       while (p < points.length) {
         val sim = cosineArr(points(p), last)
-        if (sim < minSim(p)) minSim(p) = sim
-        if (minSim(p) < worstSim) { worstSim = minSim(p); worst = p }
+        if (sim > nearSim(p)) nearSim(p) = sim
+        if (!taken(p) && nearSim(p) < worstSim) {
+          worstSim = nearSim(p); worst = p
+        }
         p += 1
       }
       chosen(ci) = worst
+      taken(worst) = true
       ci += 1
     }
     var cents = Array.tabulate(kk)(i => points(chosen(i)).clone())

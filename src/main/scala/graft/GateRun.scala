@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-loop gate runner: re-measure a subset of the SPECGATES
+  * entries (all of them with no second arg) without the full Verify
+  * dump — `runMain graft.GateRun /root/testdata/sf0.01 q20,q127`.
+  * Prints the same JSON rows Verify would write, to stdout.
+  */
+object GateRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val only: Set[String] =
+      if (args.length > 1)
+        Gates.names.filter(n => args(1).split(",")
+          .exists(t => n == t || n.startsWith(t + "_"))).toSet
+      else Set.empty
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(Gates.toJson(Gates.all(spark, sfDir, only)))
+    spark.stop()
+  }
+}

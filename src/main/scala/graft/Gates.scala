@@ -308,6 +308,9 @@ object Gates {
       ("q84_ann_pq", "recall_at_5_vs_exact", ">=", 0.8,
         (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Pq.pqTopK.fn(s, d))),
+      ("q136_ann_ivfpq", "recall_at_5_vs_exact", ">=", 0.8,
+        (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
+          search.Pq.ivfPqTopK.fn(s, d))),
       ("q119_dim_recall", "curve_violations", "<=", 0.0,
         (s, d) => {
           // full-dim rung must reproduce the exact top-k verbatim

@@ -89,6 +89,7 @@ object ScaleSweep {
       only.forall(_.exists(t => name == t || name.startsWith(t + "_")))
     val tier = Seq("q49_dedup_clusters", "q60_decontaminate",
       "q62_curation_pipeline", "q81_pagerank", "q84_ann_pq",
+      "q136_ann_ivfpq",
       "q101_bm25_batch",
       // q121/q133/q110 are deliberately absent: the replicated
       // corpus's token-set dup density is adversarial for EXACT

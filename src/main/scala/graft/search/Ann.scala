@@ -310,9 +310,17 @@ object Ann {
     * is TWO-LEVEL (see [[knnJoinAgainst]]) so no routing structure
     * ever outgrows O(√cells). Recall@k vs the exact scan is
     * gate-measured on a query sample (boundary-straddling pairs are
-    * the loss, same as q48/q73).
+    * the loss, same as q48/q73). nprobe defaults to 10 here (vs the
+    * fixed-workload q48's 8): the self-join's member queries sit at
+    * cell boundaries as often as their neighbors do, and the probe
+    * fraction shrinks as cells grow with n — measured recall@5 at
+    * sf0.1 (56 cells) is 0.788 at nprobe=8 vs 0.876 at 10, for +25%
+    * candidate volume. A wider coarse beam (wc = nprobe instead of
+    * nprobe/2) was A/B-measured at the same scale and bought nothing
+    * on any gate — the fine-probe budget, not coarse routing, is the
+    * recall limiter on this corpus.
     */
-  def knnJoin(emb: DataFrame, k: Int = 5, nprobe: Int = 8,
+  def knnJoin(emb: DataFrame, k: Int = 5, nprobe: Int = 10,
       targetCell: Int = 1000): DataFrame =
     knnJoinAgainst(emb, emb, k, nprobe, targetCell)
 

@@ -121,16 +121,15 @@ object Pq {
     })
   }
 
-  /** q84 — PQ ANN top-k: ADC shortlist over the code table, exact
-    * cosine re-rank. Rows-only (k-means codebooks are engine-
-    * specific); RecallSpec carries the measured gate.
+  /** Query LUT table (query_id, lut0..lut{M-1}) — index metadata
+    * (M × Codebook inner products per query, a few hundred doubles),
+    * built from the collected query vectors like IVF builds its probe
+    * list from clusterCenters. The collect is bounded: NumQueries
+    * rows. Shared by the flat-ADC scan (q84) and the IVF-routed ADC
+    * (q136).
     */
-  val pqTopK: QueryDef = QueryDef.rowsOnly("q84_ann_pq") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val (codes, books) = indexFor(s, d)
-    // Query LUTs are index metadata (M × Codebook inner products per
-    // query — a few hundred doubles), built from the collected query
-    // vectors like IVF builds its probe list from clusterCenters.
+  private def lutTable(s: SparkSession, emb: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
     val qRows = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -146,10 +145,26 @@ object Pq {
         tables(4), tables(5), tables(6), tables(7))
     }.toSeq
     import s.implicits._
-    val queries = luts.toDF("query_id", "lut0", "lut1", "lut2", "lut3",
+    luts.toDF("query_id", "lut0", "lut1", "lut2", "lut3",
       "lut4", "lut5", "lut6", "lut7")
-    val adc = (0 until M).map(m =>
+  }
+
+  /** The ADC score of a code row against the joined query's LUTs:
+    * M array lookups + M−1 adds, pure codegen arithmetic.
+    */
+  private def adcExpr: Column =
+    (0 until M).map(m =>
       element_at(col(s"lut$m"), col(s"code$m") + 1)).reduceLeft(_ + _)
+
+  /** q84 — PQ ANN top-k: ADC shortlist over the code table, exact
+    * cosine re-rank. Rows-only (k-means codebooks are engine-
+    * specific); RecallSpec carries the measured gate.
+    */
+  val pqTopK: QueryDef = QueryDef.rowsOnly("q84_ann_pq") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val (codes, books) = indexFor(s, d)
+    val queries = lutTable(s, emb, books)
+    val adc = adcExpr
     val shortW = Window.partitionBy("query_id")
       .orderBy(desc("adc_sim"), asc("neighbor_id"))
     val short = broadcast(queries).crossJoin(codes)
@@ -176,5 +191,90 @@ object Pq {
       .orderBy("query_id", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(pqTopK)
+  // Composed IVF·PQ index — the cell-resident code table: the
+  // two-level IVF's (ccell, fcell) assignment with each vector's PQ
+  // codes in place of its raw floats. ~9 bytes/vector of scan-side
+  // state, equi-joinable on the probe keys. Cached per (session, dir)
+  // like its two constituents (both of which it reuses, so a warm
+  // session pays one equi join, not a re-train).
+  private val composedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** The IVF-assigned corpus joined with its PQ codes:
+    * (neighbor_id, ccell, fcell, code0..code{M-1}).
+    */
+  def ivfPqCellCodes(s: SparkSession, d: String): DataFrame = {
+    graft.Scale.purgeStopped(composedCache)
+    composedCache.computeIfAbsent((s, d), _ => {
+      val emb = Tables.embeddings(s, d)
+      val index = Ann.cachedIndex(s, d, "full", emb)
+      val (codes, _) = indexFor(s, d)
+      val cc = index.assigned.select("neighbor_id", "ccell", "fcell")
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+          "neighbor_id")
+        .cache()
+      cc.count()
+      cc
+    })
+  }
+
+  /** q136 — the IVF·PQ composition (the IVFADC of Jégou et al. §IV):
+    * route each query through the two-level IVF to its nprobe fine
+    * cells, ADC-scan ONLY the code rows of probed cells, then re-rank
+    * the shortlist exactly. This removes flat PQ's
+    * scan-the-corpus-per-query shape: cell size is ~targetCell BY
+    * CONSTRUCTION (cell count grows with n), so the per-query ADC
+    * population is nprobe·targetCell — CONSTANT in corpus size — and
+    * the only n-dependent per-query cost left is the IVF routing's
+    * O(√cells) sims. That constancy also retires q84's
+    * shortlist-starvation problem: a fixed shortlist fraction of a
+    * fixed candidate population holds recall at any n, where flat
+    * ADC needed [[shortlistFor]] to chase the growing corpus.
+    *
+    * Plan shape: probe set (Q·nprobe rows) and LUT table (Q rows)
+    * broadcast; the cell-code table is hash-joined on (ccell, fcell)
+    * — with a ccell-partitioned persisted composed index this is the
+    * same partition-pruning-eligible scan as the loaded IVF index.
+    * Rows-only; RecallSpec gates recall@5 ≥ 0.8 vs the exact scan.
+    */
+  val ivfPqTopK: QueryDef = QueryDef.rowsOnly("q136_ann_ivfpq") { (s, d) =>
+    val nprobe = 8
+    val emb = Tables.embeddings(s, d)
+    val index = Ann.cachedIndex(s, d, "full", emb)
+    val (_, books) = indexFor(s, d)
+    val cellCodes = ivfPqCellCodes(s, d)
+    val luts = lutTable(s, emb, books)
+    val probed = Ann.routeQueries(index,
+        emb.filter(col("vec_id") < NumQueries), nprobe)
+      .select("query_id", "ccell", "fcell")
+    // Shortlist: a fixed fraction of the (constant) probed
+    // population, floored so tiny local corpora still re-rank enough.
+    val shortlist = math.max(64, nprobe * 1000 / 8)
+    val shortW = Window.partitionBy("query_id")
+      .orderBy(desc("adc_sim"), asc("neighbor_id"))
+    val short = cellCodes.join(broadcast(probed), Seq("ccell", "fcell"))
+      .join(broadcast(luts), "query_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc_sim"))
+      .withColumn("srn", row_number().over(shortW))
+      .filter(col("srn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val qv = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    short.join(broadcast(qv), "query_id").join(corpus, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.cosine_sim(col("qv"),
+          col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pqTopK, ivfPqTopK)
 }

@@ -95,6 +95,11 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, s"PQ recall@5 = $r")
   }
 
+  test("q136 IVF-PQ ANN: recall@5 >= 0.8 vs exact top-k") {
+    val r = recallVsExact(search.Pq.ivfPqTopK.fn(spark, sfSmall))
+    assert(r >= 0.8, s"IVF-PQ recall@5 = $r")
+  }
+
   test("q119 dim ablation: full-dim recall is exactly 1, truncation " +
       "degrades gracefully") {
     val rows = search.Ann.dimRecall.fn(spark, sfSmall).collect()

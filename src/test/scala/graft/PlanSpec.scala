@@ -259,6 +259,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("loaded IVF index: the candidate join prunes assigned/ cell " +
+      "partitions dynamically") {
+    // The save-side contract is `partitionBy("ccell")`; the load-side
+    // payoff is that a knnQuery's candidate join reads only probed
+    // cells' files. Pin the mechanism: the assigned/ parquet scan must
+    // carry a dynamic partition-pruning filter on ccell, so at scale
+    // (cells = n/1000 directories) each query batch touches
+    // O(wc·nprobe) cell directories, not all of them.
+    val emb = Tables.embeddings(spark, sfSmall)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_dpp").toString + "/idx"
+    search.Ann.saveIvfIndex(search.Ann.buildIvfIndex(emb), dir)
+    val loaded = search.Ann.loadIvfIndex(spark, dir)
+    val q = search.Ann.knnQuery(loaded, emb.filter(col("vec_id") < 10))
+    val p = plan(q)
+    val scanSection = p.linesIterator
+      .dropWhile(!_.contains(s"$dir/assigned")).take(8).mkString("\n")
+    assert(scanSection.nonEmpty, "no assigned/ file scan in plan:\n" + p)
+    assert(p.contains("dynamicpruning"),
+      "assigned/ scan carries no dynamic partition-pruning filter:\n" + p)
+  }
+
   test("q108: the bottom-k sample aggregate has a map-side partial phase") {
     val p = ml.Sampling.reservoirSample.fn(spark, sfTiny)
       .queryExecution.executedPlan.toString

@@ -891,6 +891,28 @@ object Dedup {
     })
   }
 
+  // The exact-pair sibling of [[clusterLabels]]: CC labels over the
+  // 1-in-4-sample EXACT pair set (q121's cached intermediate) — the
+  // clustering q110's leakage-safe split consumes. Same label-once
+  // discipline; a split audit labels its corpus once per snapshot.
+  private val exactClusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Cached `(doc_id, label)` CC labeling of
+    * [[SetSimJoin.cachedQuarterPairs]], persisted per (session, dir).
+    */
+  def exactClusterLabels(s: SparkSession, d: String): DataFrame = {
+    graft.Scale.purgeStopped(exactClusterCache)
+    exactClusterCache.computeIfAbsent((s, d), _ => {
+      val pairs = SetSimJoin.cachedQuarterPairs(s, d)
+        .select("doc_a", "doc_b")
+      val out = connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id").cache()
+      out.count()
+      out
+    })
+  }
+
   /** Keeper-set dedup: near-dup pairs → connected components → one
     * keeper (min doc_id) per cluster; singleton docs keep themselves.
     * This is the operator a curation pipeline actually applies: filter

@@ -99,6 +99,35 @@ object SetSimJoin {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // The exact 1-in-4-sample pair set is the shared intermediate of
+  // q121 (emits it), q110 (clusters it into the leakage-safe split),
+  // and any future consumer of exact near-dup structure. Same
+  // materialize-once discipline as Ann.cachedIndex / Tables
+  // .cachedRatings: one (session, dir) builds it once and every
+  // consumer reuses the persisted pairs — at cluster scale this is
+  // "write the pair table once per corpus snapshot", not a local
+  // shortcut. Keyed per session; purged with stopped sessions.
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+
+  /** [[allPairs]] over the deterministic 1-in-4 document subsample at
+    * the default threshold — (doc_a, doc_b, jaccard), persisted once
+    * per (session, sfDir).
+    */
+  def cachedQuarterPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.Scale.purgeStopped(pairsCache)
+    pairsCache.computeIfAbsent((s, d), _ => {
+      val p = allPairs(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })
+  }
+
   /** q121 — exact Jaccard ≥ 0.6 self-join, registered on a
     * deterministic 1-in-4 document subsample (q33's precedent). The
     * subsample is about THIS corpus, not the algorithm: the synthetic
@@ -125,9 +154,7 @@ object SetSimJoin {
       | FROM p WHERE inter / (la + lb - inter) >= 0.6
       | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
-    allPairs(Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-      "doc_id", "text")
-      .orderBy("doc_a", "doc_b")
+    cachedQuarterPairs(s, d).orderBy("doc_a", "doc_b")
   }
 
   /** q133 — CHUNK-level exact near-dup pairs across documents: the

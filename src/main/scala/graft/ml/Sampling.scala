@@ -219,10 +219,7 @@ object Sampling {
       | FROM lab ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
     val sub = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
-    val pairs = graft.dedup.SetSimJoin
-      .allPairs(sub, "doc_id", "text").select("doc_a", "doc_b")
-    val labels = graft.dedup.Dedup.connectedComponents(pairs)
-      .withColumnRenamed("id", "doc_id")
+    val labels = graft.dedup.Dedup.exactClusterLabels(s, d)
     val b = substring(md5(col("cluster_id").cast("string")), 1, 2)
     sub.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

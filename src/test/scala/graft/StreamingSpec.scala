@@ -263,6 +263,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: a hot-bucket flood is bounded by the ring " +
+      "cap — a later arrival pairs with at most bucketCap members") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val text = (1 to 60).map(i => s"hot$i").mkString(" ")
+    val cap = 4
+    val q = NearDup.nearDupCandidatesStream(
+        input.toDF().toDF("doc_id", "text", "ts"),
+        horizon = "1 hour", bucketCap = cap, minEst = 0.6)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    try {
+      // 20 identical docs flood every band bucket far past the cap
+      input.addData((1L to 20L).map(i => (i, text, ts(10 + i))))
+      q.processAllAvailable()
+      input.addData((100L, text, ts(100)))
+      q.processAllAvailable()
+      // doc 100 can only see the newest `cap` ring members, in every
+      // band (identical docs share all band buckets) — if the ring
+      // were unbounded it would pair with all 20
+      val partners = spark.table("neardup_cap")
+        .filter(col("doc_b") === 100L)
+        .select("doc_a").distinct().collect().map(_.getLong(0)).toSet
+      assert(partners == (17L to 20L).toSet,
+        s"ring cap not honored: doc 100 paired with $partners")
+    } finally q.stop()
+  }
+
   test("partitioned upsert: replay-idempotent, rewrites only touched " +
       "buckets") {
     val dir = Files.createTempDirectory("graft_upsert_part").toString + "/t"

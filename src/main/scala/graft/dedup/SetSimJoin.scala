@@ -45,11 +45,14 @@ object SetSimJoin {
     */
   val Threshold = 0.6
 
-  /** All pairs (doc_a < doc_b) with word-set Jaccard ≥ `t` over
-    * `docs(idCol, textCol)`. Output: (doc_a, doc_b, jaccard).
+  /** The candidate stage of [[allPairs]] — (doc_a, doc_b) pairs
+    * sharing a prefix token and passing the integer length bound,
+    * BEFORE exact verification. Exposed so the skew probe can measure
+    * candidate volume (the quantity the prefix filter exists to
+    * bound) separately from true-pair output.
     */
-  def allPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, t: Double = Threshold)
+  def prefixCandidates(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, t: Double = Threshold)
       : org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       array_distinct(split(col(textCol), " ")).as("toks"))
@@ -76,10 +79,21 @@ object SetSimJoin {
     // candidates: share a prefix token + integer length bound
     // (J >= 3/5 forces 5*min >= 3*max); distinct before the verify
     // join so a pair sharing k prefix tokens verifies once
-    val cand = a.join(b, "tok")
+    a.join(b, "tok")
       .filter(col("doc_a") < col("doc_b") &&
         col("sb") * 5 >= col("sa") * 3 && col("sa") * 5 >= col("sb") * 3)
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** All pairs (doc_a < doc_b) with word-set Jaccard ≥ `t` over
+    * `docs(idCol, textCol)`. Output: (doc_a, doc_b, jaccard).
+    */
+  def allPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, t: Double = Threshold)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      array_distinct(split(col(textCol), " ")).as("toks"))
+    val cand = prefixCandidates(docs, idCol, textCol, t)
     // exact verify on sorted 64-bit token hashes — linear merge per
     // pair (same representation q33 uses; xxhash64 injective in
     // practice at these set sizes)

@@ -83,14 +83,67 @@ object KCore {
     math.max(3, math.ceil(m / math.max(n, 1.0)).toInt)
   }
 
+  /** How many peel rounds the DuckDB oracle unrolls. The peel is a
+    * monotone-shrinking fixpoint, which ANSI recursive CTEs can't
+    * express directly (the recursive term may not aggregate over
+    * itself), but round count is the graph's degeneracy-ordering
+    * depth — measured CONSTANT (weak set empty by round 2) at
+    * sf0.001/sf0.01/sf0.1 and at the 10×/30× sweep points — so a
+    * fixed-depth unrolling IS the exact semantics here, with
+    * headroom: 6 unrolled rounds vs 3 observed. If a future corpus
+    * ever needed more, the Spark side (which iterates to the true
+    * fixpoint) would hash-mismatch this oracle loudly rather than
+    * silently agree.
+    */
+  val OracleRounds = 6
+
+  /** The unrolled peel as DuckDB SQL: q122's edge CTE, the adaptive
+    * k = max(3, ceil(m/n)) as a scalar CTE, then [[OracleRounds]]
+    * rounds of weak-node removal, ending in the surviving subgraph's
+    * degree table. Every round CTE is MATERIALIZED: each eₙ is
+    * referenced three times (next round's FROM plus both NOT IN
+    * subqueries of wₙ), so DuckDB's default per-reference inlining
+    * would expand the plan 3^rounds-fold — the probe that found this
+    * died on file handles before it died on time.
+    */
+  private[graph] def peelOracleSql: String = {
+    val head =
+      """WITH p AS (SELECT l1.l_partkey AS pa, l2.l_partkey AS pb
+        | FROM lineitem l1 JOIN lineitem l2
+        |  ON l1.l_orderkey = l2.l_orderkey
+        |  AND l2.l_linenumber = l1.l_linenumber + 1),
+        | e0 AS MATERIALIZED (SELECT DISTINCT least(pa, pb) AS a,
+        |  greatest(pa, pb) AS b FROM p WHERE pa <> pb),
+        | kk AS MATERIALIZED (SELECT greatest(3, CAST(ceil(
+        |   CAST((SELECT count(*) FROM e0) AS DOUBLE) /
+        |   greatest((SELECT count(*) FROM (SELECT DISTINCT a AS node
+        |     FROM e0 UNION SELECT b FROM e0)), 1)) AS INT)) AS k)"""
+        .stripMargin
+    val rounds = (0 until OracleRounds).map { i =>
+      s""", w$i AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e$i
+         |  UNION ALL SELECT b FROM e$i) GROUP BY node
+         |  HAVING count(*) < (SELECT k FROM kk))
+         |, e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+         |  WHERE a NOT IN (SELECT node FROM w$i)
+         |   AND b NOT IN (SELECT node FROM w$i))""".stripMargin
+    }.mkString
+    val tail =
+      s""" SELECT node, count(*) AS core_deg
+         | FROM (SELECT a AS node FROM e$OracleRounds
+         |  UNION ALL SELECT b FROM e$OracleRounds)
+         | GROUP BY node ORDER BY node""".stripMargin
+    (head + rounds + tail).replaceAll("\n", "")
+  }
+
   /** q126 — the (mean-degree/2)-core of the co-purchase graph
-    * (q81/q122's edge derivation). No ANSI oracle (fixpoint
-    * iteration); the gate measures the defining property on the
-    * output — zero member nodes with induced degree < k — and
+    * (q81/q122's edge derivation). Oracle-checked via the unrolled
+    * peel ([[peelOracleSql]] — exact at the measured constant round
+    * depth); the gate additionally measures the defining property on
+    * the output — zero member nodes with induced degree < k — and
     * GraphSpec pins exact parity (membership AND maximality) against
     * a local reference peeler on seeded random graphs.
     */
-  val kCoreQ: QueryDef = QueryDef.rowsOnly("q126_kcore") { (s, d) =>
+  val kCoreQ: QueryDef = QueryDef.sql("q126_kcore", peelOracleSql) { (s, d) =>
     val edges = Triangles.coPurchaseEdges(s, d).localCheckpoint()
     // SPARK_GRAFT_KCORE_VERBOSE=1 prints per-round weak/edge counts
     // and wall — the sweep's round-count instrumentation

@@ -16,7 +16,8 @@ class GatesSpec extends SparkSpec {
     // every no_oracle query MUST have a gate; a gate MAY additionally
     // back an oracle-checked query (q110: the hash check plus the
     // semantic leakage gate is the strongest combination)
-    val oracleBacked = Set("q110_cluster_split", "q42_fingerprint")
+    val oracleBacked =
+      Set("q110_cluster_split", "q42_fingerprint", "q126_kcore")
     assert((noOracle -- Gates.names.toSet).isEmpty,
       s"missing=${noOracle -- Gates.names.toSet}")
     assert((Gates.names.toSet -- noOracle -- oracleBacked).isEmpty,

@@ -36,14 +36,24 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // ALS-family queries share train-once model/fit caches (the
-    // production "train once, serve many" shape): their first rep
-    // pays one-time fits that every later rep reuses, which made q24
-    // report min/max spreads of 5x on unchanged code. Run one
-    // UNMEASURED warmup rep for those and 5 measured reps, so the
-    // stats describe the steady state; the warmup is flagged in the
-    // artifact ("warmed") rather than laundered into the median.
-    val warmFamily = Set("q20", "q21", "q22", "q23", "q24")
+    // Cache-backed queries share train-once/index-once state (the
+    // production "build once, serve many" shape): their first rep
+    // pays one-time fits/index builds that every later rep reuses,
+    // which reported min/max spreads of 5-12x on unchanged code (q24
+    // in round 4, q84 in round 6). Run one UNMEASURED warmup rep for
+    // those and 5 measured reps, so the stats describe the steady
+    // state; the warmup is flagged in the artifact ("warmed") rather
+    // than laundered into the median. Membership = the queries whose
+    // fn consults a per-(session, dir) cache: ALS models/fits
+    // (q20-q24), LSH verified pairs (q31), standing IVF indexes
+    // (q48, q134, q136), cluster labelings (q49, q110), the quality
+    // model (q77), the PQ code table (q84), the learned BPE merges
+    // (q109), the exact pair set (q121). q127 builds its index
+    // inline per run (one-shot operator) and stays unwarmed on
+    // purpose.
+    val warmFamily = Set("q20", "q21", "q22", "q23", "q24", "q31",
+      "q48", "q49", "q77", "q84", "q109", "q110", "q121", "q134",
+      "q136")
     def isWarm(name: String): Boolean =
       warmFamily.exists(t => name == t || name.startsWith(t + "_"))
     // Sorted order: stable round-over-round attribution (first query

@@ -73,6 +73,14 @@ object Ann {
     * ≥ 0.8). Clustered real-world embeddings (neighbors ≥ 0.8 cosine)
     * hold that recall at 6-bit × 4 bands with ~20× fewer candidates —
     * tune per corpus.
+    *
+    * Query-side contract: the banded QUERY table is broadcast, so this
+    * operator is for BOUNDED query batches (≲10⁵ rows × bands — the
+    * online-serving shape). An unbounded query side (all-to-all) must
+    * not take this path: drop the `broadcast` hint and the same band
+    * equi-join shuffles both sides, or better, use [[knnJoin]] — the
+    * IVF self-join is the all-to-all operator and routes O(√cells)
+    * state per query instead of b× replicating every signature.
     */
   val LshBits = 24
   val LshBands = 8

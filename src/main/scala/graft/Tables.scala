@@ -50,8 +50,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings")
+  /** The engine's vector code (typed mapGroups, codegen'd cosine)
+    * assumes `embedding: array<float>`. Guard against the same silent
+    * testdata-regeneration drift that hit `events.ts` (round 8): if a
+    * future generation writes doubles, normalize at the loader — the
+    * cast is a no-op on the current float layout and keeps every
+    * downstream `getSeq[Float]` from throwing mid-query.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => df
+      case _ => df.withColumn("embedding",
+        col("embedding").cast("array<float>"))
+    }
+  }
 
   /** Number of synthetic products the `events` stream is mapped onto.
     * The reference's catalog has 96 products (`products.csv`); we use a

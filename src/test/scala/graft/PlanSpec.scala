@@ -259,6 +259,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q136: IVF-PQ scores candidates through broadcast probe/LUT " +
+      "joins — the code table never shuffles, no cartesian") {
+    val p = plan(search.Pq.ivfPqTopK.fn(spark, sfSmall))
+    assert(!p.contains("CartesianProduct"), p)
+    // the probe set (Q·nprobe rows) and LUT table (Q rows) broadcast
+    // onto the cell-code table; the only nested-loop allowed is the
+    // routing's deliberate one-row coarse-table cross join
+    assert(p.contains("BroadcastHashJoin"), p)
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filter(l => l.contains("+-") || l.contains(":-")).toSeq
+    assert(bnlj.forall(_.contains("Cross Build")),
+      "non-scalar nested loop: " + bnlj.mkString("; ") + "\n" + p)
+    // ADC stays in the expression layer: no sort-merge join anywhere
+    // on the scoring path (the code table is equi-joined by the
+    // broadcast probe keys, then windowed)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("loaded IVF index: the candidate join prunes assigned/ cell " +
       "partitions dynamically") {
     // The save-side contract is `partitionBy("ccell")`; the load-side

@@ -200,8 +200,26 @@ object Pq {
   private val composedCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** Persist a composed cell-code table partitioned by `ccell` —
+    * the same standing-index lifecycle as [[Ann.saveIvfIndex]], and
+    * for the same reason: a loaded code table's ADC join carries a
+    * dynamic partition-pruning filter on ccell (PlanSpec pins it),
+    * so a query batch's ADC scan reads only probed cells' code
+    * files. At 10¹⁰ vectors the code table is the ~9 B/vector scan
+    * tier; skipping unprobed cell directories is what keeps a
+    * 10-query batch from touching ~90 GB of codes.
+    */
+  def saveCellCodes(cellCodes: DataFrame, dir: String): Unit =
+    cellCodes.write.mode("overwrite").partitionBy("ccell")
+      .parquet(s"$dir/cellcodes")
+
+  def loadCellCodes(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/cellcodes")
+
   /** The IVF-assigned corpus joined with its PQ codes:
-    * (neighbor_id, ccell, fcell, code0..code{M-1}).
+    * (neighbor_id, ccell, fcell, code0..code{M-1}) — built once per
+    * (session, dir), persisted partitioned by ccell, and SERVED from
+    * the loaded form (the [[Ann.cachedIndex]] discipline).
     */
   def ivfPqCellCodes(s: SparkSession, d: String): DataFrame = {
     graft.Scale.purgeStopped(composedCache)
@@ -212,9 +230,10 @@ object Pq {
       val cc = index.assigned.select("neighbor_id", "ccell", "fcell")
         .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
           "neighbor_id")
-        .cache()
-      cc.count()
-      cc
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq").toString + "/idx"
+      saveCellCodes(cc, dir)
+      loadCellCodes(s, dir)
     })
   }
 

@@ -276,6 +276,11 @@ class PlanSpec extends SparkSpec {
     // on the scoring path (the code table is equi-joined by the
     // broadcast probe keys, then windowed)
     assert(!p.contains("SortMergeJoin"), p)
+    // the served code table is the ccell-partitioned persisted form,
+    // and its scan prunes to probed cells dynamically — the ADC-tier
+    // sibling of the loaded-IVF DPP pin below
+    assert(p.contains("dynamicpruning"),
+      "cell-code scan carries no dynamic partition-pruning filter:\n" + p)
   }
 
   test("loaded IVF index: the candidate join prunes assigned/ cell " +

@@ -241,27 +241,45 @@ object Ann {
     */
   val dimRecall: QueryDef = QueryDef.rowsOnly("q119_dim_recall") { (s, d) =>
     import s.implicits._
+    val rungs = Seq(8, 16, 32, 64)
     val full = bruteForce.fn(s, d).select("query_id", "neighbor_id").cache()
     val nFull = full.count()
     val corpus = Tables.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
-    val w = Window.partitionBy("query_id")
+    // ONE corpus pass scores all rungs: a 4-struct array per
+    // (query, neighbor) — each rung's cosine over its prefix slice —
+    // inlined to (dim, sim) rows, then one window partitioned by
+    // (dim, query_id). The old spelling ran the scan+window+semi-join
+    // pipeline once PER RUNG (4 sequential jobs plus a driver count
+    // each); this is the same ranking semantics (identical window
+    // order, identical tiebreak) in a single job tree, and the recall
+    // division happens columnar instead of on the driver.
+    val w = Window.partitionBy("dim", "query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
-    val rungs = Seq(8, 16, 32, 64).map { dim =>
-      val top = broadcast(queryVecs(s, d))
-        .join(corpus, col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine_sim(slice(col("qv"), 1, dim),
-            slice(col("embedding"), 1, dim)).as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select("query_id", "neighbor_id")
-      val hit = full.join(top, Seq("query_id", "neighbor_id"), "left_semi")
-        .count()
-      (dim, hit.toDouble / nFull)
-    }
+    val top = broadcast(queryVecs(s, d))
+      .join(corpus, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        explode(array(rungs.map(dim =>
+          struct(lit(dim).as("dim"),
+            cosine_sim(slice(col("qv"), 1, dim),
+              slice(col("embedding"), 1, dim)).as("sim"))): _*)).as("r"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("r.dim").as("dim"), col("r.sim").as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("dim", "query_id", "neighbor_id")
+    val out = top
+      .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("dim").agg(count(lit(1)).as("hits"))
+      .select(col("dim"),
+        (col("hits").cast("double") / nFull).as("recall_at_5"))
+      .collect()
     full.unpersist()
-    rungs.toDF("dim", "recall_at_5").orderBy("dim")
+    // a rung with zero hits drops out of the groupBy — re-seat it at
+    // recall 0.0 so the output always carries all four rungs
+    val got = out.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rungs.map(dim => (dim, got.getOrElse(dim, 0.0)))
+      .toDF("dim", "recall_at_5").orderBy("dim")
   }
 
   /** q76 — per-vector scalar quantization to int8 codes, the storage

@@ -1185,8 +1185,86 @@ object Dedup {
         .orderBy("doc_id")
     }
 
+  /** q137 — cross-document EXACT shared-span detection (the signal
+    * behind exact-substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better": verbatim ≥N-token
+    * overlap between documents, which fuzzy chunk similarity (q133)
+    * and doc-level Jaccard (q121) both blur). Every 16-token rolling
+    * window is a span key; two docs sharing a sampled span key share
+    * a verbatim 16-token substring.
+    *
+    * Scale shape — the two classic failure modes and their guards,
+    * both part of the operator's SEMANTICS (so the oracle applies
+    * them identically):
+    *
+    *   - gram volume: winnowing-style CONTENT sampling — keep a span
+    *     iff its md5 starts with '0' (1/16 of distinct span VALUES,
+    *     deterministic on content, engine-identical) — bounds the
+    *     join input to ~n·tokens/16 rows with no positional bias;
+    *   - frequent-span blowup: a span appearing in d docs yields
+    *     C(d,2) pairs, and a boilerplate span (site header, license
+    *     text) makes that quadratic. Spans with df > [[SpanDfCap]]
+    *     are excluded — at that frequency the span is boilerplate
+    *     (q70's territory), not a duplication signal between any
+    *     specific pair.
+    *
+    * After both guards the plan is: narrow gram projection →
+    * hash-agg df filter → self equi-join on the span key →
+    * per-pair count. No cartesian, no payload arrays through the
+    * join. Fully oracle-checked (both guards are pure functions of
+    * content, so DuckDB computes the identical sample and cap).
+    */
+  val SpanTokens = 16
+  val SpanDfCap = 1000
+
+  val sharedSpans: QueryDef = QueryDef.sql(
+    "q137_shared_spans",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $SpanTokens),
+       | g AS (SELECT doc_id, array_to_string(
+       |   toks[i:i+${SpanTokens - 1}], ' ') AS gram
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |   len(toks) - ${SpanTokens - 1})) AS i)),
+       | sg AS (SELECT DISTINCT doc_id, gram FROM g
+       |  WHERE substring(md5(gram), 1, 1) = '0'),
+       | keep AS (SELECT gram FROM sg GROUP BY gram
+       |  HAVING count(*) <= $SpanDfCap),
+       | sk AS (SELECT sg.doc_id, sg.gram FROM sg
+       |  JOIN keep ON sg.gram = keep.gram)
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared_spans
+       | FROM sk a JOIN sk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= SpanTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - (SpanTokens - 1)))
+          .as("i"),
+        col("toks"))
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), col("i"), lit(SpanTokens)), " ")
+          .as("gram"))
+      .filter(substring(md5(col("gram")), 1, 1) === "0")
+      .distinct()
+    val keep = grams.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= SpanDfCap)
+      .select("gram")
+    val sampled = grams.join(keep, "gram")
+    sampled.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(sampled.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_spans"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine, clusters,
       decontaminate, decontaminateBloom, incrementalNearDup,
-      fuzzyDecontaminate, contaminationAttribution)
+      fuzzyDecontaminate, contaminationAttribution, sharedSpans)
 }

@@ -101,7 +101,13 @@ object ScaleSweep {
       // (q31/q49) are clean: 0.77 < 0.9 keeps cliques within a
       // replica.
       "q117_curation_v2", "q122_triangles", "q123_contamination_attrib",
-      "q124_fuzzy_string_join", "q126_kcore", "q127_knn_join")
+      "q124_fuzzy_string_join", "q126_kcore", "q127_knn_join",
+      // q137's span keys are verbatim content: the doc-unique salts
+      // leave base-text windows intact, so cross-replica same-base
+      // pairs are TRUE shared spans and output grows ~k² like
+      // q123's — the sweep still bounds the input-side stages
+      // (gram explode, sample, df-cap) which are the scale risk.
+      "q137_shared_spans")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

@@ -393,9 +393,16 @@ object Dedup {
     * verified by Hamming distance ≤ 8. Identical token sets hash to
     * identical signatures regardless of order/multiplicity.
     */
-  val simhash: QueryDef = QueryDef.rowsOnly("q32_dedup_simhash") { (s, d) =>
-    val sigs = Tables.documents(s, d)
+  /** q32's per-document signature table — shared with the gate, so
+    * the recall measurement runs against the exact signatures the
+    * banded join blocks on.
+    */
+  private[graft] def docSignatures(s: SparkSession, d: String) =
+    Tables.documents(s, d)
       .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+
+  val simhash: QueryDef = QueryDef.rowsOnly("q32_dedup_simhash") { (s, d) =>
+    val sigs = docSignatures(s, d)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -11,10 +11,20 @@ object GateRun {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val only: Set[String] =
-      if (args.length > 1)
-        Gates.names.filter(n => args(1).split(",")
+      if (args.length > 1) {
+        val resolved = Gates.names.filter(n => args(1).split(",")
           .exists(t => n == t || n.startsWith(t + "_"))).toSet
-      else Set.empty
+        // An unmatched filter (typo) must not silently invert into
+        // "run ALL gates" — that's a full re-measure the dev loop
+        // didn't ask for. Abort loudly instead.
+        if (resolved.isEmpty) {
+          System.err.println(
+            s"GateRun: filter '${args(1)}' matches no gate name; " +
+              s"known gates: ${Gates.names.mkString(",")}")
+          sys.exit(2)
+        }
+        resolved
+      } else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

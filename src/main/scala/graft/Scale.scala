@@ -37,6 +37,39 @@ object Scale {
       .booleanValue()
   }
 
+  // Standing-index caches persist their parquet form under
+  // java.io.tmpdir. The directory must outlive the cache-map entry —
+  // loaded DataFrames keep reading it lazily — so eviction can't
+  // delete it; without a reclaim path every Verify/Bench/sweep run
+  // leaks a full ccell-partitioned corpus copy into /tmp. Register
+  // each dir here and walk-delete them all in one JVM shutdown hook.
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private lazy val shutdownHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach(deleteRecursively(_))
+    }))
+
+  /** Create a temp directory that is recursively deleted at JVM exit.
+    * All engine caches that persist index artifacts go through this.
+    */
+  def managedTempDir(prefix: String): java.nio.file.Path = {
+    shutdownHookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } finally walk.close()
+    } catch { case _: java.io.IOException => () }
+
   /** Evict cache entries bound to stopped sessions (keys are tuples
     * whose first element is the SparkSession). The engine's
     * session-keyed caches call this on access, so same-JVM session

@@ -69,8 +69,11 @@ object StreamNearDupProbe {
               .map(_.numRowsTotal).sum)
         }
         val pairs = spark.table(name).count()
-        val docsPerSec = warmDocs / (warmNanos / 1e9)
-        println(f"""PROBE_JSON {"op":"stream_neardup","sf":"$sfDir","docs":${docs.length},"batches":${groups.length},"docs_per_sec":$docsPerSec%.1f,"max_state_rows":$maxState,"candidate_pairs":$pairs}""")
+        // warm stats exclude batch 0; a single-batch corpus has no
+        // warm batches, and 0/0 must not emit NaN into the artifact
+        val docsPerSec =
+          if (warmDocs == 0) 0.0 else warmDocs / (warmNanos / 1e9)
+        println(f"""PROBE_JSON {"op":"stream_neardup","sf":"$sfDir","docs":${docs.length},"batches":${groups.length},"warm_docs":$warmDocs,"docs_per_sec":$docsPerSec%.1f,"max_state_rows":$maxState,"candidate_pairs":$pairs}""")
       } finally q.stop()
     }
     spark.stop()

@@ -1270,8 +1270,108 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q138 — exact-substring REMOVAL: the transform half of q137's
+    * detection (Lee et al. 2022 §4 removes every duplicated span from
+    * all but one occurrence; q137 only reports the pairs). A document
+    * keeps a span iff it is that span's canonical occurrence — the
+    * min-doc_id holder — and loses the covered tokens otherwise, so
+    * exactly one verbatim copy of every duplicated span survives the
+    * corpus. Signal granularity is IDENTICAL to q137 by construction:
+    * the same winnowing-style md5-'0' content sample (so removal sees
+    * the same 1/16 of span values detection saw), the same
+    * [[SpanDfCap]] boilerplate guard, plus df ≥ 2 (a span in one doc
+    * is not duplication). Both guards are pure functions of content,
+    * so the DuckDB oracle replays them exactly.
+    *
+    * Scale shape: the gram explode is q137's (input-linear after the
+    * 1/16 content sample, no positional bias); removal starts ride
+    * back to their doc as ONE collected array per doc (≤ tokens/16
+    * entries — same order as the doc itself), and the excision is a
+    * single codegen'd higher-order `filter` over the token array with
+    * its index — no token-level shuffle, no cartesian, output one row
+    * per input doc. Interval union is implicit: a token survives iff
+    * NO removal start covers it, so overlapping spans merge for free.
+    */
+  val spanRemoval: QueryDef = QueryDef.sql(
+    "q138_span_removal",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       | g AS (SELECT doc_id, i, array_to_string(
+       |   toks[i:i+${SpanTokens - 1}], ' ') AS gram
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |   len(toks) - ${SpanTokens - 1})) AS i)
+       |  WHERE len(toks) >= $SpanTokens),
+       | sg AS (SELECT doc_id, i, gram FROM g
+       |  WHERE substring(md5(gram), 1, 1) = '0'),
+       | dfs AS (SELECT gram, count(DISTINCT doc_id) AS df,
+       |   min(doc_id) AS keeper FROM sg GROUP BY gram),
+       | rm AS (SELECT sg.doc_id, sg.i FROM sg
+       |  JOIN dfs ON sg.gram = dfs.gram
+       |  WHERE dfs.df >= 2 AND dfs.df <= $SpanDfCap
+       |    AND sg.doc_id > dfs.keeper),
+       | cov AS (SELECT DISTINCT rm.doc_id, rm.i + o.o AS j FROM rm,
+       |  LATERAL (SELECT unnest(generate_series(0,
+       |   ${SpanTokens - 1})) AS o) o),
+       | tok AS (SELECT t.doc_id, u.i, t.toks[u.i] AS tk FROM t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(t.toks)))
+       |   AS i) u),
+       | kept AS (SELECT tok.doc_id, tok.i, tok.tk FROM tok
+       |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.j
+       |  WHERE cov.j IS NULL)
+       | SELECT t.doc_id AS doc_id,
+       |  coalesce(k.cleaned_text, '') AS cleaned_text,
+       |  CAST(len(t.toks) - coalesce(k.kept, 0) AS BIGINT)
+       |    AS removed_tokens
+       | FROM t LEFT JOIN (SELECT doc_id,
+       |   string_agg(tk, ' ' ORDER BY i) AS cleaned_text,
+       |   count(*) AS kept FROM kept GROUP BY doc_id) k
+       |  ON t.doc_id = k.doc_id
+       | ORDER BY t.doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) => removeSharedSpans(Tables.documents(s, d)) }
+
+  /** The q138 transform over any `(doc_id, text)` frame — exposed so
+    * crafted-corpus specs can drive it directly.
+    */
+  def removeSharedSpans(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val sg = base
+      .filter(size(col("toks")) >= SpanTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - (SpanTokens - 1)))
+          .as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("toks"), col("i"), lit(SpanTokens)), " ")
+          .as("gram"))
+      .filter(substring(md5(col("gram")), 1, 1) === "0")
+    val dfs = sg.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= 2 && col("df") <= SpanDfCap)
+    val starts = sg.join(dfs, "gram")
+      .filter(col("doc_id") > col("keeper"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("i")).as("starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        // 1-based token index idx+1 survives iff no removal start s
+        // covers it (s <= idx+1 < s+SpanTokens); overlapping spans
+        // union implicitly
+        when(col("starts").isNull, col("toks")).otherwise(
+          expr(s"filter(toks, (tk, idx) -> NOT exists(starts, " +
+            s"s -> idx + 1 >= s AND idx + 1 < s + $SpanTokens))"))
+          .as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("cleaned_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("removed_tokens"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exact, minhashLsh, simhash, ngramJaccard, embeddingCosine, clusters,
       decontaminate, decontaminateBloom, incrementalNearDup,
-      fuzzyDecontaminate, contaminationAttribution, sharedSpans)
+      fuzzyDecontaminate, contaminationAttribution, sharedSpans,
+      spanRemoval)
 }

@@ -76,12 +76,13 @@ object SetSimJoin {
       col("sz").as("sa"))
     val b = pref.select(col("tok"), col("doc_id").as("doc_b"),
       col("sz").as("sb"))
-    // candidates: share a prefix token + integer length bound
-    // (J >= 3/5 forces 5*min >= 3*max); distinct before the verify
-    // join so a pair sharing k prefix tokens verifies once
+    // candidates: share a prefix token + length bound derived from t
+    // (J >= t forces min >= t*max, since J <= min/max for sets);
+    // distinct before the verify join so a pair sharing k prefix
+    // tokens verifies once
     a.join(b, "tok")
       .filter(col("doc_a") < col("doc_b") &&
-        col("sb") * 5 >= col("sa") * 3 && col("sa") * 5 >= col("sb") * 3)
+        col("sb") >= col("sa") * lit(t) && col("sa") >= col("sb") * lit(t))
       .select("doc_a", "doc_b").distinct()
   }
 

@@ -230,8 +230,8 @@ object Pq {
       val cc = index.assigned.select("neighbor_id", "ccell", "fcell")
         .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
           "neighbor_id")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq").toString + "/idx"
+      val dir =
+        graft.Scale.managedTempDir("graft_ivfpq").toString + "/idx"
       saveCellCodes(cc, dir)
       loadCellCodes(s, dir)
     })

@@ -450,4 +450,58 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"missed high-J contaminated docs: $missed")
     info(s"flagged ${got.size} docs; ${mustCatch.size} had J>=0.9 matches")
   }
+
+  test("q138 span removal matches an independent spec implementation " +
+      "and keeps exactly one canonical copy") {
+    // Crafted corpus: docs 1, 2, 4 share a verbatim 60-token run (so
+    // ~4 of its 45 rolling 16-grams land in the md5-'0' sample); doc
+    // 3 is unrelated; doc 2 also has a PRIVATE repeated run that must
+    // NOT be removed (df = 1 doc).
+    val shared = (1 to 60).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"${(1 to 10).map(i => s"a$i").mkString(" ")} $shared end1",
+      2L -> s"pre2 $shared ${(1 to 8).map(i => s"b$i").mkString(" ")}",
+      3L -> (1 to 80).map(i => s"c$i").mkString(" "),
+      4L -> s"$shared tail4 $shared")
+    val got = Dedup.removeSharedSpans(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    // Independent spec implementation: plain Scala, no Spark — the
+    // same semantics spelled a different way (string md5, brute-force
+    // df/keeper/coverage).
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = corpus.map { case (id, t) => id -> t.split(" ") }.toMap
+    val grams = toks.toSeq.flatMap { case (id, ts) =>
+      if (ts.length < Dedup.SpanTokens) Seq.empty
+      else (0 to ts.length - Dedup.SpanTokens).map { i0 =>
+        (id, i0 + 1, ts.slice(i0, i0 + Dedup.SpanTokens).mkString(" "))
+      }
+    }.filter { case (_, _, g) => md5hex(g).startsWith("0") }
+    val byGram = grams.groupBy(_._3)
+    val expected = corpus.map { case (id, _) =>
+      val ts = toks(id)
+      val starts = grams.collect { case (d, i, g) if d == id &&
+        byGram(g).map(_._1).distinct.size >= 2 &&
+        byGram(g).map(_._1).distinct.size <= Dedup.SpanDfCap &&
+        byGram(g).map(_._1).min < id => i }
+      val covered = starts.flatMap(s => s until s + Dedup.SpanTokens).toSet
+      val kept = ts.zipWithIndex.collect {
+        case (t, i0) if !covered(i0 + 1) => t }
+      (id, kept.mkString(" "), (ts.length - kept.length).toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected, s"got $got\nexpected $expected")
+
+    val removed = got.map(x => x._1 -> x._3).toMap
+    // doc 1 is the canonical keeper of every shared span: untouched
+    assert(removed(1L) == 0L, "keeper doc must keep all tokens")
+    // docs 2 and 4 lose sampled shared spans
+    assert(removed(2L) > 0L, "later sharer must lose covered tokens")
+    assert(removed(4L) > 0L, "later sharer must lose covered tokens")
+    // doc 3 (unrelated) and doc 2's df=1 private text are untouched
+    assert(removed(3L) == 0L, "unrelated doc must be untouched")
+    info(s"removed per doc: $removed")
+  }
 }

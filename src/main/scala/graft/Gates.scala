@@ -319,6 +319,23 @@ object Gates {
       ("q136_ann_ivfpq", "recall_at_5_vs_exact", ">=", 0.8,
         (s, d) => annRecall(search.Ann.bruteForce.fn(s, d),
           search.Pq.ivfPqTopK.fn(s, d))),
+      ("q139_ivfpq_incremental", "recall_and_append_parity_violations",
+        "<=", 0.0,
+        (s, d) => {
+          // (1) pair-for-pair parity: the appended persisted delta
+          // rows must equal a batch replay through the same frozen
+          // index + codebooks (q75's incremental==full discipline);
+          // (2) delta recall@5 >= 0.8 vs the exact scan of the full
+          // (corpus + delta) table (q134's out-of-sample bound).
+          val parity = search.Pq.incrementalParityViolations(s, d)
+          val emb = Tables.embeddings(s, d)
+          val delta = emb.filter(col("vec_id") % 10 === 0 &&
+            col("vec_id") < 500)
+          val recall = annRecall(search.Ann.exactTopKAgainst(emb, delta),
+            search.Pq.ivfPqIncremental.fn(s, d)
+              .filter(col("query_id") < 500))
+          (parity + (if (recall >= 0.8) 0L else 1L)).toDouble
+        }),
       ("q119_dim_recall", "curve_violations", "<=", 0.0,
         (s, d) => {
           // full-dim rung must reproduce the exact top-k verbatim

@@ -495,9 +495,6 @@ object Ann {
     // corpus assignment and query routing argmax over it in-expression.
     val coarseDf = Seq(Tuple1(coarseCents.map(_.toSeq).toSeq))
       .toDF("ccents")
-    def bestCoarse(vec: Column): Column =
-      array_max(transform(col("ccents"), (c, i) =>
-        struct(cosine_sim(vec, c).as("sim"), i.as("cell"))))("cell")
     val coarseAssigned = corpus
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(coarseDf))
@@ -566,6 +563,34 @@ object Ann {
   private def fineScores(vec: Column): Column =
     transform(col("fcents"), (c, i) =>
       struct(cosine_sim(vec, c).as("sim"), i.as("fcell")))
+
+  /** Argmax-by-cosine over the broadcast one-row coarse-centroid
+    * array — shared by the index build and [[assignVectors]].
+    */
+  private def bestCoarse(vec: Column): Column =
+    array_max(transform(col("ccents"), (c, i) =>
+      struct(cosine_sim(vec, c).as("sim"), i.as("cell"))))("cell")
+
+  /** Assign `vecs` (vec_id, embedding) to the (ccell, fcell) cells of
+    * a BUILT index — the ingest half of incremental indexing: a new
+    * batch lands in the standing quantizer's cells without touching
+    * the quantizer itself. Same expressions as the build-time corpus
+    * assignment (coarse argmax over the broadcast kc-row table, fine
+    * argmax after the salted equi join), so an appended row's cell is
+    * IDENTICAL to what a batch re-assignment through the same frozen
+    * index would give — [[graft.search.Pq]]'s append-parity gate
+    * (q139) pins that pair-for-pair.
+    */
+  def assignVectors(index: IvfIndex, vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(index.coarseDf))
+      .select(col("vec_id"), col("embedding"),
+        bestCoarse(col("embedding")).as("ccell"))
+      .withColumn("salt", pmod(hash(col("vec_id")), lit(SaltBuckets)))
+      .join(index.saltedFine.hint("shuffle_hash"), Seq("ccell", "salt"))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("ccell"),
+        array_max(fineScores(col("embedding")))("fcell").as("fcell"))
 
   /** The routing half of [[knnQuery]]: the (query_id, qv, ccell,
     * fcell) probe set for `queries` against a built index — top-wc

@@ -100,25 +100,64 @@ object Pq {
     (coded, codebooks)
   }
 
-  // Index-build-once per (session, dir) — the Recommend.model
-  // discipline: Verify/Bench touch q84 several times per JVM and the
-  // 8 k-means fits + code table are an INDEX, built once per corpus
-  // in any real deployment. Cache keys purge with stopped sessions.
+  // Index-build-once per (session, dir, corpus-variant) — the
+  // Recommend.model discipline: Verify/Bench touch q84 several times
+  // per JVM and the 8 k-means fits + code table are an INDEX, built
+  // once per corpus in any real deployment. The "full" variant feeds
+  // q84/q136; "mod10" is q139's standing corpus, whose codebooks stay
+  // FROZEN while the delta batch encodes against them. Cache keys
+  // purge with stopped sessions.
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, Array[Array[Array[Double]]])]()
+    (SparkSession, String, String),
+    (DataFrame, Array[Array[Array[Double]]])]()
 
-  /** The trained PQ index for a corpus: cached code table +
+  /** The trained PQ index for the full corpus: cached code table +
     * per-subspace codebooks.
     */
   def indexFor(s: SparkSession, d: String)
+      : (DataFrame, Array[Array[Array[Double]]]) =
+    sliceIndex(s, d, "full", Tables.embeddings(s, d))
+
+  /** The trained PQ index for an arbitrary corpus slice, cached per
+    * (session, dir, variant).
+    */
+  private[search] def sliceIndex(s: SparkSession, d: String,
+      variant: String, corpus: => DataFrame)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     graft.Scale.purgeStopped(indexCache)
-    indexCache.computeIfAbsent((s, d), _ => {
-      val (codes, books) = encode(Tables.embeddings(s, d))
+    indexCache.computeIfAbsent((s, d, variant), _ => {
+      val (codes, books) = encode(corpus)
       val c = codes.cache()
       c.count()
       (c, books)
     })
+  }
+
+  /** PQ-encode `emb` against FROZEN codebooks — the ingest half of
+    * incremental indexing (no k-means touched): per subspace, the
+    * euclidean-argmin centroid id over the broadcast 16-entry
+    * codebook, lowest index on ties (KMeansModel.predict's rule), as
+    * one codegen'd expression per subspace. O(Δ · M · Codebook ·
+    * SubDim) flops on the new batch only.
+    */
+  def encodeAgainst(emb: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bookDf = Seq(Tuple1(
+      books.map(_.map(_.toSeq).toSeq).toSeq)).toDF("books")
+    def codeExpr(m: Int): Column = {
+      val sub = slice(col("nv"), m * SubDim + 1, SubDim)
+      val best = array_max(transform(element_at(col("books"), m + 1),
+        (c, i) => struct(
+          (lit(0d) - aggregate(zip_with(sub, c,
+            (x, y) => (x - y) * (x - y)), lit(0d), _ + _)).as("nd"),
+          (lit(0) - i).as("ni"))))
+      (lit(0) - best("ni")).cast("int").as(s"code$m")
+    }
+    emb.select(col("vec_id"), normalized(col("embedding")).as("nv"))
+      .crossJoin(broadcast(bookDf))
+      .select(col("vec_id") +: (0 until M).map(codeExpr): _*)
   }
 
   /** Query LUT table (query_id, lut0..lut{M-1}) — index metadata
@@ -128,9 +167,9 @@ object Pq {
     * rows. Shared by the flat-ADC scan (q84) and the IVF-routed ADC
     * (q136).
     */
-  private def lutTable(s: SparkSession, emb: DataFrame,
+  private def lutTable(s: SparkSession, queries: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame = {
-    val qRows = emb.filter(col("vec_id") < NumQueries)
+    val qRows = queries
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     val luts = qRows.map { case (qid, qv) =>
@@ -163,7 +202,7 @@ object Pq {
   val pqTopK: QueryDef = QueryDef.rowsOnly("q84_ann_pq") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val (codes, books) = indexFor(s, d)
-    val queries = lutTable(s, emb, books)
+    val queries = lutTable(s, emb.filter(col("vec_id") < NumQueries), books)
     val adc = adcExpr
     val shortW = Window.partitionBy("query_id")
       .orderBy(desc("adc_sim"), asc("neighbor_id"))
@@ -257,14 +296,35 @@ object Pq {
     * Rows-only; RecallSpec gates recall@5 ≥ 0.8 vs the exact scan.
     */
   val ivfPqTopK: QueryDef = QueryDef.rowsOnly("q136_ann_ivfpq") { (s, d) =>
-    val nprobe = 8
+    ivfPqSearch(s, d, nprobe = 8)
+  }
+
+  /** The q136 search at an explicit probe width — exposed so the
+    * recall-vs-nprobe curve ([[graft.PqProbe]]) can measure the dial
+    * the composition sells (the q119 dim-ablation precedent applied
+    * to nprobe).
+    */
+  def ivfPqSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val index = Ann.cachedIndex(s, d, "full", emb)
     val (_, books) = indexFor(s, d)
-    val cellCodes = ivfPqCellCodes(s, d)
-    val luts = lutTable(s, emb, books)
-    val probed = Ann.routeQueries(index,
-        emb.filter(col("vec_id") < NumQueries), nprobe)
+    adcSearch(index, books, ivfPqCellCodes(s, d),
+      emb.filter(col("vec_id") < NumQueries), emb, nprobe)
+  }
+
+  /** Shared ADC lookup: route `queries` through `index` to nprobe
+    * cells, ADC-score only probed cells' rows in `cellCodes`,
+    * shortlist, re-rank exactly against `rerankCorpus`. The probe set
+    * and LUT table broadcast; the cell-code join is the DPP-eligible
+    * scan PlanSpec pins.
+    */
+  private def adcSearch(index: Ann.IvfIndex,
+      books: Array[Array[Array[Double]]], cellCodes: DataFrame,
+      queries: DataFrame, rerankCorpus: DataFrame,
+      nprobe: Int): DataFrame = {
+    val s = queries.sparkSession
+    val luts = lutTable(s, queries, books)
+    val probed = Ann.routeQueries(index, queries, nprobe)
       .select("query_id", "ccell", "fcell")
     // Shortlist: a fixed fraction of the (constant) probed
     // population, floored so tiny local corpora still re-rank enough.
@@ -278,9 +338,9 @@ object Pq {
       .withColumn("srn", row_number().over(shortW))
       .filter(col("srn") <= shortlist)
       .select("query_id", "neighbor_id")
-    val qv = emb.filter(col("vec_id") < NumQueries)
+    val qv = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+    val corpus = rerankCorpus.select(col("vec_id").as("neighbor_id"),
       col("embedding"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
@@ -295,5 +355,91 @@ object Pq {
       .orderBy("query_id", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(pqTopK, ivfPqTopK)
+  /** Delta-batch cell codes against a FROZEN index: assign to the
+    * standing quantizer's cells ([[Ann.assignVectors]]), PQ-encode
+    * against the frozen codebooks ([[encodeAgainst]]) — O(Δ) work,
+    * no retrain, no corpus rewrite. The append-parity gate replays
+    * this computation and diffs it against the persisted rows.
+    */
+  def deltaCellCodes(index: Ann.IvfIndex, delta: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    Ann.assignVectors(index, delta)
+      .select("neighbor_id", "ccell", "fcell")
+      .join(encodeAgainst(delta, books)
+        .withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+
+  def appendCellCodes(cellCodes: DataFrame, dir: String): Unit =
+    cellCodes.write.mode("append").partitionBy("ccell")
+      .parquet(s"$dir/cellcodes")
+
+  // q139's appended composed index, built once per (session, dir):
+  // the mod10 corpus's composed cell codes persisted, then the delta
+  // slice ingested through the frozen index and APPENDED in place —
+  // new parquet files land only under the delta's probed ccell
+  // directories; existing corpus files are never rewritten.
+  private val incrCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  def incrementalCellCodes(s: SparkSession, d: String): DataFrame = {
+    graft.Scale.purgeStopped(incrCache)
+    incrCache.computeIfAbsent((s, d), _ => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val index = Ann.cachedIndex(s, d, "mod10", corpus)
+      val (codes, books) = sliceIndex(s, d, "mod10", corpus)
+      val cc = index.assigned.select("neighbor_id", "ccell", "fcell")
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+          "neighbor_id")
+      val dir =
+        graft.Scale.managedTempDir("graft_ivfpq_incr").toString + "/idx"
+      saveCellCodes(cc, dir)
+      appendCellCodes(
+        deltaCellCodes(index, emb.filter(col("vec_id") % 10 === 0),
+          books), dir)
+      loadCellCodes(s, dir)
+    })
+  }
+
+  /** The gate's parity half: persisted appended delta rows diffed
+    * pair-for-pair against the batch replay of the same frozen-index
+    * computation — catches write/read, partition-typing, and salt
+    * drift in the append path. Returns the violation count.
+    */
+  def incrementalParityViolations(s: SparkSession, d: String): Long = {
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val index = Ann.cachedIndex(s, d, "mod10", corpus)
+    val (_, books) = sliceIndex(s, d, "mod10", corpus)
+    def norm(df: DataFrame): DataFrame =
+      df.select(col("neighbor_id").cast("long") +:
+        col("ccell").cast("int") +: col("fcell").cast("int") +:
+        (0 until M).map(m => col(s"code$m").cast("int")): _*)
+    val appended = norm(incrementalCellCodes(s, d)
+      .filter(col("neighbor_id") % 10 === 0))
+    val batch = norm(deltaCellCodes(index,
+      emb.filter(col("vec_id") % 10 === 0), books))
+    appended.exceptAll(batch).count() + batch.exceptAll(appended).count()
+  }
+
+  /** q139 — incremental IVF·PQ ingest + lookup (q134's O(Δ) story
+    * carried to the composed index): the 1-in-10 vec_id slice is the
+    * newly-ingested batch — assigned and PQ-encoded against the
+    * FROZEN mod10 index (no retrain) and appended to the persisted
+    * ccell-partitioned cell-code table — then every delta vector is
+    * searched through the appended index (ADC over probed cells,
+    * exact re-rank vs the full corpus). nprobe 10, q134's
+    * out-of-sample widening. Rows-only; the gate combines delta
+    * recall@5 ≥ 0.8 with pair-for-pair append-vs-batch parity.
+    */
+  val ivfPqIncremental: QueryDef =
+    QueryDef.rowsOnly("q139_ivfpq_incremental") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val index = Ann.cachedIndex(s, d, "mod10", corpus)
+      val (_, books) = sliceIndex(s, d, "mod10", corpus)
+      adcSearch(index, books, incrementalCellCodes(s, d),
+        emb.filter(col("vec_id") % 10 === 0), emb, nprobe = 10)
+    }
+
+  val defs: Seq[QueryDef] = Seq(pqTopK, ivfPqTopK, ivfPqIncremental)
 }

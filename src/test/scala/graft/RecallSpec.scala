@@ -100,6 +100,34 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, s"IVF-PQ recall@5 = $r")
   }
 
+  test("q139 incremental IVF-PQ: append parity is exact and delta " +
+      "recall@5 >= 0.8") {
+    // parity: the appended persisted delta rows equal a batch replay
+    // through the same frozen index + codebooks (q75's incremental ==
+    // full discipline, applied to the composed index's ingest path)
+    assert(search.Pq.incrementalParityViolations(spark, sfSmall) == 0)
+    val emb = Tables.embeddings(spark, sfSmall)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val exact = search.Ann.exactTopKAgainst(emb, delta).cache()
+    val approx = search.Pq.ivfPqIncremental.fn(spark, sfSmall)
+      .select("query_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    val r = hit.toDouble / exact.count()
+    assert(r >= 0.8, s"incremental IVF-PQ recall@5 = $r")
+  }
+
+  test("frozen-codebook encode matches the trained encoder's codes") {
+    // encodeAgainst re-implements KMeansModel.predict (euclidean
+    // argmin, lowest index on ties) as a codegen'd expression; on the
+    // corpus the model was trained on, the two must agree code-for-code
+    val emb = Tables.embeddings(spark, sfTiny)
+    val (codes, books) = search.Pq.encode(emb)
+    val against = search.Pq.encodeAgainst(emb, books)
+    assert(codes.exceptAll(against).isEmpty &&
+      against.exceptAll(codes).isEmpty)
+  }
+
   test("q119 dim ablation: full-dim recall is exactly 1, truncation " +
       "degrades gracefully") {
     val rows = search.Ann.dimRecall.fn(spark, sfSmall).collect()

@@ -263,6 +263,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: eviction boundary is exact — state at " +
+      "watermark == horizon survives, 1ms past it is evicted") {
+    // Pins both sides of the event-time eviction boundary
+    // (timeoutTs = newest member + horizon; eviction iff watermark
+    // moves STRICTLY past it): a bucket probed when the watermark
+    // sits exactly ON its timeout must still pair, and a bucket
+    // whose timeout the watermark passed by 1 ms must pair with
+    // nothing. Each side gets its own text family (own buckets) and
+    // an extra no-data batch so the eviction opportunity genuinely
+    // arises before the probe.
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val yText = (1 to 60).map(i => s"ybnd$i").mkString(" ")
+    val yNear = (1 to 57).map(i => s"ybnd$i").mkString(" ") + " x y z"
+    val zText = (1 to 60).map(i => s"zbnd$i").mkString(" ")
+    val zNear = (1 to 57).map(i => s"zbnd$i").mkString(" ") + " x y z"
+    val fill = (1 to 60).map(i => s"fbnd$i").mkString(" ")
+    val q = NearDup.nearDupCandidatesStream(
+        input.toDF().toDF("doc_id", "text", "ts"),
+        horizon = "100 seconds", minEst = 0.6)
+      .writeStream.format("memory").queryName("neardup_boundary")
+      .outputMode("append").start()
+    try {
+      // --- exactly-at-horizon side: doc 1 at t=10s, timeout 110s
+      input.addData((1L, yText, ts(10)))
+      q.processAllAvailable()
+      // filler advances the watermark to 210-100 = 110s == timeout
+      input.addData((90L, fill, ts(210)))
+      q.processAllAvailable()
+      // a no-data batch for doc 1's buckets: the eviction pass runs
+      // at wm == timeout and must NOT remove (strict inequality)
+      input.addData((91L, fill + " f2", ts(210)))
+      q.processAllAvailable()
+      input.addData((2L, yNear, ts(215)))
+      q.processAllAvailable()
+      val atBoundary = spark.table("neardup_boundary")
+        .filter(col("doc_b") === 2L).select("doc_a").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(atBoundary == Set(1L),
+        s"state at wm==timeout should survive; paired with $atBoundary")
+      // --- 1ms-past side: doc 11 at t=300s, timeout 400s
+      input.addData((11L, zText, ts(300)))
+      q.processAllAvailable()
+      // filler puts the watermark at 400.001s — 1ms past the timeout
+      input.addData((92L, fill + " f3", new Timestamp(500001L)))
+      q.processAllAvailable()
+      // no-data batch: doc 11's buckets time out (400 < 400.001)
+      input.addData((93L, fill + " f4", new Timestamp(500002L)))
+      q.processAllAvailable()
+      input.addData((12L, zNear, new Timestamp(501000L)))
+      q.processAllAvailable()
+      val pastBoundary = spark.table("neardup_boundary")
+        .filter(col("doc_b") === 12L).count()
+      assert(pastBoundary == 0,
+        s"state 1ms past timeout must be evicted; got $pastBoundary pairs")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: a hot-bucket flood is bounded by the ring " +
       "cap — a later arrival pairs with at most bucketCap members") {
     val input = MemoryStream[(Long, String, Timestamp)](spark)

@@ -336,6 +336,9 @@ object Gates {
               .filter(col("query_id") < 500))
           (parity + (if (recall >= 0.8) 0L else 1L)).toDouble
         }),
+      ("q141_ann_filtered_ivf", "recall_at_5_vs_exact_filtered", ">=", 0.8,
+        (s, d) => annRecall(search.Ann.filteredTopK.fn(s, d),
+          search.Ann.filteredIvfQ.fn(s, d))),
       ("q119_dim_recall", "curve_violations", "<=", 0.0,
         (s, d) => {
           // full-dim rung must reproduce the exact top-k verbatim

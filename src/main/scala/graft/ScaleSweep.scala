@@ -107,7 +107,16 @@ object ScaleSweep {
       // pairs are TRUE shared spans and output grows ~k² like
       // q123's — the sweep still bounds the input-side stages
       // (gram explode, sample, df-cap) which are the scale risk.
-      "q137_shared_spans")
+      "q137_shared_spans",
+      // q138 (the removal transform over q137's detection) shares
+      // q137's k² output caveat on the PAIR side, but its final
+      // output is one row per document (k-linear); the sweep bounds
+      // the same input-side stages plus the per-doc span-merge.
+      "q138_span_removal",
+      // q107/q108 are fixed-overhead-dominated at bench scale (5000
+      // docs); their sweep points pin that cost stays flat-to-linear
+      // in documents, closing the round-8 regression attribution.
+      "q107_temperature_sample", "q108_reservoir_sample")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

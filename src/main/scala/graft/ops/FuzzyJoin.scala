@@ -179,8 +179,19 @@ object FuzzyJoin {
       blockCol: String, strCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"deletion path supports d in 1..2, got $maxDist")
-    val s = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+    // Input-split decoupling (round-9 StageProbe finding): scan
+    // splits are sized by BYTES, but the ~80× variant explode below
+    // makes this stage CPU-bound — a few-MB parquet yields ≤3 map
+    // tasks and one ~58 s straggler that IS the 30× critical path
+    // (task skew 12× inside the map stage; the reduce side was
+    // clean). Spreading the narrow base across the full parallelism
+    // costs a few-MB shuffle and buys explode/hash-build parallelism
+    // independent of input bytes.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       col(strCol).as("str"), length(col(strCol)).as("len"))
+    val s = if (base.rdd.getNumPartitions < par) base.repartition(par)
+      else base
     // delete position p (0-based), 1-based substr arithmetic
     def del1(str: Column, len: Column, p: Column): Column =
       concat(str.substr(lit(1), p), str.substr(p + 2, len))

@@ -126,6 +126,101 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** q140 — exact FILTERED ANN: top-k under a metadata predicate
+    * (neighbor's label must equal the query's label — "search within
+    * my class", the pre-filter shape every production vector store
+    * exposes). Same scan/window plan as q35 with the equality pushed
+    * into the join condition, so non-matching vectors are dropped
+    * before any cosine is computed. Fully oracle-checked — the
+    * predicate is ANSI-expressible, so filtered-search correctness
+    * gets the strong gate, and [[filteredIvfQ]] measures the
+    * approximate path against this exact baseline.
+    */
+  val filteredTopK: QueryDef = QueryDef.sql(
+    "q140_ann_filtered",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+       |  label AS ql FROM embeddings WHERE vec_id < $NumQueries),
+       | s AS (SELECT query_id, vec_id AS neighbor_id,
+       |  list_cosine_similarity(CAST(qv AS DOUBLE[]),
+       |  CAST(embedding AS DOUBLE[])) AS sim
+       |  FROM q JOIN embeddings ON vec_id <> query_id AND label = ql),
+       | r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+       | SELECT query_id, neighbor_id, round(sim, 4) AS sim,
+       |  CAST(rn AS INT) AS rank FROM r WHERE rn <= $K
+       | ORDER BY query_id, rank""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("ql"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    broadcast(q)
+      .join(corpus, col("neighbor_id") =!= col("query_id") &&
+        col("label") === col("ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Filtered kNN through a built index: the same cell routing as
+    * [[knnQuery]], with the metadata predicate applied to candidates
+    * BEFORE any cosine — the filter-then-score order every filtered
+    * vector search wants (scoring then filtering wastes the work the
+    * index exists to avoid). `labels` attaches the metadata column
+    * to the assigned corpus — in a production index the column is
+    * carried in the assigned table at build/ingest time (exactly
+    * where [[assignVectors]] appends), making this join a no-op;
+    * keeping it external here leaves the shared standing index
+    * untouched.
+    *
+    * The recall caveat specific to FILTERED ANN: the predicate thins
+    * each probed cell (uniform 10-label data → ~1/10 density), so at
+    * a fixed nprobe the filtered candidate pool is ~10× smaller and
+    * boundary misses cost proportionally more recall — the
+    * q134-style remedy is a wider probe; q141 ships nprobe=12
+    * (RecallSpec/SPECGATES carry the measured recall).
+    */
+  def knnQueryFiltered(index: IvfIndex, queries: DataFrame,
+      labels: DataFrame, k: Int = K, nprobe: Int = 8): DataFrame = {
+    val probed = routeQueries(index, queries, nprobe)
+    val qLab = queries.select(col("vec_id").as("query_id"),
+      col("label").as("ql"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    probed.join(broadcast(qLab), "query_id")
+      .join(index.assigned, Seq("ccell", "fcell"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label")).hint("shuffle_hash"), "neighbor_id")
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("label") === col("ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /** q141 — filtered ANN through the shared standing IVF index.
+    * Rows-only; the gate measures recall@5 against q140's exact
+    * filtered scan.
+    */
+  val filteredIvfQ: QueryDef =
+    QueryDef.rowsOnly("q141_ann_filtered_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      knnQueryFiltered(cachedIndex(s, d, "full", emb),
+        emb.filter(col("vec_id") < NumQueries), emb, nprobe = 12)
+        .orderBy("query_id", "rank")
+    }
+
   /** IVF-style ANN: a k-means coarse quantizer (trained once over the
     * corpus) assigns every vector to a centroid cell; each query
     * probes its `nprobe` nearest cells and scores only those
@@ -804,5 +899,5 @@ object Ann {
 
   val defs: Seq[QueryDef] =
     Seq(bruteForce, lshTopK, ivfTopK, semDedup, quantize, dimRecall,
-      knnJoinQ, knnIncrementalQ)
+      knnJoinQ, knnIncrementalQ, filteredTopK, filteredIvfQ)
 }

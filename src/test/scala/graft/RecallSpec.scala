@@ -100,6 +100,17 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, s"IVF-PQ recall@5 = $r")
   }
 
+  test("q141 filtered IVF ANN: recall@5 >= 0.8 vs exact filtered scan") {
+    val exact = search.Ann.filteredTopK.fn(spark, sfSmall)
+      .select("query_id", "neighbor_id").cache()
+    val approx = search.Ann.filteredIvfQ.fn(spark, sfSmall)
+      .select("query_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    val r = hit.toDouble / exact.count()
+    assert(r >= 0.8, s"filtered IVF recall@5 = $r")
+  }
+
   test("q139 incremental IVF-PQ: append parity is exact and delta " +
       "recall@5 >= 0.8") {
     // parity: the appended persisted delta rows equal a batch replay

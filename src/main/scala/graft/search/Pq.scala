@@ -121,7 +121,7 @@ object Pq {
   /** The trained PQ index for an arbitrary corpus slice, cached per
     * (session, dir, variant).
     */
-  private[search] def sliceIndex(s: SparkSession, d: String,
+  private[graft] def sliceIndex(s: SparkSession, d: String,
       variant: String, corpus: => DataFrame)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     graft.Scale.purgeStopped(indexCache)

@@ -1151,10 +1151,102 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q142 — INTRA-document duplicate-n-gram signals, completing the
+    * Gopher repetition family (Rae et al. 2021, Table A1): q64 is the
+    * mode-TOKEN ratio and q98/q100 flag n-grams frequent ACROSS the
+    * corpus; what a self-repeating spam/template page trips is
+    * repetition WITHIN itself — the fraction of tokens claimed by the
+    * document's own most common 2-gram (Gopher's top-n-gram rule,
+    * threshold 0.20) and the fraction of token positions covered by a
+    * 5-gram occurring ≥ 2 times in the same document (Gopher's
+    * duplicate-n-gram rule, threshold 0.15). Both are per-document
+    * aggregates — the corpus never joins against itself, so the whole
+    * operator is two narrow (doc_id, ngram) shuffles + per-doc
+    * rollups: embarrassingly parallel at any corpus size. Ratios of
+    * exact counts emit as raw IEEE quotients and the flag as an INT
+    * (the q03/q64 parity discipline).
+    */
+  val intraDocRepetition: QueryDef = QueryDef.sql(
+    "q142_intradoc_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |   FROM documents),
+      | g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS ng
+      |   FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      |   WHERE len(toks) >= 2),
+      | top2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_c2 FROM
+      |   (SELECT doc_id, ng, count(*) AS c FROM g2 GROUP BY doc_id, ng)
+      |   GROUP BY doc_id),
+      | g5 AS (SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS ng
+      |   FROM t, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)
+      |   WHERE len(toks) >= 5),
+      | d5 AS (SELECT doc_id, ng FROM g5 GROUP BY doc_id, ng
+      |   HAVING count(*) >= 2),
+      | cov AS (SELECT DISTINCT g5.doc_id, p FROM g5 JOIN d5
+      |   ON g5.doc_id = d5.doc_id AND g5.ng = d5.ng,
+      |   UNNEST(generate_series(i, i + 4)) AS c(p)),
+      | covn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov
+      |   FROM cov GROUP BY doc_id)
+      | SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |   COALESCE(max_c2, 0) AS max_c2,
+      |   COALESCE(n_cov, 0) AS dup5_cov_toks,
+      |   CAST(COALESCE(max_c2, 0) * 2 AS DOUBLE) / len(toks) AS top2_frac,
+      |   CAST(COALESCE(n_cov, 0) AS DOUBLE) / len(toks) AS dup5_frac,
+      |   CAST(CASE WHEN
+      |     CAST(COALESCE(max_c2, 0) * 2 AS DOUBLE) / len(toks) > 0.2
+      |     OR CAST(COALESCE(n_cov, 0) AS DOUBLE) / len(toks) > 0.15
+      |    THEN 1 ELSE 0 END AS INT) AS flagged
+      | FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN covn USING (doc_id)
+      | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    intraDocRepetitionStats(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** Library entry behind q142 over any frame with (doc_id, text).
+    * The top-2-gram rule is faithful to Gopher: it is the MOST
+    * FREQUENT gram's token share even when that gram occurs once, so
+    * very short documents trip it trivially — Gopher composes it
+    * after a min-length rule (50 ≤ words), which here is q43's
+    * length gate / Curation's MinWords.
+    */
+  def intraDocRepetitionStats(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = documents.select(col("doc_id"), toks(col("text")).as("toks"))
+    val g2 = t.filter(size(col("toks")) >= 2).select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("ng"))
+    val top2 = g2.groupBy("doc_id", "ng").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_c2"))
+    val g5 = t.filter(size(col("toks")) >= 5).select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - lit(4)),
+        i => struct(i.as("i"),
+          concat_ws(" ", slice(col("toks"), i, lit(5))).as("ng")))).as("e"))
+      .select(col("doc_id"), col("e.i").as("i"), col("e.ng").as("ng"))
+    val d5 = g5.groupBy("doc_id", "ng").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("doc_id", "ng")
+    val cov = g5.join(d5, Seq("doc_id", "ng"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(4))).as("p"))
+      .distinct()
+    val covn = cov.groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+    val top2f = (coalesce(col("max_c2"), lit(0L)) * 2).cast("double") /
+      size(col("toks"))
+    val dup5f = coalesce(col("n_cov"), lit(0L)).cast("double") /
+      size(col("toks"))
+    t.join(top2, Seq("doc_id"), "left").join(covn, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        coalesce(col("max_c2"), lit(0L)).as("max_c2"),
+        coalesce(col("n_cov"), lit(0L)).as("dup5_cov_toks"),
+        top2f.as("top2_frac"), dup5f.as("dup5_frac"),
+        when(top2f > 0.2 || dup5f > 0.15, 1).otherwise(0)
+          .cast("int").as("flagged"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
     tfidfTerms, weightedSample, heavyHitters, qualityGate, repeatedNgrams,
-    maskRepeatedNgrams, sourceOverlap, wordEntropy, normalize)
+    maskRepeatedNgrams, sourceOverlap, wordEntropy, normalize,
+    intraDocRepetition)
 }

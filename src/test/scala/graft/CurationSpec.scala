@@ -98,6 +98,32 @@ class CurationSpec extends SparkSpec {
     assert(byId(4L) == ((5L, 0L, 0.0)))
   }
 
+  test("intraDocRepetitionStats: both Gopher rules fire on the right docs") {
+    import spark.implicits._
+    val fx = Seq(
+      // top-2-gram AND dup-5-gram both saturate: "a b" claims every
+      // token, and both distinct 5-grams repeat
+      (1L, "a b a b a b a b a b"),
+      // all tokens unique: nothing fires
+      (2L, "one two three four five six seven eight nine ten"),
+      // dup-5-gram ONLY: "c1..c5" repeats (10 of 20 positions) but
+      // the top 2-gram ("c1 c2", twice) is exactly 4/20 = 0.2, not
+      // above the threshold
+      (3L, "c1 c2 c3 c4 c5 f1 f2 f3 f4 f5 c1 c2 c3 c4 c5 f6 f7 f8 f9 f10"),
+      // short doc: top-2-gram rule fires trivially (1.0) — faithful
+      // to Gopher, which composes AFTER a min-length rule
+      (4L, "hi there")
+    ).toDF("doc_id", "text")
+    val out = text.TextAnalysis.intraDocRepetitionStats(fx)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6))).toMap
+    assert(out(1L) == ((10L, 5L, 10L, 1.0, 1.0, 1)))
+    assert(out(2L) == ((10L, 1L, 0L, 0.2, 0.0, 0)))
+    assert(out(3L) == ((20L, 2L, 10L, 0.2, 0.5, 1)))
+    assert(out(4L) == ((2L, 1L, 0L, 1.0, 0.0, 1)))
+  }
+
   test("maskRepeatedNgramSpans drops exactly the covered tokens, keeps order") {
     import spark.implicits._
     val fx = Seq(

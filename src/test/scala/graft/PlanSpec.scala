@@ -283,6 +283,30 @@ class PlanSpec extends SparkSpec {
       "cell-code scan carries no dynamic partition-pruning filter:\n" + p)
   }
 
+  test("q141: filtered ANN keeps the metadata filter on equi-join " +
+      "paths — no cartesian, no sort-merge, labels shuffle-hashed") {
+    val p = plan(search.Ann.filteredIvfQ.fn(spark, sfSmall))
+    assert(!p.contains("CartesianProduct"), p)
+    // probe set and query-label table broadcast onto the candidates
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-label attach is pinned shuffle_hash (corpus-sized
+    // side must never be broadcast or sort-merged)
+    assert(p.contains("ShuffledHashJoin"),
+      "labels join is not a shuffled hash join:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only nested loop allowed is the routing's one-row coarse
+    // cross join
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filter(l => l.contains("+-") || l.contains(":-")).toSeq
+    assert(bnlj.forall(_.contains("Cross Build")),
+      "non-scalar nested loop: " + bnlj.mkString("; ") + "\n" + p)
+    // the label predicate survives as an equality on the candidate
+    // path (filter-then-score: candidates drop before any cosine)
+    assert(p.contains("(label") || p.contains("label#"),
+      "label predicate disappeared from the plan:\n" + p)
+  }
+
   test("loaded IVF index: the candidate join prunes assigned/ cell " +
       "partitions dynamically") {
     // The save-side contract is `partitionBy("ccell")`; the load-side

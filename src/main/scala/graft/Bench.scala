@@ -85,21 +85,27 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val n = if (warm) reps.max(5) else reps
       val base = (1 to n).map(_ => once(fn))
-      // Rep 1 of a non-warm query pays that query's plan/codegen
+      // Rep 1 of a NON-warm query pays that query's plan/codegen
       // compilation — genuine one-time cost, recorded separately as
-      // `cold` so it never inflates the steady-state spread. The
-      // spread loop then re-runs queries whose WARM reps still
-      // disagree by > SpreadBound, so a transient host stall gets
-      // out-voted by more samples instead of standing as the number.
+      // `cold` so it never inflates the steady-state spread. Warm-
+      // family queries already ran an untimed warmup, so ALL their
+      // measured reps are steady-state (no cold split — labeling
+      // their first rep "cold" would discard a real sample and
+      // contradict the `warmed` flag).
       var times = base
-      def warmReps = if (times.size > 1) times.tail else times
-      var extra = 0
-      while (extra < ExtraRepBudget && warmReps.max > SpreadFloorSec &&
-          warmReps.max / math.max(warmReps.min, 1e-9) > SpreadBound) {
-        times = times :+ once(fn)
-        extra += 1
-      }
-      name -> (times, warm, extra)
+      def warmReps =
+        if (warm || times.size == 1) times else times.tail
+      // max/min over a growing sample never shrinks, so the spread
+      // check is a one-shot trigger, not a convergence loop: if the
+      // warm reps disagree by > SpreadBound, buy ExtraRepBudget more
+      // samples so the min/median the artifact headlines rest on
+      // more than a lucky pair — a transient host stall gets
+      // out-voted in the robust statistics even though the recorded
+      // max (and therefore warm_spread) is sticky by construction.
+      if (warmReps.max > SpreadFloorSec &&
+          warmReps.max / math.max(warmReps.min, 1e-9) > SpreadBound)
+        times = times ++ (1 to ExtraRepBudget).map(_ => once(fn))
+      name -> (times, warm, times.size - n)
     }
     // Locale.ROOT keeps the artifact valid JSON on comma-decimal
     // default locales.
@@ -108,9 +114,12 @@ object Bench {
     val qs = results.map { case (k, (ts, _, _)) => s"\"$k\":${f(ts.min)}" }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, (ts, warm, extra)) =>
-      val wr = if (ts.size > 1) ts.tail else ts
+      val wr = if (warm || ts.size == 1) ts else ts.tail
       val spread = wr.max / math.max(wr.min, 1e-9)
-      s"""\"$k\":{"cold":${f(ts.head)},"min":${f(ts.min)},""" +
+      // cold = plan/codegen-compilation rep; warm-family queries
+      // paid that in the untimed warmup, so they have no cold rep
+      val cold = if (warm) "null" else f(ts.head)
+      s"""\"$k\":{"cold":$cold,"min":${f(ts.min)},""" +
         s""""median":${f(median(ts))},"max":${f(ts.max)},""" +
         s""""warm_spread":${f(spread)},"n":${ts.size},""" +
         s""""extra_reps":$extra,"warmed":$warm}"""

@@ -23,17 +23,22 @@ import org.apache.spark.sql.SparkSession
   */
 object StageProbe {
   private class Collector extends SparkListener {
+    // One lock covers every mutation AND clear(): the listener bus is
+    // async, so a straggler onTaskEnd racing a between-reps clear()
+    // must see either the old epoch or the new one atomically — a
+    // getOrElseUpdate/apply pair interleaved with clear() would throw
+    // inside the listener (silently dropping the sample) or leak a
+    // prior rep's stages into the next rep's attribution.
+    private val lock = new Object
     val taskTimes = TrieMap[Int, ArrayBuffer[Long]]()
     val shuffleRead = TrieMap[Int, Long]()
     val spill = TrieMap[Int, Long]()
     val names = TrieMap[Int, String]()
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
-      if (m != null) {
-        taskTimes.getOrElseUpdate(e.stageId, ArrayBuffer())
-          .synchronized {
-            taskTimes(e.stageId) += m.executorRunTime
-          }
+      if (m != null) lock.synchronized {
+        taskTimes.getOrElseUpdate(e.stageId, ArrayBuffer()) +=
+          m.executorRunTime
         shuffleRead.put(e.stageId, shuffleRead.getOrElse(e.stageId, 0L) +
           m.shuffleReadMetrics.totalBytesRead)
         spill.put(e.stageId, spill.getOrElse(e.stageId, 0L) +
@@ -41,10 +46,18 @@ object StageProbe {
       }
     }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-      names.put(e.stageInfo.stageId,
-        e.stageInfo.name.takeWhile(_ != '\n').take(60))
-    def clear(): Unit = {
+      lock.synchronized {
+        names.put(e.stageInfo.stageId,
+          e.stageInfo.name.takeWhile(_ != '\n').take(60))
+      }
+    def clear(): Unit = lock.synchronized {
       taskTimes.clear(); shuffleRead.clear(); spill.clear(); names.clear()
+    }
+    /** Stable snapshot for reporting (taken under the same lock). */
+    def snapshot(): (Map[Int, Seq[Long]], Map[Int, Long], Map[Int, Long],
+        Map[Int, String]) = lock.synchronized {
+      (taskTimes.map { case (k, v) => k -> v.toSeq }.toMap,
+        shuffleRead.toMap, spill.toMap, names.toMap)
     }
   }
 
@@ -74,18 +87,19 @@ object StageProbe {
         fn(spark, dir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(1500) // let the async listener bus drain
-        val stages = coll.taskTimes.toSeq.map { case (sid, ts) =>
-          val sorted = ts.toSeq.sorted
+        val (taskTimes, shufRead, spills, nameMap) = coll.snapshot()
+        val stages = taskTimes.toSeq.map { case (sid, ts) =>
+          val sorted = ts.sorted
           val med = if (sorted.isEmpty) 0L else sorted(sorted.size / 2)
           val mx = if (sorted.isEmpty) 0L else sorted.last
           (sid, sorted.size, sorted.sum / 1e3, mx / 1e3,
             med / 1e3, if (med > 0) mx.toDouble / med else 0.0,
-            coll.shuffleRead.getOrElse(sid, 0L) / 1e6,
-            coll.spill.getOrElse(sid, 0L) / 1e6)
+            shufRead.getOrElse(sid, 0L) / 1e6,
+            spills.getOrElse(sid, 0L) / 1e6)
         }.sortBy(-_._3).take(6)
         val stageJson = stages.map { case (sid, n, sum, mx, med, ratio,
             sr, sp) =>
-          s"""{"stage":$sid,"name":"${coll.names.getOrElse(sid, "?")}",""" +
+          s"""{"stage":$sid,"name":"${nameMap.getOrElse(sid, "?")}",""" +
             s""""tasks":$n,"task_time_sum_s":${f(sum)},""" +
             s""""task_max_s":${f(mx)},"task_med_s":${f(med)},""" +
             s""""max_over_med":${f(ratio)},"shuffle_read_mb":${f(sr)},""" +
@@ -93,7 +107,7 @@ object StageProbe {
         }.mkString("[", ",", "]")
         println(f"STAGEPROBE $name rep=$rep wall=${f(wall)}s")
         stages.foreach { case (sid, n, sum, mx, med, ratio, sr, sp) =>
-          println(f"  stage $sid%5d ${coll.names.getOrElse(sid, "?")}%-40s " +
+          println(f"  stage $sid%5d ${nameMap.getOrElse(sid, "?")}%-40s " +
             f"tasks=$n%4d sum=${f(sum)}%8ss max=${f(mx)}%7ss " +
             f"med=${f(med)}%7ss skew=${f(ratio)}%5s " +
             f"shufMB=${f(sr)}%8s spillMB=${f(sp)}%8s")

@@ -1274,9 +1274,17 @@ object Dedup {
     * detection (Lee et al. 2022 §4 removes every duplicated span from
     * all but one occurrence; q137 only reports the pairs). A document
     * keeps a span iff it is that span's canonical occurrence — the
-    * min-doc_id holder — and loses the covered tokens otherwise, so
-    * exactly one verbatim copy of every duplicated span survives the
-    * corpus. Signal granularity is IDENTICAL to q137 by construction:
+    * min-doc_id holder (df counts DISTINCT docs) — and loses the
+    * covered tokens otherwise. Two precise edges of that rule: a
+    * keeper doc that repeats the span INTERNALLY keeps all of its own
+    * occurrences (the canonical unit is the document, matching Lee et
+    * al.'s cross-document setting; q142 handles intra-doc
+    * repetition), and the canonical copy of span A can still lose
+    * tokens to an OVERLAPPING span B whose keeper is another doc —
+    * interval union is deliberately unconditional, trading "exactly
+    * one copy survives" for never emitting a partially-deduped
+    * overlap region. Signal granularity is IDENTICAL to q137 by
+    * construction:
     * the same winnowing-style md5-'0' content sample (so removal sees
     * the same 1/16 of span values detection saw), the same
     * [[SpanDfCap]] boilerplate guard, plus df ≥ 2 (a span in one doc

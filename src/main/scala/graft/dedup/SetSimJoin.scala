@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.{QueryDef, Tables}
 import graft.functions.HashFunctions.sorted_intersect_size
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity self-join via prefix filtering (the
@@ -29,10 +30,14 @@ import org.apache.spark.sql.functions._
   * Threshold parity with the oracle: t = 0.6 compares as the IEEE
   * double 0.59999…; for set sizes ≪ 10⁶ no integer ratio i/u lands
   * between the double and the rational 3/5, so `jaccard >= 0.6` is
-  * decided identically by both engines, and the Spark-side integer
-  * pruning bounds (5·|b| ≥ 3·|a|, prefix length from `ceil(0.6·sz)`)
-  * are provably conservative for the rational threshold — pruning
-  * never drops a pair the final filter would keep.
+  * decided identically by both engines. The pruning bounds (length
+  * ratio and prefix length) are evaluated in SCALED INTEGER
+  * arithmetic against num/den = ⌊t·10⁶⌋/10⁶ ≤ t — a floor-scaled
+  * threshold can only loosen a necessary condition, so pruning never
+  * drops a pair the final filter would keep, for ANY caller-supplied
+  * t (a direct float product like `sb ≥ sa·t` does not have this
+  * property: the product can round UP past the exact rational and
+  * prune a boundary pair).
   *
   * The reference has no similarity operators at all (its nearest is
   * the cosine item-item grid, `OfflineRecommender.scala:80-90`); this
@@ -54,6 +59,22 @@ object SetSimJoin {
   def prefixCandidates(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, t: Double = Threshold)
       : org.apache.spark.sql.DataFrame = {
+    // Scaled-integer threshold num/den = floor(t*10^6)/10^6 <= t:
+    // every bound below uses exact long arithmetic against it, so a
+    // float product can never round UP past the exact rational and
+    // prune a boundary pair (conservative for ANY t, not just the
+    // default — see the object scaladoc). At t = 0.6 the prefix
+    // length is identical to the rational ceil(3s/5) bound for all
+    // set sizes below 200k tokens.
+    val num = math.max(0L, math.floor(t * 1000000d).toLong)
+    val den = 1000000L
+    // exact floor division of non-negative longs (values stay well
+    // inside double's 2^53 exact-integer range)
+    def floorDiv(x: Column, d: Long): Column =
+      ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+    // exact ceil(sz*num/den) <= the rational ceil(t*sz)
+    def ceilT(sz: Column): Column =
+      floorDiv(sz.cast("long") * num + (den - 1), den)
     val toks = docs.select(col(idCol).as("doc_id"),
       array_distinct(split(col(textCol), " ")).as("toks"))
     val ex = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -68,21 +89,23 @@ object SetSimJoin {
         .as("ord"))
       .select(col("doc_id"), size(col("ord")).as("sz"),
         explode(slice(transform(col("ord"), _.getField("tok")), lit(1),
-          // prefix length |s| - ceil(t*|s|) + 1; conservative for the
-          // rational threshold (see scaladoc)
-          (size(col("ord")) - ceil(size(col("ord")) * lit(t)) + 1)
+          // prefix length |s| - ceil(t*|s|) + 1, ceil in scaled
+          // integers (never shorter than the rational bound requires)
+          (size(col("ord")) - ceilT(size(col("ord"))) + 1)
             .cast("int"))).as("tok"))
     val a = pref.select(col("tok"), col("doc_id").as("doc_a"),
       col("sz").as("sa"))
     val b = pref.select(col("tok"), col("doc_id").as("doc_b"),
       col("sz").as("sb"))
     // candidates: share a prefix token + length bound derived from t
-    // (J >= t forces min >= t*max, since J <= min/max for sets);
+    // (J >= t forces min >= t*max, since J <= min/max for sets) in
+    // scaled integers: sb*den >= sa*num is implied by sb >= sa*t;
     // distinct before the verify join so a pair sharing k prefix
     // tokens verifies once
     a.join(b, "tok")
       .filter(col("doc_a") < col("doc_b") &&
-        col("sb") >= col("sa") * lit(t) && col("sa") >= col("sb") * lit(t))
+        col("sb").cast("long") * den >= col("sa").cast("long") * num &&
+        col("sa").cast("long") * den >= col("sb").cast("long") * num)
       .select("doc_a", "doc_b").distinct()
   }
 

@@ -136,9 +136,19 @@ object Pq {
   /** PQ-encode `emb` against FROZEN codebooks — the ingest half of
     * incremental indexing (no k-means touched): per subspace, the
     * euclidean-argmin centroid id over the broadcast 16-entry
-    * codebook, lowest index on ties (KMeansModel.predict's rule), as
-    * one codegen'd expression per subspace. O(Δ · M · Codebook ·
-    * SubDim) flops on the new batch only.
+    * codebook, lowest index on exact ties (KMeansModel.predict's
+    * tie rule), as one codegen'd expression per subspace. O(Δ · M ·
+    * Codebook · SubDim) flops on the new batch only.
+    *
+    * Equivalence caveat: model.transform computes distances through
+    * MLlib's norm-trick `fastSquaredDistance`, this expression sums
+    * (x−y)² directly — a subvector equidistant to two centroids
+    * WITHIN the two formulas' float disagreement (~1e-12 relative)
+    * could encode to either; both are equally near, so a divergence
+    * costs nothing (and the q139 parity gate compares append vs
+    * batch through THIS encoder on both sides, so index consistency
+    * never depends on the equivalence). RecallSpec pins exact
+    * agreement on the spec fixture.
     */
   def encodeAgainst(emb: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame = {
@@ -163,9 +173,10 @@ object Pq {
   /** Query LUT table (query_id, lut0..lut{M-1}) — index metadata
     * (M × Codebook inner products per query, a few hundred doubles),
     * built from the collected query vectors like IVF builds its probe
-    * list from clusterCenters. The collect is bounded: NumQueries
-    * rows. Shared by the flat-ADC scan (q84) and the IVF-routed ADC
-    * (q136).
+    * list from clusterCenters. The collect is bounded by the CALLER'S
+    * query batch (the bounded-query-batch contract on [[adcSearch]]).
+    * Shared by the flat-ADC scan (q84), the IVF-routed ADC (q136),
+    * and the incremental lookup (q139).
     */
   private def lutTable(s: SparkSession, queries: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame = {
@@ -317,6 +328,13 @@ object Pq {
     * shortlist, re-rank exactly against `rerankCorpus`. The probe set
     * and LUT table broadcast; the cell-code join is the DPP-eligible
     * scan PlanSpec pins.
+    *
+    * Bounded-query-batch contract (q36's LSH discipline): the LUT
+    * collect and the probe/qv broadcasts size with the QUERY side, so
+    * this operator serves batches of ≲10⁵ queries — the online-serving
+    * and batch-ingest-lookup shape. An unbounded query side (e.g. an
+    * all-to-all self-join) must chunk into batches or take the
+    * [[Ann.knnJoin]] route, whose joins shuffle both sides.
     */
   private def adcSearch(index: Ann.IvfIndex,
       books: Array[Array[Array[Double]]], cellCodes: DataFrame,
@@ -428,8 +446,11 @@ object Pq {
     * ccell-partitioned cell-code table — then every delta vector is
     * searched through the appended index (ADC over probed cells,
     * exact re-rank vs the full corpus). nprobe 10, q134's
-    * out-of-sample widening. Rows-only; the gate combines delta
-    * recall@5 ≥ 0.8 with pair-for-pair append-vs-batch parity.
+    * out-of-sample widening. The delta slice stands in for ONE
+    * ingest batch — at scale both the encode-append and the lookup
+    * run per bounded batch (the [[adcSearch]] contract), never over
+    * an unbounded accumulated delta. Rows-only; the gate combines
+    * delta recall@5 ≥ 0.8 with pair-for-pair append-vs-batch parity.
     */
   val ivfPqIncremental: QueryDef =
     QueryDef.rowsOnly("q139_ivfpq_incremental") { (s, d) =>

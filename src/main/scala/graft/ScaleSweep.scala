@@ -116,7 +116,14 @@ object ScaleSweep {
       // q107/q108 are fixed-overhead-dominated at bench scale (5000
       // docs); their sweep points pin that cost stays flat-to-linear
       // in documents, closing the round-8 regression attribution.
-      "q107_temperature_sample", "q108_reservoir_sample")
+      "q107_temperature_sample", "q108_reservoir_sample",
+      // round-9 additions: incremental IVF-PQ ingest+lookup, filtered
+      // IVF search (replicated-corpus recall saturates — exact-dup
+      // replicas dominate top-5 — so the informative sweep signal is
+      // the warm latency), and the intra-doc repetition signals
+      // (per-doc aggregates, the cleanest linear-scaling candidate).
+      "q139_ivfpq_incremental", "q141_ann_filtered_ivf",
+      "q142_intradoc_repetition")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

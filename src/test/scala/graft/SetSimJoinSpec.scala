@@ -58,6 +58,23 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got.head._3 == 0.6d)
   }
 
+  test("caller-supplied threshold: boundary pair at J == t survives " +
+      "the pruning bounds (scaled-integer regression)") {
+    import spark.implicits._
+    // t = 0.07, |a| = 100, |b| = 7, all 7 of b's tokens in a:
+    // J = 7/100 = 0.07 >= t. The old float length bound pruned this
+    // pair (100 * 0.07 rounds to 7.000000000000001 > 7); the
+    // floor-scaled integer bound must keep it.
+    val aToks = (1 to 100).map(i => s"w$i").mkString(" ")
+    val bToks = (1 to 7).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, aToks), (2L, bToks)).toDF("doc_id", "text")
+    val pairs = dedup.SetSimJoin
+      .allPairs(docs, "doc_id", "text", t = 0.07)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"J==t boundary pair pruned at t=0.07: $pairs")
+  }
+
   test("disjoint and identical sets behave at the extremes") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
     val got = run(docs)

@@ -439,6 +439,32 @@ object Pq {
     appended.exceptAll(batch).count() + batch.exceptAll(appended).count()
   }
 
+  /** Streaming vector ingest into a standing IVF·PQ index — the
+    * ONLINE half of the index lifecycle q139 exercises in batch:
+    * each micro-batch of (vec_id, embedding) rows is assigned to the
+    * frozen quantizer's cells, PQ-encoded against the frozen
+    * codebooks, and APPENDED to the persisted ccell-partitioned
+    * cell-code table ([[deltaCellCodes]] + [[appendCellCodes]] per
+    * batch — O(batch) work, no retrain, no corpus rewrite), so
+    * lookups serve from an index that is seconds behind the stream.
+    * Quantizer refresh stays on the maintenance schedule (rebuild
+    * when drift warrants — [[graft.search.Embeddings]]' KS drift is
+    * the trigger signal), exactly how production vector stores split
+    * ingest from (re)indexing. StreamingSpec pins multi-batch
+    * accumulation and append-vs-batch parity.
+    */
+  def streamingIngest(vecs: DataFrame, index: Ann.IvfIndex,
+      books: Array[Array[Array[Double]]], dir: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendCellCodes(deltaCellCodes(index, batch, books), dir)
+      }
+      .start()
+
   /** q139 — incremental IVF·PQ ingest + lookup (q134's O(Δ) story
     * carried to the composed index): the 1-in-10 vec_id slice is the
     * newly-ingested batch — assigned and PQ-encoded against the

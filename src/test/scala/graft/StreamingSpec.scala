@@ -347,6 +347,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vector ingest: micro-batches append to the standing " +
+      "IVF-PQ index with batch parity") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val corpus = emb.filter(col("vec_id") < 100)
+    val index = search.Ann.buildIvfIndex(corpus)
+    val (_, books) = search.Pq.encode(corpus)
+    val dir = Files.createTempDirectory("graft_stream_ingest").toString
+    // standing corpus codes, then two streamed delta micro-batches
+    search.Pq.saveCellCodes(
+      search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx")
+    val deltaRows = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = search.Pq.streamingIngest(
+      input.toDF().toDF("vec_id", "embedding"), index, books,
+      s"$dir/idx", s"$dir/ckpt")
+    try {
+      input.addData(deltaRows.take(10))
+      q.processAllAvailable()
+      input.addData(deltaRows.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val appended = search.Pq.loadCellCodes(spark, s"$dir/idx")
+    assert(appended.count() == 120,
+      s"expected 100 corpus + 20 streamed rows, got ${appended.count()}")
+    // streamed rows match the batch computation pair-for-pair
+    val streamed = appended.filter(col("neighbor_id") >= 100)
+      .select((col("neighbor_id") +: col("ccell").cast("int") +:
+        col("fcell").cast("int") +:
+        (0 until search.Pq.M).map(m => col(s"code$m").cast("int"))): _*)
+    val batch = search.Pq.deltaCellCodes(index,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 120), books)
+      .select((col("neighbor_id") +: col("ccell").cast("int") +:
+        col("fcell").cast("int") +:
+        (0 until search.Pq.M).map(m => col(s"code$m").cast("int"))): _*)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("partitioned upsert: replay-idempotent, rewrites only touched " +
       "buckets") {
     val dir = Files.createTempDirectory("graft_upsert_part").toString + "/t"

@@ -339,7 +339,7 @@ object Pq {
   private def adcSearch(index: Ann.IvfIndex,
       books: Array[Array[Array[Double]]], cellCodes: DataFrame,
       queries: DataFrame, rerankCorpus: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
     val s = queries.sparkSession
     val luts = lutTable(s, queries, books)
     val probed = Ann.routeQueries(index, queries, nprobe)
@@ -349,9 +349,15 @@ object Pq {
     val shortlist = math.max(64, nprobe * 1000 / 8)
     val shortW = Window.partitionBy("query_id")
       .orderBy(desc("adc_sim"), asc("neighbor_id"))
+    // excludeSelf only when query ids LIVE in the corpus id space
+    // (q84/q136/q139's member queries); an external query stream's
+    // ids share no namespace with vec_ids, and filtering there would
+    // silently suppress an id-colliding corpus vector.
+    val selfGuard =
+      if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true)
     val short = cellCodes.join(broadcast(probed), Seq("ccell", "fcell"))
       .join(broadcast(luts), "query_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(selfGuard)
       .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc_sim"))
       .withColumn("srn", row_number().over(shortW))
       .filter(col("srn") <= shortlist)
@@ -439,19 +445,49 @@ object Pq {
     appended.exceptAll(batch).count() + batch.exceptAll(appended).count()
   }
 
+  /** One ingest micro-batch against a standing index dir: appends
+    * the batch's cell codes (the ~9 B/vector scan tier) AND its raw
+    * vectors (`dir/vectors` — the re-rank tier [[streamingLookup]]
+    * reads, so newly ingested vectors are actually servable), both
+    * guarded by a batch-id marker so a foreachBatch REPLAY (Spark's
+    * at-least-once recovery) is a no-op instead of duplicating index
+    * rows. The marker commits after the writes: a crash inside the
+    * window between a data-file commit and the marker leaves one
+    * batch duplicated on replay — closing that window takes a
+    * transactional table format, which this sandbox cannot resolve
+    * (the `mergeInto` sidecar precedent); the marker reduces
+    * at-least-once to that single crash window instead of every
+    * restart.
+    */
+  def ingestBatch(index: Ann.IvfIndex,
+      books: Array[Array[Array[Double]]], dir: String,
+      batchId: Long, batch: DataFrame): Unit = {
+    val marker = java.nio.file.Paths.get(dir, "_ingest_batches",
+      batchId.toString)
+    if (java.nio.file.Files.exists(marker) || batch.isEmpty) return
+    val b = batch.persist()
+    try {
+      appendCellCodes(deltaCellCodes(index, b, books), dir)
+      b.select(col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(s"$dir/vectors")
+    } finally b.unpersist()
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+  }
+
   /** Streaming vector ingest into a standing IVF·PQ index — the
     * ONLINE half of the index lifecycle q139 exercises in batch:
-    * each micro-batch of (vec_id, embedding) rows is assigned to the
-    * frozen quantizer's cells, PQ-encoded against the frozen
-    * codebooks, and APPENDED to the persisted ccell-partitioned
-    * cell-code table ([[deltaCellCodes]] + [[appendCellCodes]] per
-    * batch — O(batch) work, no retrain, no corpus rewrite), so
-    * lookups serve from an index that is seconds behind the stream.
-    * Quantizer refresh stays on the maintenance schedule (rebuild
-    * when drift warrants — [[graft.search.Embeddings]]' KS drift is
-    * the trigger signal), exactly how production vector stores split
-    * ingest from (re)indexing. StreamingSpec pins multi-batch
-    * accumulation and append-vs-batch parity.
+    * each micro-batch of (vec_id, embedding) rows runs
+    * [[ingestBatch]] (assign to the frozen quantizer's cells,
+    * PQ-encode against the frozen codebooks, append codes + raw
+    * vectors, batch-id idempotency marker) — O(batch) work, no
+    * retrain, no corpus rewrite — so lookups serve from an index
+    * that is seconds behind the stream. Quantizer refresh stays on
+    * the maintenance schedule (rebuild when drift warrants —
+    * [[graft.search.Embeddings]]' KS drift is the trigger signal),
+    * exactly how production vector stores split ingest from
+    * (re)indexing. StreamingSpec pins multi-batch accumulation,
+    * append-vs-batch parity, and replay idempotence.
     */
   def streamingIngest(vecs: DataFrame, index: Ann.IvfIndex,
       books: Array[Array[Array[Double]]], dir: String,
@@ -460,8 +496,60 @@ object Pq {
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendCellCodes(deltaCellCodes(index, batch, books), dir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatch(index, books, dir, id, batch)
+      }
+      .start()
+
+  /** Streaming ANN lookup against the standing composed index — the
+    * SERVING half next to [[streamingIngest]]: each micro-batch of
+    * (vec_id, embedding) query rows is one bounded query batch
+    * through the ADC search (LUTs and probe sets size with the
+    * batch, satisfying [[adcSearch]]'s contract by construction).
+    * Both index tiers are RE-READ from `dir` per batch — the cell
+    * codes AND the ingested raw vectors (unioned with the standing
+    * `rerankCorpus` for the exact re-rank) — so lookups serve
+    * vectors the ingest stream appended in earlier triggers, not
+    * just the corpus the index was built over. Query ids are an
+    * external namespace: no self-exclusion is applied (an id
+    * collision with a corpus vec_id must not suppress that vector).
+    * nprobe defaults to 10 — streamed queries are out-of-sample,
+    * q134/q139's widening. `sink` receives (results, batchId) with
+    * foreachBatch's at-least-once semantics: on crash recovery the
+    * last batch REPLAYS, so a sink that appends results downstream
+    * must dedup on the batch id for exactly-once output.
+    */
+  def streamingLookup(queryStream: DataFrame, index: Ann.IvfIndex,
+      books: Array[Array[Array[Double]]], dir: String,
+      rerankCorpus: DataFrame, checkpoint: String, nprobe: Int = 10)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.persist()
+          try {
+            val ingested =
+              if (new java.io.File(s"$dir/vectors").exists())
+                Seq(s.read.parquet(s"$dir/vectors"))
+              else Seq.empty
+            // ids are disjoint by the ingest contract (new vectors get
+            // new ids); dropDuplicates guards the overlap case where
+            // the standing store already contains an ingested id —
+            // the copies carry the same embedding, so which row
+            // survives is immaterial, but scoring it twice would
+            // burn a top-k slot
+            val rerank = (rerankCorpus.select("vec_id", "embedding") +:
+              ingested.map(_.select("vec_id", "embedding")))
+              .reduce(_ unionByName _)
+              .dropDuplicates("vec_id")
+            sink(adcSearch(index, books, loadCellCodes(s, dir),
+              b, rerank, nprobe, excludeSelf = false), id)
+          } finally b.unpersist()
+        }
       }
       .start()
 

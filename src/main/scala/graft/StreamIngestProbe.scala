@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput point for the streaming index lifecycle: vectors
+  * ingested per second through [[graft.search.Pq.streamingIngest]]'s
+  * per-batch assign+encode+append, and queries served per second
+  * through [[graft.search.Pq.streamingLookup]]'s per-batch bounded
+  * ADC search — measured over MemoryStream micro-batches with the
+  * first batch excluded (it pays plan/codegen warmup), mirroring
+  * StreamNearDupProbe's protocol.
+  *
+  *   sbt "runMain graft.StreamIngestProbe /root/testdata/sf0.1"
+  */
+object StreamIngestProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "8").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def f(x: Double): String = String.format(java.util.Locale.ROOT,
+      "%.1f", java.lang.Double.valueOf(x))
+    val emb = Tables.embeddings(spark, d)
+    val n = emb.count()
+    val corpus = emb.filter(col("vec_id") < n / 2)
+    val delta = emb.filter(col("vec_id") >= n / 2)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val index = search.Ann.buildIvfIndex(corpus)
+    val (_, books) = search.Pq.encode(corpus)
+    val dir = Scale.managedTempDir("graft_stream_probe").toString
+    search.Pq.saveCellCodes(
+      search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx")
+
+    // ingest: delta split across `batches` micro-batches
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val iq = search.Pq.streamingIngest(
+      in.toDF().toDF("vec_id", "embedding"), index, books,
+      s"$dir/idx", s"$dir/ckpt_i")
+    val slices = delta.grouped(math.max(1, delta.length / batches)).toSeq
+    var ingested = 0L; var ingestNanos = 0L
+    try slices.zipWithIndex.foreach { case (sl, i) =>
+      val t0 = System.nanoTime()
+      in.addData(sl)
+      iq.processAllAvailable()
+      if (i > 0) { ingested += sl.length; ingestNanos += System.nanoTime() - t0 }
+    } finally iq.stop()
+    val ingestRate =
+      if (ingestNanos > 0) ingested / (ingestNanos / 1e9) else 0.0
+
+    // lookup: the same vectors as external queries (fresh id space)
+    val queries = delta.map { case (id, v) => (1000000L + id, v) }
+    val qin = MemoryStream[(Long, Array[Float])](spark)
+    var served = 0L; var lookupNanos = 0L
+    val lq = search.Pq.streamingLookup(
+      qin.toDF().toDF("vec_id", "embedding"), index, books,
+      s"$dir/idx", emb, s"$dir/ckpt_l") { (res, _) => res.count(); () }
+    val qslices = queries.grouped(math.max(1, queries.length / batches)).toSeq
+    try qslices.zipWithIndex.foreach { case (sl, i) =>
+      val t0 = System.nanoTime()
+      qin.addData(sl)
+      lq.processAllAvailable()
+      if (i > 0) { served += sl.length; lookupNanos += System.nanoTime() - t0 }
+    } finally lq.stop()
+    val qps = if (lookupNanos > 0) served / (lookupNanos / 1e9) else 0.0
+
+    println(s"STREAMINGEST $d corpus=${n / 2} delta=${delta.length} " +
+      s"batches=$batches ingest_vec_per_s=${f(ingestRate)} " +
+      s"lookup_q_per_s=${f(qps)}")
+    println(s"""PROBE_JSON {"probe":"streaming_index_throughput",""" +
+      s""""dir":"$d","corpus_rows":${n / 2},"delta_rows":${delta.length},""" +
+      s""""batches":$batches,"ingest_vec_per_sec":${f(ingestRate)},""" +
+      s""""lookup_q_per_sec":${f(qps)}}""")
+    spark.stop()
+  }
+}

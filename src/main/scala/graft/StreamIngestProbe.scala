@@ -34,9 +34,14 @@ object StreamIngestProbe {
     val delta = emb.filter(col("vec_id") >= n / 2)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val index = search.Ann.buildIvfIndex(corpus)
-    val (_, books) = search.Pq.encode(corpus)
+    // Standing index in its DEPLOYED form: persisted and re-loaded,
+    // so the assigned corpus (the keyed re-rank tier) is a
+    // ccell-partitioned parquet scan the lookup can prune — the
+    // in-memory build would silently measure an unprunable store.
     val dir = Scale.managedTempDir("graft_stream_probe").toString
+    search.Ann.saveIvfIndex(search.Ann.buildIvfIndex(corpus), s"$dir/ivf")
+    val index = search.Ann.loadIvfIndex(spark, s"$dir/ivf")
+    val (_, books) = search.Pq.encode(corpus)
     search.Pq.saveCellCodes(
       search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx")
 
@@ -56,29 +61,44 @@ object StreamIngestProbe {
     val ingestRate =
       if (ingestNanos > 0) ingested / (ingestNanos / 1e9) else 0.0
 
-    // lookup: the same vectors as external queries (fresh id space)
+    // lookup: the same vectors as external queries (fresh id space),
+    // BOTH exact-tier shapes measured head-to-head on the same
+    // persisted index — the flat per-trigger union scan vs the keyed
+    // (ccell-pruned) join — so streamingLookup's cutover default is
+    // a measured decision, not an asserted one.
     val queries = delta.map { case (id, v) => (1000000L + id, v) }
-    val qin = MemoryStream[(Long, Array[Float])](spark)
-    var served = 0L; var lookupNanos = 0L
-    val lq = search.Pq.streamingLookup(
-      qin.toDF().toDF("vec_id", "embedding"), index, books,
-      s"$dir/idx", emb, s"$dir/ckpt_l") { (res, _) => res.count(); () }
-    val qslices = queries.grouped(math.max(1, queries.length / batches)).toSeq
-    try qslices.zipWithIndex.foreach { case (sl, i) =>
-      val t0 = System.nanoTime()
-      qin.addData(sl)
-      lq.processAllAvailable()
-      if (i > 0) { served += sl.length; lookupNanos += System.nanoTime() - t0 }
-    } finally lq.stop()
-    val qps = if (lookupNanos > 0) served / (lookupNanos / 1e9) else 0.0
+    def lookupQps(label: String, keyed: Boolean): Double = {
+      val qin = MemoryStream[(Long, Array[Float])](spark)
+      var served = 0L; var lookupNanos = 0L
+      val lq = search.Pq.streamingLookup(
+        qin.toDF().toDF("vec_id", "embedding"), index, books,
+        s"$dir/idx", s"$dir/ckpt_l_$label", keyed = Some(keyed)) {
+        (res, _) => res.count(); ()
+      }
+      val qslices =
+        queries.grouped(math.max(1, queries.length / batches)).toSeq
+      try qslices.zipWithIndex.foreach { case (sl, i) =>
+        val t0 = System.nanoTime()
+        qin.addData(sl)
+        lq.processAllAvailable()
+        if (i > 0) {
+          served += sl.length; lookupNanos += System.nanoTime() - t0
+        }
+      } finally lq.stop()
+      if (lookupNanos > 0) served / (lookupNanos / 1e9) else 0.0
+    }
+    val qpsFlat = lookupQps("flat", keyed = false)
+    val qpsKeyed = lookupQps("keyed", keyed = true)
 
     println(s"STREAMINGEST $d corpus=${n / 2} delta=${delta.length} " +
       s"batches=$batches ingest_vec_per_s=${f(ingestRate)} " +
-      s"lookup_q_per_s=${f(qps)}")
+      s"lookup_q_per_s_flat=${f(qpsFlat)} " +
+      s"lookup_q_per_s_keyed=${f(qpsKeyed)}")
     println(s"""PROBE_JSON {"probe":"streaming_index_throughput",""" +
       s""""dir":"$d","corpus_rows":${n / 2},"delta_rows":${delta.length},""" +
       s""""batches":$batches,"ingest_vec_per_sec":${f(ingestRate)},""" +
-      s""""lookup_q_per_sec":${f(qps)}}""")
+      s""""lookup_q_per_sec_flat":${f(qpsFlat)},""" +
+      s""""lookup_q_per_sec_keyed":${f(qpsKeyed)}}""")
     spark.stop()
   }
 }

@@ -319,8 +319,12 @@ object Pq {
     val emb = Tables.embeddings(s, d)
     val index = Ann.cachedIndex(s, d, "full", emb)
     val (_, books) = indexFor(s, d)
+    // Re-rank from the keyed tier (the persisted assigned corpus),
+    // not a flat embeddings scan: coverage is identical (the index is
+    // built over the full table), and the exact tier's scan prunes to
+    // probed cells the same way the code-table scan does.
     adcSearch(index, books, ivfPqCellCodes(s, d),
-      emb.filter(col("vec_id") < NumQueries), emb, nprobe)
+      emb.filter(col("vec_id") < NumQueries), keyedRerank(index), nprobe)
   }
 
   /** Shared ADC lookup: route `queries` through `index` to nprobe
@@ -328,6 +332,19 @@ object Pq {
     * shortlist, re-rank exactly against `rerankCorpus`. The probe set
     * and LUT table broadcast; the cell-code join is the DPP-eligible
     * scan PlanSpec pins.
+    *
+    * The re-rank tier has two shapes. When `rerankCorpus` carries a
+    * `ccell` column it is a KEYED store (the index's assigned corpus
+    * and/or ingested vectors, both persisted partitioned by ccell):
+    * every shortlist candidate keeps the cell it was ADC-scanned in,
+    * so the exact tier joins the store against the BROADCAST
+    * shortlist on (ccell, neighbor_id) and the scan prunes to probed
+    * cells dynamically — at 10¹⁰ vectors the raw-float tier is the
+    * expensive one (256 B/vector vs the codes' ~9 B), so pruning it
+    * matters more than pruning the codes. Without a ccell column the
+    * store is scanned flat and hash-joined on neighbor_id (q84's
+    * labeled curve-point shape, and any caller whose store has no
+    * cell layout).
     *
     * Bounded-query-batch contract (q36's LSH discipline): the LUT
     * collect and the probe/qv broadcasts size with the QUERY side, so
@@ -358,17 +375,34 @@ object Pq {
     val short = cellCodes.join(broadcast(probed), Seq("ccell", "fcell"))
       .join(broadcast(luts), "query_id")
       .filter(selfGuard)
-      .select(col("query_id"), col("neighbor_id"), adcExpr.as("adc_sim"))
+      .select(col("query_id"), col("neighbor_id"), col("ccell"),
+        adcExpr.as("adc_sim"))
       .withColumn("srn", row_number().over(shortW))
       .filter(col("srn") <= shortlist)
-      .select("query_id", "neighbor_id")
+      .select("query_id", "neighbor_id", "ccell")
     val qv = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val corpus = rerankCorpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding"))
+    val candidates =
+      if (rerankCorpus.columns.contains("ccell")) {
+        // Keyed tier: a vector ingested for an id the standing store
+        // already holds lands in the same frozen cell, so the union
+        // can pair one candidate twice; dedup AFTER the pruned join,
+        // where it touches shortlist-sized rows, not the store.
+        rerankCorpus
+          .select(col("vec_id").as("neighbor_id"), col("ccell"),
+            col("embedding"))
+          .join(broadcast(short), Seq("ccell", "neighbor_id"))
+          .dropDuplicates("query_id", "neighbor_id")
+          .join(broadcast(qv), "query_id")
+      } else {
+        val corpus = rerankCorpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding"))
+        short.drop("ccell").join(broadcast(qv), "query_id")
+          .join(corpus, "neighbor_id")
+      }
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
-    short.join(broadcast(qv), "query_id").join(corpus, "neighbor_id")
+    candidates
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorFunctions.cosine_sim(col("qv"),
           col("embedding")).as("sim"))
@@ -378,6 +412,16 @@ object Pq {
         round(col("sim"), 4).as("sim"), col("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** The index's assigned corpus re-shaped as the keyed re-rank
+    * store (vec_id, embedding, ccell) — when the index was loaded
+    * from its persisted form ([[Ann.cachedIndex]] always is), this
+    * is a ccell-partitioned parquet scan, so [[adcSearch]]'s keyed
+    * branch prunes it to probed cells.
+    */
+  def keyedRerank(index: Ann.IvfIndex): DataFrame =
+    index.assigned.select(col("neighbor_id").as("vec_id"),
+      col("nv").as("embedding"), col("ccell"))
 
   /** Delta-batch cell codes against a FROZEN index: assign to the
     * standing quantizer's cells ([[Ann.assignVectors]]), PQ-encode
@@ -467,9 +511,21 @@ object Pq {
     if (java.nio.file.Files.exists(marker) || batch.isEmpty) return
     val b = batch.persist()
     try {
-      appendCellCodes(deltaCellCodes(index, b, books), dir)
-      b.select(col("vec_id"), col("embedding"))
-        .write.mode("append").parquet(s"$dir/vectors")
+      // One frozen-quantizer assignment feeds both tiers: the codes
+      // append (the ~9 B/vector ADC scan tier) and the raw vectors
+      // KEYED by their cell — partitioned by ccell like the standing
+      // assigned corpus, so the lookup's exact re-rank prunes the
+      // ingested tier to probed cells instead of re-scanning every
+      // vector ever streamed in.
+      val assigned = Ann.assignVectors(index, b).localCheckpoint()
+      appendCellCodes(assigned.select("neighbor_id", "ccell", "fcell")
+        .join(encodeAgainst(b, books)
+          .withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"),
+        dir)
+      assigned.select(col("neighbor_id").as("vec_id"),
+          col("nv").as("embedding"), col("ccell"))
+        .write.mode("append").partitionBy("ccell")
+        .parquet(s"$dir/vectors")
     } finally b.unpersist()
     java.nio.file.Files.createDirectories(marker.getParent)
     java.nio.file.Files.write(marker, Array.emptyByteArray)
@@ -507,23 +563,42 @@ object Pq {
     * through the ADC search (LUTs and probe sets size with the
     * batch, satisfying [[adcSearch]]'s contract by construction).
     * Both index tiers are RE-READ from `dir` per batch — the cell
-    * codes AND the ingested raw vectors (unioned with the standing
-    * `rerankCorpus` for the exact re-rank) — so lookups serve
-    * vectors the ingest stream appended in earlier triggers, not
-    * just the corpus the index was built over. Query ids are an
-    * external namespace: no self-exclusion is applied (an id
-    * collision with a corpus vec_id must not suppress that vector).
-    * nprobe defaults to 10 — streamed queries are out-of-sample,
-    * q134/q139's widening. `sink` receives (results, batchId) with
+    * codes AND the ingested raw vectors — so lookups serve vectors
+    * the ingest stream appended in earlier triggers, not just the
+    * corpus the index was built over. The exact re-rank is KEYED:
+    * the standing tier is the index's ccell-partitioned assigned
+    * corpus and the ingested tier is [[ingestBatch]]'s
+    * ccell-partitioned vector append, so each trigger's re-rank
+    * reads only probed cells' files instead of a full union scan —
+    * per-trigger exact-tier I/O tracks nprobe·targetCell, not the
+    * accumulated ingest history. Query ids are an external
+    * namespace: no self-exclusion is applied (an id collision with a
+    * corpus vec_id must not suppress that vector). nprobe defaults
+    * to 10 — streamed queries are out-of-sample, q134/q139's
+    * widening. `sink` receives (results, batchId) with
     * foreachBatch's at-least-once semantics: on crash recovery the
     * last batch REPLAYS, so a sink that appends results downstream
     * must dedup on the batch id for exactly-once output.
+    *
+    * `keyed` overrides the tier cutover; the default decides ONCE at
+    * stream start from the standing-store size (the [[Scale.exactOk]]
+    * pattern): below [[KeyedRerankMinRows]] a flat per-trigger union
+    * scan of the store is cheaper than the keyed join's fixed cost
+    * (StreamIngestProbe measures both paths head-to-head — flat wins
+    * at every corpus this sandbox can hold), above it the pruned scan
+    * is the only shape that survives (per-trigger I/O must track
+    * probed cells, not the store). A long-lived serving job re-enters
+    * the decision on its quantizer-refresh restart, so a store that
+    * grows past the bar picks the keyed tier on its next deploy.
     */
   def streamingLookup(queryStream: DataFrame, index: Ann.IvfIndex,
       books: Array[Array[Array[Double]]], dir: String,
-      rerankCorpus: DataFrame, checkpoint: String, nprobe: Int = 10)(
+      checkpoint: String, nprobe: Int = 10,
+      keyed: Option[Boolean] = None)(
       sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val useKeyed =
+      keyed.getOrElse(index.assigned.count() >= KeyedRerankMinRows)
     queryStream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -534,24 +609,39 @@ object Pq {
           try {
             val ingested =
               if (new java.io.File(s"$dir/vectors").exists())
-                Seq(s.read.parquet(s"$dir/vectors"))
+                Seq(s.read.parquet(s"$dir/vectors")
+                  .select("vec_id", "embedding", "ccell"))
               else Seq.empty
-            // ids are disjoint by the ingest contract (new vectors get
-            // new ids); dropDuplicates guards the overlap case where
-            // the standing store already contains an ingested id —
-            // the copies carry the same embedding, so which row
-            // survives is immaterial, but scoring it twice would
-            // burn a top-k slot
-            val rerank = (rerankCorpus.select("vec_id", "embedding") +:
-              ingested.map(_.select("vec_id", "embedding")))
+            // A re-ingested standing id pairs a candidate twice in
+            // the union. Keyed: adcSearch dedups after the pruned
+            // join, where it costs shortlist-sized rows. Flat: dedup
+            // up front — the store is small by the cutover's premise.
+            val union = (keyedRerank(index) +: ingested)
               .reduce(_ unionByName _)
-              .dropDuplicates("vec_id")
+            val rerank =
+              if (useKeyed) union
+              else union.drop("ccell").dropDuplicates("vec_id")
             sink(adcSearch(index, books, loadCellCodes(s, dir),
               b, rerank, nprobe, excludeSelf = false), id)
           } finally b.unpersist()
         }
       }
       .start()
+  }
+
+  /** Store size at which [[streamingLookup]]'s exact tier switches
+    * from a flat per-trigger union scan to the keyed (ccell-pruned)
+    * join. Measured (StreamIngestProbe, both paths head-to-head on
+    * the same persisted index, queries/s flat vs keyed): 1k corpus
+    * 80 vs 59, 3k 204 vs 79, 10k 136 vs 173, 30k 192 vs 204 — the
+    * keyed join's per-trigger fixed cost (DPP subquery + one more
+    * broadcast) dominates below ~10⁴ standing vectors and is repaid
+    * above, so the bar sits at the measured crossover. Past it the
+    * gap is structural, not just measured: the pruned scan reads
+    * nprobe·targetCell rows per trigger regardless of store size
+    * while flat grows without bound.
+    */
+  val KeyedRerankMinRows: Long = 10000L
 
   /** q139 — incremental IVF·PQ ingest + lookup (q134's O(Δ) story
     * carried to the composed index): the 1-in-10 vec_id slice is the

@@ -276,11 +276,15 @@ class PlanSpec extends SparkSpec {
     // on the scoring path (the code table is equi-joined by the
     // broadcast probe keys, then windowed)
     assert(!p.contains("SortMergeJoin"), p)
-    // the served code table is the ccell-partitioned persisted form,
-    // and its scan prunes to probed cells dynamically — the ADC-tier
-    // sibling of the loaded-IVF DPP pin below
-    assert(p.contains("dynamicpruning"),
-      "cell-code scan carries no dynamic partition-pruning filter:\n" + p)
+    // BOTH persisted tiers prune to probed cells dynamically: the
+    // ccell-partitioned code table (the ADC scan) AND the
+    // ccell-partitioned assigned corpus (the keyed exact re-rank) —
+    // at scale the raw-float tier is the expensive one, so its scan
+    // skipping unprobed cells is the pin that matters most
+    val dppScans = p.linesIterator.count(_.contains("dynamicpruning"))
+    assert(dppScans >= 2,
+      s"expected both the code-table and keyed re-rank scans to carry " +
+        s"dynamic partition-pruning filters, found $dppScans:\n" + p)
   }
 
   test("q141: filtered ANN keeps the metadata filter on equi-join " +

@@ -401,43 +401,49 @@ class StreamingSpec extends SparkSpec {
     val corpus = emb.filter(col("vec_id") < 100)
     val index = search.Ann.buildIvfIndex(corpus)
     val (_, books) = search.Pq.encode(corpus)
-    val dir = Files.createTempDirectory("graft_stream_lookup").toString
-    search.Pq.saveCellCodes(
-      search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx")
-    // rerank store covers ONLY the standing corpus: serving an
-    // ingested vector must come through the vectors tier the ingest
-    // path appends, not a pre-provisioned store
-    val store = corpus
-    val results = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     def vecOf(id: Long): Array[Float] =
       emb.filter(col("vec_id") === id).head.getSeq[Float](1).toArray
-    val input = MemoryStream[(Long, Array[Float])](spark)
-    val q = search.Pq.streamingLookup(
-      input.toDF().toDF("vec_id", "embedding"), index, books,
-      s"$dir/idx", store, s"$dir/ckpt") { (res, _) =>
-      results ++= res.filter(col("rank") === 1)
-        .select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+    // BOTH exact-tier shapes serve identically (the cutover is a
+    // cost decision, never a semantics one): flat union scan and
+    // keyed ccell-pruned join each must (a) not suppress an
+    // id-colliding corpus twin, (b) serve a vector ingested between
+    // triggers through the vectors tier — the standing re-rank tier
+    // is the index's own assigned corpus (ONLY vec_id < 100), so (b)
+    // cannot be satisfied by a pre-provisioned store.
+    for (keyed <- Seq(false, true)) {
+      val dir = Files.createTempDirectory("graft_stream_lookup").toString
+      search.Pq.saveCellCodes(
+        search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx")
+      val results = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val input = MemoryStream[(Long, Array[Float])](spark)
+      val q = search.Pq.streamingLookup(
+        input.toDF().toDF("vec_id", "embedding"), index, books,
+        s"$dir/idx", s"$dir/ckpt", keyed = Some(keyed)) { (res, _) =>
+        results ++= res.filter(col("rank") === 1)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      try {
+        // batch 1: a query whose external id COLLIDES with corpus
+        // vec_id 7 while carrying vector 7's embedding — external ids
+        // share no namespace with the corpus, so the exact twin must
+        // still rank first (no self-exclusion on the serving path)
+        input.addData((7L, vecOf(7L)))
+        q.processAllAvailable()
+        // ingest vector 111 between triggers (codes + vectors tiers),
+        // then query for it: the per-batch re-read must serve it
+        search.Pq.ingestBatch(index, books, s"$dir/idx", 100L,
+          emb.filter(col("vec_id") === 111).select("vec_id", "embedding"))
+        input.addData((2111L, vecOf(111L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val byQuery = results.toMap
+      assert(byQuery.get(7L).contains(7L),
+        s"[keyed=$keyed] id-colliding corpus twin suppressed: $results")
+      assert(byQuery.get(2111L).contains(111L),
+        s"[keyed=$keyed] ingested-between-triggers vector not served: " +
+          results)
     }
-    try {
-      // batch 1: a query whose external id COLLIDES with corpus
-      // vec_id 7 while carrying vector 7's embedding — external ids
-      // share no namespace with the corpus, so the exact twin must
-      // still rank first (no self-exclusion on the serving path)
-      input.addData((7L, vecOf(7L)))
-      q.processAllAvailable()
-      // ingest vector 111 between triggers (codes + vectors tiers),
-      // then query for it: the per-batch re-read must serve it
-      search.Pq.ingestBatch(index, books, s"$dir/idx", 100L,
-        emb.filter(col("vec_id") === 111).select("vec_id", "embedding"))
-      input.addData((2111L, vecOf(111L)))
-      q.processAllAvailable()
-    } finally q.stop()
-    val byQuery = results.toMap
-    assert(byQuery.get(7L).contains(7L),
-      s"id-colliding corpus twin suppressed: $results")
-    assert(byQuery.get(2111L).contains(111L),
-      s"ingested-between-triggers vector not served: $results")
   }
 
   test("partitioned upsert: replay-idempotent, rewrites only touched " +

@@ -276,11 +276,25 @@ class PlanSpec extends SparkSpec {
     // on the scoring path (the code table is equi-joined by the
     // broadcast probe keys, then windowed)
     assert(!p.contains("SortMergeJoin"), p)
-    // BOTH persisted tiers prune to probed cells dynamically: the
+    // the served code table is the ccell-partitioned persisted form,
+    // and its scan prunes to probed cells dynamically — the ADC-tier
+    // sibling of the loaded-IVF DPP pin below
+    assert(p.contains("dynamicpruning"),
+      "cell-code scan carries no dynamic partition-pruning filter:\n" + p)
+  }
+
+  test("q136 keyed exact tier: BOTH persisted tiers' scans prune to " +
+      "probed cells dynamically") {
+    // the shape ivfPqSearch switches to past BatchKeyedRerankMinRows
+    // (and streamingLookup past its measured crossover): the
     // ccell-partitioned code table (the ADC scan) AND the
     // ccell-partitioned assigned corpus (the keyed exact re-rank) —
     // at scale the raw-float tier is the expensive one, so its scan
     // skipping unprobed cells is the pin that matters most
+    val p = plan(search.Pq.ivfPqSearch(spark, sfSmall, nprobe = 8,
+      keyed = Some(true)))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
     val dppScans = p.linesIterator.count(_.contains("dynamicpruning"))
     assert(dppScans >= 2,
       s"expected both the code-table and keyed re-rank scans to carry " +

@@ -123,7 +123,12 @@ object ScaleSweep {
       // the warm latency), and the intra-doc repetition signals
       // (per-doc aggregates, the cleanest linear-scaling candidate).
       "q139_ivfpq_incremental", "q141_ann_filtered_ivf",
-      "q142_intradoc_repetition")
+      "q142_intradoc_repetition",
+      // q143: reference-trained LM scoring is broadcast joins over
+      // the bigram stream + per-doc aggregates; the bucketing's
+      // distinct-value window is deliberately corpus-size-free —
+      // the sweep pins the whole composition stays input-linear.
+      "q143_perplexity_buckets")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

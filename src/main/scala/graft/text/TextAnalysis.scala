@@ -1242,11 +1242,137 @@ object TextAnalysis {
           .cast("int").as("flagged"))
   }
 
+  /** q143 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): a language model trained on a REFERENCE slice
+    * (here `source = 'src0'`, standing in for CCNet's Wikipedia
+    * prior) scores every document's perplexity, and each language's
+    * documents split into head/middle/tail thirds of the perplexity
+    * ranking — the operational buckets CCNet samples from. Distinct
+    * from q65/q74, whose LMs are trained on the scored corpus
+    * itself: the reference prior is what makes the score a QUALITY
+    * transfer, and the buckets — not the raw score — are the
+    * pipeline's product. The LM is q74's add-one bigram with a +1
+    * escape in the denominator so out-of-reference histories keep
+    * positive mass (LEFT joins, not inner).
+    *
+    * Scale shape: the reference counts are vocabulary-sized and
+    * broadcast onto the scored-bigram stream (per-term log-probs sum
+    * through DECIMAL(28,12), the order-independent parity
+    * discipline). The broadcast carries a bounded-reference
+    * contract, which is CCNet's own deployment shape (the trained
+    * KenLM ships to every worker): the LM tables size with the
+    * REFERENCE slice's vocabulary — which saturates for natural
+    * language — not with the scored corpus; a reference too large to
+    * broadcast takes the shuffle-join spelling of the same plan. The per-language thirds are NOT a per-language
+    * global sort — `ntile` windowed by language puts an entire
+    * language in one task, the classic skew-killer at corpus scale.
+    * Instead the rank decomposes by VALUE (q135's first-occurrence
+    * discipline): rounded scores are discrete, so a per-(lang, ppl)
+    * count table (small, windowed per language over distinct values
+    * only, broadcast back) gives the strictly-less base rank, a
+    * row_number over the fine-grained (lang, ppl) partitions gives
+    * the within-value offset, and the ntile bucket is then pure
+    * arithmetic against the per-language totals. The DuckDB oracle
+    * spells the same ranking as a plain ntile(3) — identical
+    * semantics, engine-checked.
+    */
+  val perplexityBuckets: QueryDef = QueryDef.sql(
+    "q143_perplexity_buckets",
+    """WITH ref AS (SELECT string_split(text, ' ') AS toks
+      |  FROM documents WHERE source = 'src0'),
+      | c2 AS (SELECT b, count(*) AS c2 FROM
+      |   (SELECT unnest([toks[i-1] || ' ' || toks[i]
+      |     for i in generate_series(2, len(toks))]) AS b FROM ref)
+      |  GROUP BY b),
+      | c1 AS (SELECT w, count(*) AS c1 FROM
+      |   (SELECT unnest(toks) AS w FROM ref) GROUP BY w),
+      | v AS (SELECT count(*) AS v FROM c1),
+      | t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM documents),
+      | bg AS (SELECT doc_id, lang, unnest([toks[i-1] || ' ' || toks[i]
+      |   for i in generate_series(2, len(toks))]) AS b FROM t
+      |  WHERE len(toks) >= 2),
+      | scored AS (SELECT bg.doc_id, bg.lang,
+      |   CAST(log10(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+      |     CAST(COALESCE(c1.c1, 0) + (SELECT v FROM v) + 1 AS DOUBLE))
+      |    AS DECIMAL(28,12)) AS lg
+      |  FROM bg LEFT JOIN c2 ON bg.b = c2.b
+      |   LEFT JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w),
+      | agg AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+      |   CAST(sum(lg) AS DOUBLE) AS sum_lg FROM scored
+      |  GROUP BY doc_id, lang),
+      | p AS (SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |   round(-sum_lg / n_bigrams, 4) AS ppl FROM agg),
+      | b AS (SELECT *, ntile(3) OVER
+      |   (PARTITION BY lang ORDER BY ppl, doc_id) AS nt FROM p)
+      | SELECT doc_id, lang, n_bigrams, ppl,
+      |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+      |   ELSE 'tail' END AS bucket
+      | FROM b ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ref = docs.filter(col("source") === "src0")
+      .select(toks(col("text")).as("toks"))
+    val c2 = ref.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(2), size(col("toks"))),
+        i => concat_ws(" ", element_at(col("toks"), i - 1),
+          element_at(col("toks"), i)))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+    val c1 = ref.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val bg = docs.select(col("doc_id"), col("lang"),
+        toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(2), size(col("toks"))),
+          i => concat_ws(" ", element_at(col("toks"), i - 1),
+            element_at(col("toks"), i)))).as("b"))
+    val p = bg
+      .join(broadcast(c2), Seq("b"), "left")
+      .join(broadcast(c1.withColumnRenamed("w", "w1")),
+        substring_index(col("b"), " ", 1) === col("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"),
+        log10((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v") + 1).cast("double"))
+          .cast("decimal(28,12)").as("lg"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("lg").cast("double").as("sum_lg"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(-col("sum_lg") / col("n_bigrams"), 4).as("ppl"))
+    // Value-decomposed per-language rank (no per-language sort task):
+    // strictly-less base from the distinct-value count table + a
+    // fine-grained within-value row_number.
+    val vcounts = p.groupBy("lang", "ppl").agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy("lang").orderBy("ppl")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = vcounts
+      .withColumn("base", sum("cnt").over(cumW) - col("cnt"))
+      .select("lang", "ppl", "base")
+    val totals = p.groupBy("lang").agg(count(lit(1)).as("n"))
+    val intraW = Window.partitionBy("lang", "ppl").orderBy("doc_id")
+    p.join(broadcast(base), Seq("lang", "ppl"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("rank", col("base") + row_number().over(intraW))
+      .withColumn("b1", (col("n") / 3).cast("long") +
+        when(col("n") % 3 >= 1, 1L).otherwise(0L))
+      .withColumn("b2", col("b1") + (col("n") / 3).cast("long") +
+        when(col("n") % 3 >= 2, 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl"),
+        when(col("rank") <= col("b1"), "head")
+          .when(col("rank") <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     textStats, langStats, tokenCount, qualityScore, langId, fingerprint,
     chunk, stratifiedSample, piiRedact, topTerms, corpusSketch, repetition,
     surprisal, packShards, mixProportions, boilerplate, bigramSurprisal,
     tfidfTerms, weightedSample, heavyHitters, qualityGate, repeatedNgrams,
     maskRepeatedNgrams, sourceOverlap, wordEntropy, normalize,
-    intraDocRepetition)
+    intraDocRepetition, perplexityBuckets)
 }

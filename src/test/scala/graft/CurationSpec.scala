@@ -147,4 +147,36 @@ class CurationSpec extends SparkSpec {
     // too-short doc passes through untouched
     assert(out(5L) == (("too short here", 3L, 3L)))
   }
+
+  test("q143: value-decomposed per-language rank reproduces ntile(3) " +
+      "exactly, and buckets are balanced and ordered") {
+    import org.apache.spark.sql.expressions.Window
+    val out = text.TextAnalysis.perplexityBuckets.fn(spark, sfSmall)
+      .cache()
+    // differential: recompute buckets from the output's own scores
+    // with a plain window ntile — the spelling the operator avoids at
+    // scale (it puts a whole language in one task) but whose
+    // semantics it must match row-for-row
+    val w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    val direct = out.withColumn("nt", ntile(3).over(w))
+      .select(col("doc_id"),
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+    val mismatches = out.select("doc_id", "bucket")
+      .join(direct.withColumnRenamed("bucket", "direct"), "doc_id")
+      .filter(col("bucket") =!= col("direct"))
+    assert(mismatches.isEmpty,
+      mismatches.collect().take(5).mkString("; "))
+    // per-language thirds differ by at most one doc
+    val sizes = out.groupBy("lang", "bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("d"))
+    assert(sizes.filter(col("d") > 1).isEmpty)
+    // bucket score ranges are ordered: every head ppl <= every tail
+    val ranges = out.groupBy("lang").agg(
+      max(when(col("bucket") === "head", col("ppl"))).as("maxHead"),
+      min(when(col("bucket") === "tail", col("ppl"))).as("minTail"))
+    assert(ranges.filter(col("maxHead") > col("minTail")).isEmpty)
+    out.unpersist()
+    ()
+  }
 }

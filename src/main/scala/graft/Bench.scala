@@ -64,10 +64,13 @@ object Bench {
     // (q109), the exact pair set (q121), and — as of round 8 — the
     // kNN self-join (q127), which now serves from the shared
     // standing "full" index instead of re-training an identical
-    // quantizer inline per run.
+    // quantizer inline per run; and the round-9 standing-index
+    // consumers — q139 (mod10 index + frozen codebooks + appended
+    // code table via incrCache) and q141 (the shared "full" IVF
+    // index behind the filtered search).
     val warmFamily = Set("q20", "q21", "q22", "q23", "q24", "q31",
       "q48", "q49", "q77", "q84", "q109", "q110", "q121", "q127",
-      "q134", "q136")
+      "q134", "q136", "q139", "q141")
     def isWarm(name: String): Boolean =
       warmFamily.exists(t => name == t || name.startsWith(t + "_"))
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)

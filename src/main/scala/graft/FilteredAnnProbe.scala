@@ -32,7 +32,8 @@ object FilteredAnnProbe {
       val index = search.Ann.cachedIndex(spark, d, "full", emb)
       val rows = Seq(4, 8, 12, 16).map { nprobe =>
         val got = search.Ann.knnQueryFiltered(index,
-            emb.filter(col("vec_id") < 10), emb, nprobe = nprobe)
+            emb.filter(col("vec_id") < search.Ann.NumQueries), emb,
+            nprobe = nprobe)
           .select("query_id", "neighbor_id")
         val recall = exact.join(got, Seq("query_id", "neighbor_id"),
           "left_semi").count().toDouble / nExact

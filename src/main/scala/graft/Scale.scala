@@ -68,7 +68,14 @@ object Scale {
         walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       } finally walk.close()
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      // NonFatal, not just IOException: Files.walk's lazy traversal
+      // surfaces failures as UncheckedIOException (a RuntimeException),
+      // and one bad dir aborting the shutdown hook would leak every
+      // dir queued behind it — the exact leak this mechanism exists
+      // to prevent.
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   /** Evict cache entries bound to stopped sessions (keys are tuples
     * whose first element is the SparkSession). The engine's

@@ -1362,13 +1362,32 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_set(col("i")).as("starts"))
     base.join(starts, Seq("doc_id"), "left")
+      // Merge the removal starts into disjoint coverage intervals
+      // BEFORE the per-token test: the naive exists-over-starts is
+      // O(tokens x starts) per document — quadratic exactly on the
+      // operator's target input (a long, heavily duplicated doc has
+      // the most starts) — while overlapping spans collapse into few
+      // intervals (a fully duplicated run is ONE interval), so the
+      // per-token test is exists-over-intervals, bounded by
+      // tokens/SpanTokens and typically tiny.
+      .withColumn("iv", when(col("starts").isNull, lit(null)).otherwise(
+        expr(s"""aggregate(array_sort(starts),
+          cast(array() as array<struct<lo:int,hi:int>>),
+          (acc, s) -> if(size(acc) > 0
+              AND s <= element_at(acc, -1).hi + 1,
+            concat(slice(acc, 1, size(acc) - 1),
+              array(named_struct('lo', element_at(acc, -1).lo,
+                'hi', greatest(element_at(acc, -1).hi,
+                  s + ${SpanTokens - 1})))),
+            concat(acc,
+              array(named_struct('lo', s,
+                'hi', s + ${SpanTokens - 1})))))""")))
       .select(col("doc_id"), col("toks"),
-        // 1-based token index idx+1 survives iff no removal start s
-        // covers it (s <= idx+1 < s+SpanTokens); overlapping spans
-        // union implicitly
-        when(col("starts").isNull, col("toks")).otherwise(
-          expr(s"filter(toks, (tk, idx) -> NOT exists(starts, " +
-            s"s -> idx + 1 >= s AND idx + 1 < s + $SpanTokens))"))
+        // 1-based token index idx+1 survives iff no merged interval
+        // covers it (lo <= idx+1 <= hi)
+        when(col("iv").isNull, col("toks")).otherwise(
+          expr("filter(toks, (tk, idx) -> NOT exists(iv, " +
+            "v -> idx + 1 >= v.lo AND idx + 1 <= v.hi))"))
           .as("kept"))
       .select(col("doc_id"),
         array_join(col("kept"), " ").as("cleaned_text"),

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   val K = 5
-  private val NumQueries = 10
+  private[graft] val NumQueries = 10
 
   private def queryVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < NumQueries)

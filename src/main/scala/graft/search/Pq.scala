@@ -402,15 +402,10 @@ object Pq {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val candidates =
       if (rerankCorpus.columns.contains("ccell")) {
-        // Keyed tier: a vector ingested for an id the standing store
-        // already holds lands in the same frozen cell, so the union
-        // can pair one candidate twice; dedup AFTER the pruned join,
-        // where it touches shortlist-sized rows, not the store.
         rerankCorpus
           .select(col("vec_id").as("neighbor_id"), col("ccell"),
             col("embedding"))
           .join(broadcast(short), Seq("ccell", "neighbor_id"))
-          .dropDuplicates("query_id", "neighbor_id")
           .join(broadcast(qv), "query_id")
       } else {
         val corpus = rerankCorpus.select(col("vec_id").as("neighbor_id"),
@@ -420,7 +415,16 @@ object Pq {
       }
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
+    // Candidate dedup on BOTH tier shapes: a vector re-ingested for
+    // an id the store already holds duplicates its code row (and, on
+    // the keyed tier, its store row) — without this, the twin scores
+    // at ranks r and r+1 and burns a top-K slot. Applied after the
+    // joins, where it touches shortlist-sized rows, not the store;
+    // same placement on both branches keeps the flat/keyed cutover a
+    // cost decision, never a semantics one (StreamingSpec asserts
+    // both shapes serve identically).
     candidates
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorFunctions.cosine_sim(col("qv"),
           col("embedding")).as("sim"))
@@ -511,22 +515,33 @@ object Pq {
     * the batch's cell codes (the ~9 B/vector scan tier) AND its raw
     * vectors (`dir/vectors` — the re-rank tier [[streamingLookup]]
     * reads, so newly ingested vectors are actually servable), both
-    * guarded by a batch-id marker so a foreachBatch REPLAY (Spark's
-    * at-least-once recovery) is a no-op instead of duplicating index
-    * rows. The marker commits after the writes: a crash inside the
-    * window between a data-file commit and the marker leaves one
+    * guarded by a RUN-NAMESPACED batch-id marker so a foreachBatch
+    * REPLAY (Spark's at-least-once recovery) is a no-op instead of
+    * duplicating index rows. The namespace matters: batch ids are
+    * unique only within one checkpoint lineage, so a bare-id marker
+    * would make a stream restarted with a FRESH checkpoint silently
+    * drop its first batches as "replays" — data loss in the index.
+    * Namespacing by checkpoint flips that failure to the benign
+    * side: a fresh-checkpoint restart that replays its source can
+    * duplicate rows (at-least-once, as documented) but never drops
+    * new data. The marker commits after the writes: a crash inside
+    * the window between a data-file commit and the marker leaves one
     * batch duplicated on replay — closing that window takes a
     * transactional table format, which this sandbox cannot resolve
     * (the `mergeInto` sidecar precedent); the marker reduces
     * at-least-once to that single crash window instead of every
-    * restart.
+    * restart. All dir I/O goes through Hadoop's FileSystem, so the
+    * index dir can live on any supported store (HDFS/S3A/...), not
+    * just the local disk java.nio would silently misread.
     */
   def ingestBatch(index: Ann.IvfIndex,
       books: Array[Array[Array[Double]]], dir: String,
-      batchId: Long, batch: DataFrame): Unit = {
-    val marker = java.nio.file.Paths.get(dir, "_ingest_batches",
-      batchId.toString)
-    if (java.nio.file.Files.exists(marker) || batch.isEmpty) return
+      batchId: Long, batch: DataFrame,
+      runNs: String = "manual"): Unit = {
+    val fs = hadoopFs(batch.sparkSession, dir)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/_ingest_batches/${runNs}_$batchId")
+    if (fs.exists(marker) || batch.isEmpty) return
     val b = batch.persist()
     try {
       // One frozen-quantizer assignment feeds both tiers: the codes
@@ -545,9 +560,23 @@ object Pq {
         .write.mode("append").partitionBy("ccell")
         .parquet(s"$dir/vectors")
     } finally b.unpersist()
-    java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
   }
+
+  /** The replay-dedup namespace [[streamingIngest]] derives from its
+    * checkpoint location — exposed so a spec simulating foreachBatch
+    * replay can address the same marker set the stream wrote.
+    */
+  def ingestRunNs(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+
+  private def hadoopFs(s: SparkSession, path: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Streaming vector ingest into a standing IVF·PQ index — the
     * ONLINE half of the index lifecycle q139 exercises in batch:
@@ -571,7 +600,8 @@ object Pq {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestBatch(index, books, dir, id, batch)
+        ingestBatch(index, books, dir, id, batch,
+          runNs = ingestRunNs(checkpoint))
       }
       .start()
 
@@ -626,19 +656,18 @@ object Pq {
           val b = batch.persist()
           try {
             val ingested =
-              if (new java.io.File(s"$dir/vectors").exists())
+              if (hadoopFs(s, dir).exists(
+                  new org.apache.hadoop.fs.Path(s"$dir/vectors")))
                 Seq(s.read.parquet(s"$dir/vectors")
                   .select("vec_id", "embedding", "ccell"))
               else Seq.empty
             // A re-ingested standing id pairs a candidate twice in
-            // the union. Keyed: adcSearch dedups after the pruned
-            // join, where it costs shortlist-sized rows. Flat: dedup
-            // up front — the store is small by the cutover's premise.
+            // the union; adcSearch dedups candidates after its joins
+            // on BOTH tier shapes (shortlist-sized rows), so neither
+            // branch pays a store-sized dedup shuffle here.
             val union = (keyedRerank(index) +: ingested)
               .reduce(_ unionByName _)
-            val rerank =
-              if (useKeyed) union
-              else union.drop("ccell").dropDuplicates("vec_id")
+            val rerank = if (useKeyed) union else union.drop("ccell")
             sink(adcSearch(index, books, loadCellCodes(s, dir),
               b, rerank, nprobe, excludeSelf = false), id)
           } finally b.unpersist()

@@ -375,11 +375,13 @@ class StreamingSpec extends SparkSpec {
       s"expected 100 corpus + 20 streamed rows, got ${appended.count()}")
     // the raw-vector re-rank tier accumulated alongside the codes
     assert(spark.read.parquet(s"$dir/idx/vectors").count() == 20)
-    // replay idempotence: re-running an already-committed batch id is
-    // a no-op (foreachBatch is at-least-once on recovery)
+    // replay idempotence: re-running an already-committed batch id
+    // WITHIN the same checkpoint lineage (same run namespace) is a
+    // no-op (foreachBatch is at-least-once on recovery)
     search.Pq.ingestBatch(index, books, s"$dir/idx", 0L,
       emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-        .select("vec_id", "embedding"))
+        .select("vec_id", "embedding"),
+      runNs = search.Pq.ingestRunNs(s"$dir/ckpt"))
     assert(search.Pq.loadCellCodes(spark, s"$dir/idx").count() == 120,
       "replayed batch duplicated index rows")
     // streamed rows match the batch computation pair-for-pair
@@ -394,6 +396,14 @@ class StreamingSpec extends SparkSpec {
         (0 until search.Pq.M).map(m => col(s"code$m").cast("int"))): _*)
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
+    // a DIFFERENT lineage reusing a batch id is NOT a replay: a
+    // fresh-checkpoint restart must never silently drop new data
+    // (the failure mode flips to benign at-least-once duplication)
+    search.Pq.ingestBatch(index, books, s"$dir/idx", 0L,
+      emb.filter(col("vec_id") === 120).select("vec_id", "embedding"),
+      runNs = search.Pq.ingestRunNs(s"$dir/ckpt_fresh"))
+    assert(search.Pq.loadCellCodes(spark, s"$dir/idx").count() == 121,
+      "fresh-lineage batch was dropped as a replay")
   }
 
   test("streaming lookup serves queries against the live appended index") {

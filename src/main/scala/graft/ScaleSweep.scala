@@ -128,7 +128,12 @@ object ScaleSweep {
       // the bigram stream + per-doc aggregates; the bucketing's
       // distinct-value window is deliberately corpus-size-free —
       // the sweep pins the whole composition stays input-linear.
-      "q143_perplexity_buckets")
+      "q143_perplexity_buckets",
+      // q144: the hashed-feature contrast to q143 — its count tables
+      // are 4096 rows BY CONSTRUCTION, so unlike q143 the salted
+      // sweep vocabulary cannot inflate them; the sweep pins that
+      // structural bound showing up as flat broadcast cost.
+      "q144_dsir_select")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

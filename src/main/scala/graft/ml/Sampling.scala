@@ -230,6 +230,106 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** q144 — DSIR data selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank every
+    * document by the importance ratio of a TARGET distribution (the
+    * `source = 'src0'` quality slice, q143's reference prior) over
+    * the RAW corpus distribution, both estimated on HASHED unigram
+    * features, and select the top-N. The hashing is the method's
+    * scale trick and this operator's: features bucket by a 3-hex-char
+    * md5 prefix (4096 buckets — the engine-portable spelling of
+    * DSIR's 10⁴-dim hashed n-grams; collisions are part of the
+    * estimator), so BOTH count tables are bounded at 4096 rows BY
+    * CONSTRUCTION regardless of corpus or vocabulary size — where
+    * q143's LM tables size with the reference vocabulary, DSIR's
+    * size with a constant. Per-doc score = mean per-token log₁₀
+    * importance ratio (add-one smoothing on the shared observed
+    * bucket support), summed through DECIMAL(28,12) for
+    * order-independent parity.
+    *
+    * Selection is top-SelectN by (score, doc_id): Spark plans the
+    * sort+limit as TakeOrderedAndProject (per-partition top-N, one
+    * merge — no global sort), and the output rank windows over the
+    * SelectN-row result, bounded by the constant. The DuckDB oracle
+    * spells the same ranking as a full window, which it can afford.
+    */
+  val dsirSelect: QueryDef = {
+    val SelectN = 200
+    QueryDef.sql(
+      "q144_dsir_select",
+      s"""WITH tok AS (SELECT doc_id, source,
+        |   unnest(string_split(text, ' ')) AS t FROM documents),
+        | f AS (SELECT doc_id, source, substring(md5(t), 1, 3) AS b
+        |  FROM tok),
+        | ct AS (SELECT b, count(*) AS c FROM f WHERE source = 'src0'
+        |  GROUP BY b),
+        | cr AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+        | nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+        | nr AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cr),
+        | nb AS (SELECT count(*) AS nb FROM cr),
+        | lr AS (SELECT cr.b, CAST(
+        |   log10(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) /
+        |     CAST((SELECT n FROM nt) + (SELECT nb FROM nb) AS DOUBLE))
+        |   - log10(CAST(cr.c + 1 AS DOUBLE) /
+        |     CAST((SELECT n FROM nr) + (SELECT nb FROM nb) AS DOUBLE))
+        |   AS DECIMAL(28,12)) AS lg
+        |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+        | agg AS (SELECT f.doc_id, f.source, count(*) AS n_toks,
+        |   CAST(sum(lr.lg) AS DOUBLE) AS s
+        |  FROM f JOIN lr ON f.b = lr.b GROUP BY f.doc_id, f.source),
+        | sc AS (SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+        |   round(s / n_toks, 4) AS score FROM agg),
+        | top AS (SELECT *, row_number() OVER
+        |   (ORDER BY score DESC, doc_id) AS rank FROM sc)
+        | SELECT doc_id, source, n_toks, score, CAST(rank AS INT) AS rank
+        | FROM top WHERE rank <= $SelectN ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", "")
+    ) { (s, d) =>
+      // One tokenization pass: the per-(doc, bucket) count table is
+      // the smallest frame every downstream term derives from (doc
+      // count x <=4096 buckets, vs three re-scans of the exploded
+      // token stream); cnt * decimal(lg) == per-token decimal sums
+      // exactly, so the oracle's per-token spelling hash-matches.
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("doc_id"), col("source"),
+          substring(md5(col("t")), 1, 3).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      // Both count tables in ONE conditional aggregate (target is a
+      // slice of raw, so ct rides along as a filtered sum): the token
+      // stream is scanned exactly twice — once into this bucket
+      // table, once into the per-doc scores — not once per table.
+      val bc = g.groupBy("b").agg(sum("cnt").as("cr"),
+        sum(when(col("source") === "src0", col("cnt")).otherwise(0L))
+          .as("ct"))
+      // bucket-level ratio table: <= 4096 rows joined + aggregated
+      // driver-free, then broadcast onto the per-doc counts
+      val totals = bc.agg(sum("cr").as("nr"), count(lit(1)).as("nb"),
+        sum("ct").as("nt"))
+      val lr = bc
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          (log10((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + col("nb")).cast("double"))
+           - log10((col("cr") + 1).cast("double") /
+            (col("nr") + col("nb")).cast("double")))
+            .cast("decimal(28,12)").as("lg"))
+      val sc = g.join(broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(sum("cnt").as("n_toks"),
+          sum(col("cnt") * col("lg")).cast("double").as("s"))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          round(col("s") / col("n_toks"), 4).as("score"))
+      val top = sc.orderBy(desc("score"), asc("doc_id")).limit(SelectN)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
+            .cast("int"))
+        .orderBy("doc_id")
+    }
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(negativeSample, temperatureSample, reservoirSample, clusterSplit)
+    Seq(negativeSample, temperatureSample, reservoirSample, clusterSplit,
+      dsirSelect)
 }

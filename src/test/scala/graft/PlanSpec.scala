@@ -516,6 +516,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q144: DSIR selection takes top-N without a global sort, and " +
+      "the bucket-ratio table broadcasts") {
+    val p = plan(ml.Sampling.dsirSelect.fn(spark, sfSmall))
+    // sort+limit must plan as per-partition top-N + merge, never a
+    // full exchange-and-sort of the scored corpus
+    assert(p.contains("TakeOrderedAndProject"),
+      "global sort instead of TakeOrdered:\n" + p)
+    // the 4096-row hashed-bucket ratio table joins broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q102: centroids shuffle scalars, not vectors, with map-side partials") {
     val p = plan(search.Embeddings.labelCentroids.fn(spark, sfSmall))
     assert(p.contains("partial_sum"), p)

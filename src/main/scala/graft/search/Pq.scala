@@ -693,17 +693,16 @@ object Pq {
   /** The batch path's keyed-rerank bar ([[ivfPqSearch]]). Measured
     * (BatchRerankProbe, warm minima flat vs keyed on the same cached
     * index, seconds): 2k corpus 0.92 vs 2.28, 20k 0.97 vs 1.07, 60k
-    * 1.14 vs 1.24 — flat wins at every corpus this sandbox holds,
-    * but the gap COLLAPSES with corpus size (2.5× → 1.10× → 1.08×):
-    * flat's scan grows with n while keyed's fixed cost (DPP subquery
-    * + extra exchanges, amortized over one run instead of a trigger
-    * stream) stays put. The bar extrapolates that converging curve
-    * past the measured range; beyond it the argument is structural
-    * (a flat exact tier reads n vectors per batch; keyed reads
-    * ~Q·nprobe·targetCell regardless of n), which is the regime the
-    * plan pin — not a local benchmark — certifies.
+    * 1.14 vs 1.24, 200k 1.51 vs 1.35 — the gap collapses with corpus
+    * size (flat's scan grows with n while keyed's fixed cost — DPP
+    * subquery + extra exchanges, amortized over one run instead of a
+    * trigger stream — stays put) and the curve CROSSES between 60k
+    * and 200k, so the bar sits at the log-scale midpoint of the
+    * bracketing points. Past it the gap is structural as well as
+    * measured: a flat exact tier reads n vectors per batch; keyed
+    * reads ~Q·nprobe·targetCell regardless of n.
     */
-  val BatchKeyedRerankMinRows: Long = 250000L
+  val BatchKeyedRerankMinRows: Long = 100000L
 
   /** q139 — incremental IVF·PQ ingest + lookup (q134's O(Δ) story
     * carried to the composed index): the 1-in-10 vec_id slice is the

@@ -147,5 +147,117 @@ object PageRank {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(pageRankQ)
+  /** q146 — TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB
+    * 2004): PageRank with the teleport mass concentrated on a
+    * TRUSTED SEED SET instead of spread uniformly — trust propagates
+    * outward through links, so nodes reachable only from untrusted
+    * regions score near zero. This is the seed-propagation half of
+    * web-spam demotion and the way a crawl pipeline ranks candidate
+    * domains from a vetted allowlist; it is personalized PageRank
+    * with the seed set as the personalization vector. Seeds here:
+    * every 100th part key — deterministic and scale-stable (~1% of
+    * nodes at any SF).
+    *
+    * Same per-round shape and parity contract as [[pageRank]]
+    * (equi join + floor-grid quantized hash aggregate per round,
+    * localCheckpoint lineage cuts, dangling mass dropped). The rank
+    * table stays DENSE (zero-rank rows kept): at a 10¹⁰-node scale
+    * the standard refinement iterates only the nonzero frontier —
+    * rank sparsity is monotone decreasing in TrustRank, so round k
+    * touches only nodes within k hops of a seed — but the dense
+    * spelling is what the unrolled oracle can replay exactly, and
+    * zero rows cost one filterable join row each.
+    */
+  val trustRankQ: QueryDef = {
+    def iter(i: Int): String = {
+      val p = i - 1
+      s""" c$i AS (SELECT e.dst AS node,
+         |  CAST(CAST(sum(CAST(floor(r$p.rank * e.p * 1e12) AS BIGINT))
+         |    AS BIGINT) AS DOUBLE) / 1e12 AS contrib
+         | FROM e JOIN r$p ON e.src = r$p.node GROUP BY e.dst),
+         | r$i AS (SELECT nodes.node,
+         |  CAST(0.15 AS DOUBLE)
+         |    * (CASE WHEN nodes.node % 100 = 0
+         |       THEN CAST(1 AS DOUBLE)/(SELECT ns FROM nns)
+         |       ELSE CAST(0 AS DOUBLE) END)
+         |   + CAST(0.85 AS DOUBLE)
+         |     * coalesce(c$i.contrib, CAST(0 AS DOUBLE)) AS rank
+         | FROM nodes LEFT JOIN c$i USING (node))""".stripMargin
+    }
+    QueryDef.sql(
+      "q146_trustrank",
+      (s"""WITH e0 AS (SELECT l1.l_partkey AS src, l2.l_partkey AS dst,
+          |  count(*) AS w
+          | FROM lineitem l1 JOIN lineitem l2
+          |  ON l1.l_orderkey = l2.l_orderkey
+          |  AND l2.l_linenumber = l1.l_linenumber + 1
+          | GROUP BY l1.l_partkey, l2.l_partkey),
+          | ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+          |  FROM e0 GROUP BY src),
+          | e AS (SELECT e0.src, e0.dst,
+          |  CAST(e0.w AS DOUBLE)/CAST(ow.ow AS DOUBLE) AS p
+          |  FROM e0 JOIN ow USING (src)),
+          | nodes AS (SELECT src AS node FROM e0
+          |  UNION SELECT dst FROM e0),
+          | nns AS (SELECT count(*) AS ns FROM nodes
+          |  WHERE node % 100 = 0),
+          | r0 AS (SELECT node, CASE WHEN node % 100 = 0
+          |  THEN CAST(1 AS DOUBLE)/(SELECT ns FROM nns)
+          |  ELSE CAST(0 AS DOUBLE) END AS rank FROM nodes),""" +
+        iter(1) + "," + iter(2) + "," + iter(3) +
+        " SELECT node, rank FROM r3 ORDER BY node")
+        .stripMargin.replaceAll("\n", "")
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val l2 = li.select(col("l_orderkey"),
+        col("l_linenumber").as("ln2"), col("l_partkey").as("dst"))
+      val edges = li
+        .join(l2, li("l_orderkey") === l2("l_orderkey") &&
+          l2("ln2") === li("l_linenumber") + 1)
+        .groupBy(li("l_partkey").as("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      trustRank(edges).orderBy("node")
+    }
+  }
+
+  /** TrustRank over `edges` (src, dst, w): seed mass 1/|S| on nodes
+    * where `node % 100 == 0`, teleport returns to seeds only.
+    */
+  def trustRank(edges: DataFrame, iters: Int = Iterations,
+      damping: Double = Damping): DataFrame = {
+    val e0 = edges.localCheckpoint()
+    val ow = e0.groupBy("src").agg(sum("w").as("ow"))
+    val e = e0.join(ow, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("ow").cast("double")).as("p"))
+      .localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val isSeed = col("node") % 100 === 0
+    val ns = nodes.filter(isSeed).agg(count(lit(1)).as("ns"))
+    def seedMass: org.apache.spark.sql.Column =
+      when(isSeed, lit(1.0) / col("ns")).otherwise(lit(0.0d))
+    var r = nodes.crossJoin(broadcast(ns))
+      .select(col("node"), seedMass.as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(e("dst").as("node"),
+          floor(col("rank") * col("p") * lit(1e12)).as("c"))
+        .groupBy("node")
+        .agg((sum("c").cast("double") / lit(1e12)).as("contrib"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(ns))
+        .select(col("node"),
+          (lit(teleport(damping)) * seedMass +
+            lit(damping) * coalesce(col("contrib"), lit(0.0d)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    r
+  }
+
+  val defs: Seq[QueryDef] = Seq(pageRankQ, trustRankQ)
 }

@@ -151,4 +151,28 @@ class GraphSpec extends SparkSpec {
     val total = r.values.sum
     assert(total < 1.0 && total > 0.15, total.toString)
   }
+
+  private def trustRanks(edges: Seq[(Long, Long, Long)], iters: Int) =
+    graph.PageRank
+      .trustRank(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("trustrank: mass flows only from seeds; unreachable nodes " +
+      "score zero, seeds keep the teleport floor") {
+    // seed 100 -> 1 -> 2; node 3 -> 4 is disconnected from the seed.
+    // 200 is a second seed with no out-path back into the chain.
+    val r = trustRanks(Seq((100L, 1L, 1L), (1L, 2L, 1L),
+      (3L, 4L, 1L), (200L, 100L, 1L)), 3)
+    // two seeds: 100 and 200 (ns = 2)
+    // nodes untouched by any seed path carry exactly zero trust
+    assert(r(3L) == 0.0 && r(4L) == 0.0, r.toString)
+    // reachable-from-seed nodes carry positive trust (node 2, a
+    // sink, ACCUMULATES what 1 passes through — trust decays with
+    // distance only when mass keeps moving)
+    assert(r(1L) > 0.0 && r(2L) > 0.0, r.toString)
+    // every seed keeps at least its teleport floor 0.15/ns
+    assert(r(100L) >= 0.15 / 2 - 1e-12 && r(200L) >= 0.15 / 2 - 1e-12)
+    // seed 100 also RECEIVES trust from seed 200's out-edge
+    assert(r(100L) > r(200L), r.toString)
+  }
 }

@@ -133,7 +133,11 @@ object ScaleSweep {
       // are 4096 rows BY CONSTRUCTION, so unlike q143 the salted
       // sweep vocabulary cannot inflate them; the sweep pins that
       // structural bound showing up as flat broadcast cost.
-      "q144_dsir_select")
+      "q144_dsir_select",
+      // q146: q81's per-round join+aggregate shape with seed-
+      // concentrated teleport — same graph, same iteration count, so
+      // its tier points should track q81's.
+      "q146_trustrank")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

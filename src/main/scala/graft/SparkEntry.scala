@@ -18,7 +18,7 @@ object SparkEntry {
       ops.Temporal.defs ++ ops.RangeOps.defs ++ ops.Cdc.defs ++
       ops.FuzzyJoin.defs ++
       ops.Layout.defs ++ ops.Profiling.defs ++ graph.PageRank.defs ++
-      graph.Triangles.defs ++ graph.KCore.defs ++
+      graph.Triangles.defs ++ graph.KCore.defs ++ graph.Communities.defs ++
       ml.Recommend.defs ++ ml.QualityModel.defs ++ ml.Sampling.defs ++
       dedup.Dedup.defs ++ dedup.SetSimJoin.defs ++
       search.Ann.defs ++ search.Projection.defs ++ search.Pq.defs ++

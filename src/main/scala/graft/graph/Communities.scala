@@ -1,0 +1,118 @@
+package graft.graph
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous weighted label propagation (Raghavan, Albert & Kumara
+  * 2007) — community detection over the co-purchase graph, the
+  * clustering pass a curation stack runs on its link/domain graph to
+  * find content farms and topical clusters (the community analog of
+  * [[PageRank]]'s authority score and [[KCore]]'s density score). The
+  * reference engine has no graph operators; this is a pure extension.
+  *
+  * Semantics (fixed [[Rounds]] synchronous rounds, fully
+  * deterministic): labels start as the node id; each round every node
+  * adopts the neighbor label with the greatest incident edge weight,
+  * ties broken by the smaller label. Unlike hash-min connected
+  * components (the [[graft.dedup.Dedup]] CC used for dedup clusters),
+  * the weighted argmax lets strongly-linked groups keep distinct
+  * communities inside one connected component — LPA partitions a
+  * component, CC cannot.
+  *
+  * Scale shape — each round is the PageRank round shape: one equi
+  * join (labels onto edge sources, shuffle on node key) + one hash
+  * aggregate ((node, label) weight sums, map-side partials) + one
+  * per-node top-1. The top-1 is a `WindowGroupLimit`-able
+  * row_number-over-window, so the per-node group never sorts more
+  * than its distinct neighbor labels. All arithmetic is exact
+  * integers (bigint weight sums, integer labels) — no float parity
+  * concerns anywhere, so the unrolled oracle matches bit-for-bit.
+  * `localCheckpoint` truncates the per-round lineage (the iterative
+  * hygiene every loop here uses; on a cluster: checkpoint/table
+  * rotation).
+  */
+object Communities {
+
+  val Rounds = 3
+
+  /** Propagate labels over undirected `edges` (src, dst, w) for
+    * `rounds` synchronous rounds; returns (node, community).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = Rounds)
+      : DataFrame = {
+    val e0 = edges.localCheckpoint()
+    // undirected view: each edge contributes both directions; a pair
+    // present in both input directions just sums its weights
+    val und = e0.select(col("src"), col("dst"), col("w"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy("src", "dst").agg(sum("w").cast("long").as("w"))
+      .localCheckpoint()
+    var lab = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val pick = Window.partitionBy("node")
+      .orderBy(desc("s"), asc("cand"))
+    for (_ <- 1 to rounds) {
+      lab = und.join(lab, und("src") === lab("node"))
+        .select(und("dst").as("node"), lab("label").as("cand"),
+          und("w"))
+        .groupBy("node", "cand").agg(sum("w").cast("long").as("s"))
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("cand").as("label"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("label").as("community"))
+  }
+
+  /** q148 — weighted LPA communities on the q81 co-purchase graph
+    * (adjacent parts of the same order, weighted by co-occurrence
+    * count). The oracle unrolls the three rounds as chained CTEs —
+    * same integer math, declarative spelling.
+    */
+  val labelPropagationQ: QueryDef = {
+    def round(i: Int): String = {
+      val p = i - 1
+      s""" g$i AS (SELECT e.dst AS node, l$p.label AS cand,
+         |  CAST(sum(e.w) AS BIGINT) AS s
+         | FROM e JOIN l$p ON e.src = l$p.node
+         | GROUP BY e.dst, l$p.label),
+         | l$i AS (SELECT node, cand AS label FROM (
+         |  SELECT node, cand, row_number() OVER (PARTITION BY node
+         |   ORDER BY s DESC, cand ASC) AS rk FROM g$i)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    QueryDef.sql(
+      "q148_label_propagation",
+      (s"""WITH d0 AS (SELECT l1.l_partkey AS src, l2.l_partkey AS dst,
+          |  count(*) AS w
+          | FROM lineitem l1 JOIN lineitem l2
+          |  ON l1.l_orderkey = l2.l_orderkey
+          |  AND l2.l_linenumber = l1.l_linenumber + 1
+          | GROUP BY l1.l_partkey, l2.l_partkey),
+          | e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+          |  SELECT src, dst, w FROM d0
+          |  UNION ALL SELECT dst AS src, src AS dst, w FROM d0)
+          |  GROUP BY src, dst),
+          | l0 AS (SELECT src AS node, src AS label FROM e GROUP BY src),"""
+        + round(1) + "," + round(2) + "," + round(3) +
+        " SELECT node, label AS community FROM l3 ORDER BY node")
+        .stripMargin.replaceAll("\n", "")
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val l2 = li.select(col("l_orderkey"),
+        col("l_linenumber").as("ln2"), col("l_partkey").as("dst"))
+      val edges = li
+        .join(l2, li("l_orderkey") === l2("l_orderkey") &&
+          l2("ln2") === li("l_linenumber") + 1)
+        .groupBy(li("l_partkey").as("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      labelPropagation(edges).orderBy("node")
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(labelPropagationQ)
+}

@@ -329,7 +329,121 @@ object Sampling {
     }
   }
 
+  /** q147 — water-filling token-budget allocation: split a global
+    * training-token budget B across (source, lang) groups so that
+    * group g receives a_g = min(cap_g, λ·w_g) with Σ a_g = B — the
+    * closed-form solution of max Σ w_g·log(a_g) s.t. caps, i.e. the
+    * constrained version of the mixture-table construction every LM
+    * training run publishes (epochs-per-source under a total budget,
+    * the GPT-3/LLaMA-style data table; weights here are q107's
+    * temperature weights w = √avail, caps are [[MaxEpochs]] repeats
+    * of each group's available tokens, B = [[BudgetX]]× the corpus).
+    *
+    * λ is found exactly, not by iteration: sort groups by saturation
+    * point r_g = cap_g/w_g ascending; for each boundary "first k
+    * groups saturated" the candidate λ_k = (B − Σ_{j≤k} cap_j) /
+    * Σ_{j>k} w_j, and the unique valid boundary is the one with
+    * r_k ≤ λ_k ≤ r_{k+1} (water-filling's standard prefix-sum
+    * solution). Everything before the final division is exact BIGINT
+    * arithmetic on the 1e9-quantized √ grid (the q107 discipline), so
+    * the boundary choice cannot flip between engines; λ and the
+    * allocations are single identical-spelling double expressions.
+    *
+    * Scale shape: the only corpus-sized work is the per-group token
+    * count (hash aggregate, map-side partials). The water-filling
+    * itself runs on the group summary — |sources|×|langs| rows, tiny
+    * BY CONSTRUCTION at any corpus size — so its windows are
+    * single-partition by design, not by accident.
+    */
+  /** Per-group repeat cap (epochs) and global budget multiple for
+    * [[tokenBudget]]: B = BudgetX·Σavail < MaxEpochs·Σavail = Σcap,
+    * so the water level always lands strictly inside the caps and a
+    * valid boundary row is guaranteed to exist. (Declared BEFORE
+    * tokenBudget: the oracle string interpolates them at object
+    * init, where a later-declared val is still 0.)
+    */
+  val MaxEpochs = 4
+  val BudgetX = 2
+
+  val tokenBudget: QueryDef = {
+    QueryDef.sql(
+      "q147_token_budget",
+      s"""WITH g AS (SELECT source, lang,
+         |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+         |  FROM documents GROUP BY source, lang),
+         | q AS (SELECT source, lang, avail,
+         |   CAST($MaxEpochs AS BIGINT) * avail AS cap,
+         |   CAST(floor(sqrt(CAST(avail AS DOUBLE)) * 1e9) AS BIGINT)
+         |     AS wq FROM g),
+         | t AS (SELECT CAST(sum(wq) AS BIGINT) AS totw,
+         |   CAST($BudgetX AS BIGINT) * CAST(sum(avail) AS BIGINT) AS b
+         |  FROM q),
+         | s AS (SELECT source, lang, avail, cap, wq,
+         |   CAST(cap AS DOUBLE) * 1e9 / CAST(wq AS DOUBLE) AS r FROM q),
+         | w AS (SELECT source, lang, avail, cap, wq, r,
+         |   coalesce(sum(cap) OVER (ORDER BY r, source, lang
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     CAST(0 AS BIGINT)) AS cumcap,
+         |   coalesce(sum(wq) OVER (ORDER BY r, source, lang
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     CAST(0 AS BIGINT)) AS cumw,
+         |   lag(r) OVER (ORDER BY r, source, lang) AS prev_r
+         |  FROM s),
+         | c AS (SELECT w.*, CAST(b - cumcap AS DOUBLE) * 1e9
+         |     / CAST(totw - cumw AS DOUBLE) AS lam FROM w, t),
+         | lam AS (SELECT lam FROM c WHERE lam <= r
+         |   AND (prev_r IS NULL OR lam >= prev_r)
+         |  ORDER BY r, source, lang LIMIT 1)
+         | SELECT source, lang, avail AS avail_tokens,
+         |  cap AS cap_tokens,
+         |  least(cap, CAST(floor(lam.lam * CAST(wq AS DOUBLE) / 1e9)
+         |    AS BIGINT)) AS alloc_tokens,
+         |  CAST(least(cap, CAST(floor(lam.lam * CAST(wq AS DOUBLE)
+         |      / 1e9) AS BIGINT)) AS DOUBLE) / CAST(avail AS DOUBLE)
+         |    AS epochs
+         | FROM c, lam ORDER BY source, lang"""
+        .stripMargin.replaceAll("\n", "")
+    ) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).as("nt"))
+        .groupBy("source", "lang")
+        .agg(sum("nt").cast("long").as("avail"))
+      val q = g.select(col("source"), col("lang"), col("avail"),
+        (lit(MaxEpochs.toLong) * col("avail")).as("cap"),
+        floor(sqrt(col("avail").cast("double")) * lit(1e9)).cast("long")
+          .as("wq"))
+      val t = q.agg(sum("wq").cast("long").as("totw"),
+        (lit(BudgetX.toLong) * sum("avail").cast("long")).as("b"))
+      val sRows = q.withColumn("r",
+        col("cap").cast("double") * lit(1e9) / col("wq").cast("double"))
+      val ord = Window.orderBy(col("r"), col("source"), col("lang"))
+      val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val w = sRows
+        .withColumn("cumcap", coalesce(sum("cap").over(prev), lit(0L)))
+        .withColumn("cumw", coalesce(sum("wq").over(prev), lit(0L)))
+        .withColumn("prev_r", lag(col("r"), 1).over(ord))
+      val c = w.crossJoin(broadcast(t))
+        .withColumn("lam", (col("b") - col("cumcap")).cast("double") *
+          lit(1e9) / (col("totw") - col("cumw")).cast("double"))
+      val lam = c.filter(col("lam") <= col("r") &&
+          (col("prev_r").isNull || col("lam") >= col("prev_r")))
+        .orderBy(col("r"), col("source"), col("lang")).limit(1)
+        .select(col("lam").as("lamstar"))
+      val alloc = least(col("cap"),
+        floor(col("lamstar") * col("wq").cast("double") / lit(1e9))
+          .cast("long"))
+      c.crossJoin(broadcast(lam))
+        .select(col("source"), col("lang"),
+          col("avail").as("avail_tokens"), col("cap").as("cap_tokens"),
+          alloc.as("alloc_tokens"),
+          (alloc.cast("double") / col("avail").cast("double"))
+            .as("epochs"))
+        .orderBy("source", "lang")
+    }
+  }
+
   val defs: Seq[QueryDef] =
     Seq(negativeSample, temperatureSample, reservoirSample, clusterSplit,
-      dsirSelect)
+      dsirSelect, tokenBudget)
 }

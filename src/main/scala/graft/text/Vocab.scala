@@ -72,5 +72,99 @@ object Vocab {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(vocabEncode)
+  /** Terms entering the q149 Zipf regression — the standard head-only
+    * fit (the tail bends off the power law and a 100 TB corpus has an
+    * unbounded singleton tail; the head is where the law holds).
+    */
+  val ZipfTopK = 100
+
+  /** q149 — per-source vocabulary profile: the corpus-statistics
+    * card a data-quality audit reads before mixing sources. Per
+    * source: token/type counts, hapax count (singleton types — the
+    * OCR-noise/boilerplate tail indicator), top-term mass share, and
+    * the Zipf rank-frequency slope — least-squares of ln f on ln rank
+    * over the top-[[ZipfTopK]] types. Natural text sits near −1
+    * (Zipf 1949); a slope far off it flags templated or synthetic
+    * text, the same signal family as q64/q111 but at SOURCE grain,
+    * where it steers mixing weights rather than per-doc drops.
+    *
+    * Scale shape: one (source, term) hash aggregate (map-side
+    * partials bound it by |sources|·|vocab|, not corpus size), a
+    * per-source top-K that Spark plans as WindowGroupLimit (only K
+    * rows per source survive the rank shuffle), and two tiny
+    * per-source rollups joined at |sources| rows. Float discipline
+    * (the q111 pattern): every ln-product term quantizes through
+    * DECIMAL(28,12) so sums are partition-order-independent, the
+    * closed-form slope is one identical-spelling double expression
+    * on both engines, and the final round(…,4) absorbs cross-engine
+    * libm ulps in ln. top_share stays an unrounded int/int quotient
+    * (bit-identical — the q37 precedent).
+    */
+  val zipfProfile: QueryDef = QueryDef.sql(
+    "q149_zipf_profile",
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       | f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS f
+       |  FROM tok GROUP BY source, w),
+       | stats AS (SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+       |   CAST(count(*) AS BIGINT) AS n_distinct,
+       |   CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS hapax,
+       |   CAST(max(f) AS DOUBLE) / CAST(sum(f) AS DOUBLE) AS top_share
+       |  FROM f GROUP BY source),
+       | rk AS (SELECT source, f, row_number() OVER (PARTITION BY source
+       |   ORDER BY f DESC, w ASC) AS rk FROM f),
+       | top AS (SELECT source,
+       |   CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(28,12)) AS x,
+       |   CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(28,12)) AS y,
+       |   CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+       |     AS DECIMAL(28,12)) AS xy,
+       |   CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+       |     AS DECIMAL(28,12)) AS xx
+       |  FROM rk WHERE rk <= $ZipfTopK),
+       | fit AS (SELECT source, CAST(count(*) AS DOUBLE) AS k,
+       |   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+       |   CAST(sum(xy) AS DOUBLE) AS sxy,
+       |   CAST(sum(xx) AS DOUBLE) AS sxx
+       |  FROM top GROUP BY source)
+       | SELECT stats.source, n_tokens, n_distinct, hapax, top_share,
+       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+       |    AS zipf_slope
+       | FROM stats JOIN fit ON stats.source = fit.source
+       | ORDER BY stats.source""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).cast("long").as("f"))
+    val stats = f.groupBy("source").agg(
+      sum("f").cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_distinct"),
+      sum(when(col("f") === 1, 1).otherwise(0)).cast("long").as("hapax"),
+      (max("f").cast("double") / sum("f").cast("double")).as("top_share"))
+    val rk = f.withColumn("rk", row_number().over(
+      Window.partitionBy("source").orderBy(desc("f"), asc("w"))))
+      .filter(col("rk") <= ZipfTopK)
+    val lx = log(col("rk").cast("double"))
+    val ly = log(col("f").cast("double"))
+    val fit = rk.select(col("source"),
+        lx.cast("decimal(28,12)").as("x"),
+        ly.cast("decimal(28,12)").as("y"),
+        (lx * ly).cast("decimal(28,12)").as("xy"),
+        (lx * lx).cast("decimal(28,12)").as("xx"))
+      .groupBy("source").agg(
+        count(lit(1)).cast("double").as("k"),
+        sum("x").cast("double").as("sx"),
+        sum("y").cast("double").as("sy"),
+        sum("xy").cast("double").as("sxy"),
+        sum("xx").cast("double").as("sxx"))
+    stats.join(fit, "source")
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        col("hapax"), col("top_share"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  val defs: Seq[QueryDef] = Seq(vocabEncode, zipfProfile)
 }

@@ -175,4 +175,36 @@ class GraphSpec extends SparkSpec {
     // seed 100 also RECEIVES trust from seed 200's out-edge
     assert(r(100L) > r(200L), r.toString)
   }
+
+  private def communities(edges: Seq[(Long, Long, Long)], rounds: Int = 3) =
+    graph.Communities
+      .labelPropagation(edges.toDF("src", "dst", "w"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("lpa: a weak bridge between two triangles yields two " +
+      "communities where CC would merge them into one") {
+    // triangles {1,2,3} and {4,5,6} with internal weight 10,
+    // bridged 3-4 with weight 1 — ONE connected component.
+    val tri = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L), (3L, 4L, 1L))
+    val c = communities(tri)
+    assert(c(1L) == c(2L) && c(2L) == c(3L), c.toString)
+    assert(c(4L) == c(5L) && c(5L) == c(6L), c.toString)
+    // the weighted argmax keeps the sides apart across the bridge
+    assert(c(1L) != c(4L), c.toString)
+  }
+
+  test("lpa: weight ties break to the smaller label, " +
+      "deterministically") {
+    // node 3 sees labels 1 and 2 at equal weight in round 1
+    val c = communities(Seq((1L, 3L, 5L), (2L, 3L, 5L)), 1)
+    assert(c(3L) == 1L, c.toString)
+  }
+
+  test("lpa: one round matches the hand-computed sync update") {
+    // 1-2 (w 10), 2-3 (w 1): after one round node 2 takes label 1
+    // (heavier neighbor), node 1 takes 2, node 3 takes 2.
+    val c = communities(Seq((1L, 2L, 10L), (2L, 3L, 1L)), 1)
+    assert(c == Map(1L -> 2L, 2L -> 1L, 3L -> 2L), c.toString)
+  }
 }

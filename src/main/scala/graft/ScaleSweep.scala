@@ -137,7 +137,22 @@ object ScaleSweep {
       // q146: q81's per-round join+aggregate shape with seed-
       // concentrated teleport — same graph, same iteration count, so
       // its tier points should track q81's.
-      "q146_trustrank")
+      "q146_trustrank",
+      // q147: the corpus-sized stage is one per-(source, lang) token
+      // count (grows ~1.3k× tokens with the salts); the water-filling
+      // itself runs on the constant-size group summary, so the sweep
+      // pins "aggregate linear, solve O(1)".
+      "q147_token_budget",
+      // q148: 3-round weighted LPA on the replicated co-purchase
+      // graph — per-round join+aggregate+top-1, the q81 shape, so
+      // its tier points should track q81/q146's.
+      "q148_label_propagation",
+      // q149: the doc-unique salts are ADVERSARIAL for type counting
+      // — every salt token is a fresh hapax type, so the (source,
+      // term) table grows ~linearly with corpus TOKENS (not vocab),
+      // the worst case for this aggregate; the top-K fit stays
+      // K-bounded regardless.
+      "q149_zipf_profile")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

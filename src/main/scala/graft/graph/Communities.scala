@@ -2,7 +2,6 @@ package graft.graph
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous weighted label propagation (Raghavan, Albert & Kumara
@@ -24,9 +23,9 @@ import org.apache.spark.sql.functions._
   * Scale shape — each round is the PageRank round shape: one equi
   * join (labels onto edge sources, shuffle on node key) + one hash
   * aggregate ((node, label) weight sums, map-side partials) + one
-  * per-node top-1. The top-1 is a `WindowGroupLimit`-able
-  * row_number-over-window, so the per-node group never sorts more
-  * than its distinct neighbor labels. All arithmetic is exact
+  * per-node top-1 spelled as a second hash aggregate (lexicographic
+  * max over (weight, -label)), so no stage ever sorts the
+  * (node, label) stream. All arithmetic is exact
   * integers (bigint weight sums, integer labels) — no float parity
   * concerns anywhere, so the unrolled oracle matches bit-for-bit.
   * `localCheckpoint` truncates the per-round lineage (the iterative
@@ -44,24 +43,34 @@ object Communities {
       : DataFrame = {
     val e0 = edges.localCheckpoint()
     // undirected view: each edge contributes both directions; a pair
-    // present in both input directions just sums its weights
+    // present in both input directions just sums its weights.
+    // Repartitioned by src BEFORE the checkpoint (the q81 edge-table
+    // trick): the per-round join hashes on src, so checkpointing the
+    // (src, dst) grouping's partitioning instead would reshuffle the
+    // FULL edge table every round — the big table must sit still
+    // while the small label table moves (measured at 10×: the
+    // edge reshuffle + a sort-window top-1 put q148 3-4× over
+    // q81's band on the same graph; this shape tracks it).
     val und = e0.select(col("src"), col("dst"), col("w"))
       .union(e0.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
       .groupBy("src", "dst").agg(sum("w").cast("long").as("w"))
+      .repartition(col("src"))
       .localCheckpoint()
     var lab = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val pick = Window.partitionBy("node")
-      .orderBy(desc("s"), asc("cand"))
     for (_ <- 1 to rounds) {
+      // top-1 as a hash aggregate, not a sort window: lexicographic
+      // max over (s, -cand) picks the heaviest label with ties to
+      // the SMALLER label — deterministic, map-side-partial-able,
+      // and never sorts the (node, label) stream.
       lab = und.join(lab, und("src") === lab("node"))
         .select(und("dst").as("node"), lab("label").as("cand"),
           und("w"))
         .groupBy("node", "cand").agg(sum("w").cast("long").as("s"))
-        .withColumn("rk", row_number().over(pick))
-        .filter(col("rk") === 1)
-        .select(col("node"), col("cand").as("label"))
+        .groupBy("node")
+        .agg(max(struct(col("s"), (-col("cand")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("label"))
         .localCheckpoint()
     }
     lab.select(col("node"), col("label").as("community"))

@@ -109,5 +109,111 @@ object Embeddings {
       .orderBy("i", "j")
   }
 
-  val defs: Seq[QueryDef] = Seq(labelCentroids, covariance)
+  /** q150 — nearest-centroid assignment audit: every vector is
+    * cosine-assigned to its nearest label centroid and reported with
+    * the assignment margin — the cluster-quality/label-purity report
+    * behind every centroid-based stage here (q73's SemDeDup cells,
+    * q102's centroids, the IVF coarse quantizer): a low-margin or
+    * misassigned slice is exactly where cluster-granularity dedup
+    * and routing decisions are unreliable. This is the k-means
+    * ASSIGNMENT step as a first-class audited operator.
+    *
+    * Scale shape: centroids are a |labels|·dim aggregate (tiny,
+    * broadcast); the assignment pass joins the exploded vector
+    * stream to the broadcast centroid components on `pos` — linear
+    * in vecs·|labels|, with map-side partial aggregation collapsing
+    * the per-(vec, label) dot products before the shuffle, so the
+    * shuffled volume is |vecs|·|labels| scalars, never components.
+    * The per-vector argmax is over |labels| rows (a bounded window).
+    *
+    * Parity discipline: components quantize to the 1e12 floor grid
+    * (exact BIGINT centroid sums — the q131 spelling); dot/norm
+    * product terms quantize through DECIMAL(28,12) (the q111
+    * spelling); cosine is then one identical-op-order double
+    * expression — sqrt is IEEE-correctly-rounded on both engines.
+    * A DECIMAL(28,12) product term CAN land on a rounding half-tie
+    * and flip 1e-12 between engines (the q131 finding — measured
+    * here: one sf0.001 margin off by 3e-12), so the emitted margin
+    * rounds at 6 decimals, the sanctioned absorber for sqrt-derived
+    * values; the ARGMAX needs no such guard because measured
+    * rank-1/rank-2 separation is ≥ 2.8e-5 at every SF, seven orders
+    * above the divergence.
+    */
+  val centroidAssign: QueryDef = QueryDef.sql(
+    "q150_centroid_assign",
+    """WITH ex AS (SELECT vec_id, label, p AS pos,
+      |   CAST(floor(CAST(embedding[p] AS DOUBLE) * 1e12) AS BIGINT)
+      |     AS xq
+      |  FROM embeddings,
+      |   UNNEST(generate_series(1, len(embedding))) AS u(p)),
+      | cen AS (SELECT label AS clabel, pos,
+      |   CAST(sum(xq) AS DOUBLE) / 1e12 / count(*) AS cx
+      |  FROM ex GROUP BY label, pos),
+      | vn AS (SELECT vec_id, sqrt(CAST(sum(CAST(
+      |    (CAST(xq AS DOUBLE) / 1e12) * (CAST(xq AS DOUBLE) / 1e12)
+      |    AS DECIMAL(28,12))) AS DOUBLE)) AS vnorm
+      |  FROM ex GROUP BY vec_id),
+      | cn AS (SELECT clabel, sqrt(CAST(sum(CAST(cx * cx
+      |    AS DECIMAL(28,12))) AS DOUBLE)) AS cnorm
+      |  FROM cen GROUP BY clabel),
+      | dots AS (SELECT ex.vec_id, ex.label, cen.clabel,
+      |   CAST(sum(CAST((CAST(ex.xq AS DOUBLE) / 1e12) * cen.cx
+      |    AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM ex JOIN cen ON ex.pos = cen.pos
+      |  GROUP BY ex.vec_id, ex.label, cen.clabel),
+      | cosv AS (SELECT d.vec_id, d.label, d.clabel,
+      |   d.dot / (vn.vnorm * cn.cnorm) AS cs
+      |  FROM dots d JOIN vn USING (vec_id) JOIN cn USING (clabel)),
+      | rkd AS (SELECT vec_id, label, clabel, cs,
+      |   row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cs DESC, clabel ASC) AS rk FROM cosv)
+      | SELECT b1.vec_id, b1.label, b1.clabel AS assigned,
+      |  CAST(CASE WHEN b1.clabel = b1.label THEN 1 ELSE 0 END
+      |    AS BIGINT) AS correct,
+      |  round(b1.cs - b2.cs, 6) AS margin
+      | FROM rkd b1 JOIN rkd b2
+      |  ON b1.vec_id = b2.vec_id AND b1.rk = 1 AND b2.rk = 2
+      | ORDER BY b1.vec_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) =>
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("p0", "x")))
+      .select(col("vec_id"), col("label"), (col("p0") + 1).as("pos"),
+        floor(col("x").cast("double") * lit(1e12)).cast("long")
+          .as("xq"))
+    val vx = col("xq").cast("double") / lit(1e12)
+    val cen = ex.groupBy(col("label").as("clabel"), col("pos"))
+      .agg((sum("xq").cast("double") / lit(1e12) / count(lit(1)))
+        .as("cx"))
+    val vn = ex.groupBy("vec_id")
+      .agg(sqrt(sum((vx * vx).cast("decimal(28,12)")).cast("double"))
+        .as("vnorm"))
+    val cn = cen.groupBy("clabel")
+      .agg(sqrt(sum((col("cx") * col("cx")).cast("decimal(28,12)"))
+        .cast("double")).as("cnorm"))
+    val dots = ex.join(broadcast(cen), "pos")
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum((vx * col("cx")).cast("decimal(28,12)")).cast("double")
+        .as("dot"))
+    val cosv = dots
+      .join(vn, "vec_id").join(broadcast(cn), "clabel")
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (col("dot") / (col("vnorm") * col("cnorm"))).as("cs"))
+    val rkd = cosv.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("cs"), asc("clabel"))))
+    val b1 = rkd.filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("assigned"),
+        col("cs").as("cs1"))
+    val b2 = rkd.filter(col("rk") === 2)
+      .select(col("vec_id"), col("cs").as("cs2"))
+    b1.join(b2, "vec_id")
+      .select(col("vec_id"), col("label"), col("assigned"),
+        when(col("assigned") === col("label"), 1L).otherwise(0L)
+          .cast("long").as("correct"),
+        round(col("cs1") - col("cs2"), 6).as("margin"))
+      .orderBy("vec_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(labelCentroids, covariance, centroidAssign)
 }

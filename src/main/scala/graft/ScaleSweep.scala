@@ -147,6 +147,11 @@ object ScaleSweep {
       // graph — per-round join+aggregate+top-1, the q81 shape, so
       // its tier points should track q81/q146's.
       "q148_label_propagation",
+      // q150: the assignment pass is linear in vecs·|labels| with
+      // broadcast centroids — the k-means-assignment shape; the
+      // sweep pins the exploded join + partial-agg staying linear
+      // in the replicated vector count (labels stay 10).
+      "q150_centroid_assign",
       // q149: the doc-unique salts are ADVERSARIAL for type counting
       // — every salt token is a fresh hapax type, so the (source,
       // term) table grows ~linearly with corpus TOKENS (not vocab),

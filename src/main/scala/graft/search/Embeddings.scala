@@ -126,18 +126,18 @@ object Embeddings {
     * shuffled volume is |vecs|·|labels| scalars, never components.
     * The per-vector argmax is over |labels| rows (a bounded window).
     *
-    * Parity discipline: components quantize to the 1e12 floor grid
-    * (exact BIGINT centroid sums — the q131 spelling); dot/norm
-    * product terms quantize through DECIMAL(28,12) (the q111
-    * spelling); cosine is then one identical-op-order double
-    * expression — sqrt is IEEE-correctly-rounded on both engines.
-    * A DECIMAL(28,12) product term CAN land on a rounding half-tie
-    * and flip 1e-12 between engines (the q131 finding — measured
-    * here: one sf0.001 margin off by 3e-12), so the emitted margin
-    * rounds at 6 decimals, the sanctioned absorber for sqrt-derived
-    * values; the ARGMAX needs no such guard because measured
-    * rank-1/rank-2 separation is ≥ 2.8e-5 at every SF, seven orders
-    * above the divergence.
+    * Parity discipline: components AND every dot/norm product term
+    * quantize to the 1e12 floor grid and sum in BIGINT (the q131
+    * spelling end to end) — floor of an identical double has NO
+    * half-tie, unlike a DECIMAL(28,12) cast (a first cut used
+    * DECIMAL terms and measured one sf0.001 margin flipping 3e-12
+    * between engines on a cast half-tie; the floor grid also keeps
+    * the aggregate in codegen'd integer sums, which cut the 10×
+    * sweep point ~2×). Cosine is then one identical-op-order double
+    * expression — sqrt is IEEE-correctly-rounded on both engines;
+    * the margin keeps a round(…,6) belt anyway, and the ARGMAX
+    * needs no guard because measured rank-1/rank-2 separation is
+    * ≥ 2.8e-5 at every SF.
     */
   val centroidAssign: QueryDef = QueryDef.sql(
     "q150_centroid_assign",
@@ -149,16 +149,16 @@ object Embeddings {
       | cen AS (SELECT label AS clabel, pos,
       |   CAST(sum(xq) AS DOUBLE) / 1e12 / count(*) AS cx
       |  FROM ex GROUP BY label, pos),
-      | vn AS (SELECT vec_id, sqrt(CAST(sum(CAST(
+      | vn AS (SELECT vec_id, sqrt(CAST(sum(CAST(floor(
       |    (CAST(xq AS DOUBLE) / 1e12) * (CAST(xq AS DOUBLE) / 1e12)
-      |    AS DECIMAL(28,12))) AS DOUBLE)) AS vnorm
+      |    * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS vnorm
       |  FROM ex GROUP BY vec_id),
-      | cn AS (SELECT clabel, sqrt(CAST(sum(CAST(cx * cx
-      |    AS DECIMAL(28,12))) AS DOUBLE)) AS cnorm
+      | cn AS (SELECT clabel, sqrt(CAST(sum(CAST(floor(cx * cx * 1e12)
+      |    AS BIGINT)) AS DOUBLE) / 1e12) AS cnorm
       |  FROM cen GROUP BY clabel),
       | dots AS (SELECT ex.vec_id, ex.label, cen.clabel,
-      |   CAST(sum(CAST((CAST(ex.xq AS DOUBLE) / 1e12) * cen.cx
-      |    AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |   CAST(sum(CAST(floor((CAST(ex.xq AS DOUBLE) / 1e12) * cen.cx
+      |    * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
       |  FROM ex JOIN cen ON ex.pos = cen.pos
       |  GROUP BY ex.vec_id, ex.label, cen.clabel),
       | cosv AS (SELECT d.vec_id, d.label, d.clabel,
@@ -186,15 +186,15 @@ object Embeddings {
       .agg((sum("xq").cast("double") / lit(1e12) / count(lit(1)))
         .as("cx"))
     val vn = ex.groupBy("vec_id")
-      .agg(sqrt(sum((vx * vx).cast("decimal(28,12)")).cast("double"))
-        .as("vnorm"))
+      .agg(sqrt(sum(floor(vx * vx * lit(1e12)).cast("long"))
+        .cast("double") / lit(1e12)).as("vnorm"))
     val cn = cen.groupBy("clabel")
-      .agg(sqrt(sum((col("cx") * col("cx")).cast("decimal(28,12)"))
-        .cast("double")).as("cnorm"))
+      .agg(sqrt(sum(floor(col("cx") * col("cx") * lit(1e12))
+        .cast("long")).cast("double") / lit(1e12)).as("cnorm"))
     val dots = ex.join(broadcast(cen), "pos")
       .groupBy("vec_id", "label", "clabel")
-      .agg(sum((vx * col("cx")).cast("decimal(28,12)")).cast("double")
-        .as("dot"))
+      .agg((sum(floor(vx * col("cx") * lit(1e12)).cast("long"))
+        .cast("double") / lit(1e12)).as("dot"))
     val cosv = dots
       .join(vn, "vec_id").join(broadcast(cn), "clabel")
       .select(col("vec_id"), col("label"), col("clabel"),

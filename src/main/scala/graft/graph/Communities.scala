@@ -44,36 +44,46 @@ object Communities {
     val e0 = edges.localCheckpoint()
     // undirected view: each edge contributes both directions; a pair
     // present in both input directions just sums its weights.
-    // Repartitioned by src BEFORE the checkpoint (the q81 edge-table
-    // trick): the per-round join hashes on src, so checkpointing the
-    // (src, dst) grouping's partitioning instead would reshuffle the
-    // FULL edge table every round — the big table must sit still
-    // while the small label table moves (measured at 10×: the
-    // edge reshuffle + a sort-window top-1 put q148 3-4× over
-    // q81's band on the same graph; this shape tracks it).
+    // Repartitioned by src and CACHED, not checkpointed: the
+    // per-round join hashes on src, and an InMemoryRelation preserves
+    // its child's HashPartitioning(src) so every round consumes the
+    // edge table IN PLACE — a localCheckpoint here reports
+    // UnknownPartitioning under AQE (measured: the 10× stage probe
+    // showed the full edge table re-exchanged every round), which
+    // would put the one big table back on the wire three times. The
+    // big table must sit still while the small label table moves.
     val und = e0.select(col("src"), col("dst"), col("w"))
       .union(e0.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
       .groupBy("src", "dst").agg(sum("w").cast("long").as("w"))
       .repartition(col("src"))
-      .localCheckpoint()
+      .persist()
     var lab = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
-      // top-1 as a hash aggregate, not a sort window: lexicographic
-      // max over (s, -cand) picks the heaviest label with ties to
-      // the SMALLER label — deterministic, map-side-partial-able,
-      // and never sorts the (node, label) stream.
-      lab = und.join(lab, und("src") === lab("node"))
-        .select(und("dst").as("node"), lab("label").as("cand"),
-          und("w"))
-        .groupBy("node", "cand").agg(sum("w").cast("long").as("s"))
-        .groupBy("node")
-        .agg(max(struct(col("s"), (-col("cand")).as("nc"))).as("m"))
-        .select(col("node"), (-col("m.nc")).as("label"))
-        .localCheckpoint()
-    }
+    // lab's lineage grows per round — localCheckpoint (eager)
+    // truncates it, and by loop end every round is materialized, so
+    // the edge cache can be dropped before the result is consumed.
+    for (_ <- 1 to rounds)
+      lab = propagateOnce(und, lab).localCheckpoint()
+    und.unpersist(false)
     lab.select(col("node"), col("label").as("community"))
+  }
+
+  /** One synchronous LPA round (pre-checkpoint — PlanSpec audits
+    * this plan directly, which the post-checkpoint RDD scan would
+    * hide): top-1 as a hash aggregate, not a sort window —
+    * lexicographic max over (s, -cand) picks the heaviest label with
+    * ties to the SMALLER label, deterministic, map-side-partial-able,
+    * and never sorts the (node, label) stream.
+    */
+  private[graft] def propagateOnce(und: DataFrame, lab: DataFrame)
+      : DataFrame = {
+    und.join(lab, und("src") === lab("node"))
+      .select(und("dst").as("node"), lab("label").as("cand"), und("w"))
+      .groupBy("node", "cand").agg(sum("w").cast("long").as("s"))
+      .groupBy("node")
+      .agg(max(struct(col("s"), (-col("cand")).as("nc"))).as("m"))
+      .select(col("node"), (-col("m.nc")).as("label"))
   }
 
   /** q148 — weighted LPA communities on the q81 co-purchase graph

@@ -279,11 +279,39 @@ object Gates {
         }),
       ("q68_decontaminate_bloom", "false_negatives_vs_exact", "<=", 0.0,
         (s, d) => {
+          // measures the RAW bloom tier (q68 itself is now exact and
+          // oracle-checked): no contaminated doc may escape the probe
           val exact = dedup.Dedup
             .benchShingleHits(Tables.documents(s, d), 97).select("doc_id")
-          val flagged =
-            dedup.Dedup.decontaminateBloom.fn(s, d).select("doc_id")
+          val flagged = dedup.Dedup
+            .bloomProbeSurvivors(Tables.documents(s, d), 97)
           exact.join(flagged, Seq("doc_id"), "left_anti").count().toDouble
+        }),
+      ("q151_dsir_resample", "source_counts_chisq_vs_importance", "<=",
+        45.0, (s, d) => {
+          // Does the Gumbel-top-N sample TRACK the importance
+          // distribution? Observed per-source sample counts vs the
+          // with-replacement expectation N·(Σ_src r_i / Σ r_i) with
+          // r_i = 10^score — Pearson chi-square; 45 ≈ χ²₀.₉₉₉ at
+          // df 19 (20 sources). Without-replacement sampling has
+          // LOWER dispersion than multinomial, so the bound is
+          // conservative for the property under test.
+          val w = ml.Sampling.dsirScores(s, d)
+            .select(col("source"),
+              pow(lit(10.0), col("score_q4").cast("double") / 1e4)
+                .as("r"))
+            .groupBy("source").agg(sum("r").as("wsum"))
+            .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+          val tot = w.values.sum
+          val n = 100.0
+          val obs = ml.Sampling.dsirResample.fn(s, d)
+            .groupBy("source").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          w.map { case (src, ws) =>
+            val e = n * ws / tot
+            val o = obs.getOrElse(src, 0L).toDouble
+            (o - e) * (o - e) / e
+          }.sum
         }),
       ("q73_semdedup", "labeling_and_dup_of_violations", "<=", 0.0,
         (s, d) => {

@@ -52,9 +52,15 @@ object Communities {
     // showed the full edge table re-exchanged every round), which
     // would put the one big table back on the wire three times. The
     // big table must sit still while the small label table moves.
+    // Self-loops are dropped BEFORE the direction union: Raghavan et
+    // al.'s update is neighbor-only, and a surviving (a,a,w) would
+    // appear in both direction selects, sum to 2w, and let a node
+    // vote for its own current label with doubled weight each round —
+    // damping community takeover (r9 ADVICE).
     val und = e0.select(col("src"), col("dst"), col("w"))
       .union(e0.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
+      .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(sum("w").cast("long").as("w"))
       .repartition(col("src"))
       .persist()
@@ -114,7 +120,7 @@ object Communities {
           | e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
           |  SELECT src, dst, w FROM d0
           |  UNION ALL SELECT dst AS src, src AS dst, w FROM d0)
-          |  GROUP BY src, dst),
+          |  WHERE src <> dst GROUP BY src, dst),
           | l0 AS (SELECT src AS node, src AS label FROM e GROUP BY src),"""
         + round(1) + "," + round(2) + "," + round(3) +
         " SELECT node, label AS community FROM l3 ORDER BY node")

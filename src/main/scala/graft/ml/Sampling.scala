@@ -1,6 +1,7 @@
 package graft.ml
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -252,78 +253,172 @@ object Sampling {
     * merge — no global sort), and the output rank windows over the
     * SelectN-row result, bounded by the constant. The DuckDB oracle
     * spells the same ranking as a full window, which it can afford.
+    *
+    * Spelling rule (the q150/q131 floor-grid discipline, adopted
+    * after round 9's one wrong answer): no rounded double that can
+    * cross zero leaves an operator. The r9 cut emitted
+    * `round(score, 4)` and doc 41's tiny-negative mean rounded to
+    * +0.0 in Spark (BigDecimal HALF_UP drops the sign) but -0.0 in
+    * DuckDB (round-toward-signed-zero) — value-equal, hash-different.
+    * The score now leaves on the BIGINT 1e4 lattice
+    * (`floor(s/n·1e4)`): both engines compute the identical IEEE
+    * double chain and `floor` lands on an integer, which has no
+    * signed zero to disagree about.
     */
+  /** The q144/q151 shared score pipeline, SQL half: CTEs `tok` → `sc`
+    * producing (doc_id, source, n_toks, score_q4) — the hashed-unigram
+    * importance score on the BIGINT 1e4 lattice. Selection (q144
+    * top-N) and resampling (q151 Gumbel-top-N) both start here.
+    */
+  private val DsirScoreCtes: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |   unnest(string_split(text, ' ')) AS t FROM documents),
+      | f AS (SELECT doc_id, source, substring(md5(t), 1, 3) AS b
+      |  FROM tok),
+      | ct AS (SELECT b, count(*) AS c FROM f WHERE source = 'src0'
+      |  GROUP BY b),
+      | cr AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+      | nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+      | nr AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cr),
+      | nb AS (SELECT count(*) AS nb FROM cr),
+      | lr AS (SELECT cr.b, CAST(
+      |   log10(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) /
+      |     CAST((SELECT n FROM nt) + (SELECT nb FROM nb) AS DOUBLE))
+      |   - log10(CAST(cr.c + 1 AS DOUBLE) /
+      |     CAST((SELECT n FROM nr) + (SELECT nb FROM nb) AS DOUBLE))
+      |   AS DECIMAL(28,12)) AS lg
+      |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+      | agg AS (SELECT f.doc_id, f.source, count(*) AS n_toks,
+      |   CAST(sum(lr.lg) AS DOUBLE) AS s
+      |  FROM f JOIN lr ON f.b = lr.b GROUP BY f.doc_id, f.source),
+      | sc AS (SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+      |   CAST(floor(s / n_toks * 1e4) AS BIGINT) AS score_q4 FROM agg)"""
+      .stripMargin
+
+  /** The q144/q151 shared score pipeline, Spark half — same contract
+    * as [[DsirScoreCtes]].
+    *
+    * One tokenization pass: the per-(doc, bucket) count table is the
+    * smallest frame every downstream term derives from (doc count ×
+    * ≤4096 buckets, vs three re-scans of the exploded token stream);
+    * cnt · decimal(lg) == per-token decimal sums exactly, so the
+    * oracle's per-token spelling hash-matches. Both count tables ride
+    * ONE conditional aggregate (target is a slice of raw, so ct is a
+    * filtered sum): the token stream is scanned exactly twice — once
+    * into the bucket table, once into the per-doc scores. The
+    * bucket-level ratio table is ≤ 4096 rows joined + aggregated
+    * driver-free, then broadcast onto the per-doc counts.
+    */
+  private[graft] def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"), col("source"),
+        substring(md5(col("t")), 1, 3).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val bc = g.groupBy("b").agg(sum("cnt").as("cr"),
+      sum(when(col("source") === "src0", col("cnt")).otherwise(0L))
+        .as("ct"))
+    val totals = bc.agg(sum("cr").as("nr"), count(lit(1)).as("nb"),
+      sum("ct").as("nt"))
+    val lr = bc
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log10((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (col("nt") + col("nb")).cast("double"))
+         - log10((col("cr") + 1).cast("double") /
+          (col("nr") + col("nb")).cast("double")))
+          .cast("decimal(28,12)").as("lg"))
+    // cnt enters the product as DECIMAL(9,0), NOT long: a long
+    // promotes to decimal(20,0) and (28,12)×(20,0) needs precision
+    // 49 > 38, so Spark's precision-loss rule silently truncates the
+    // product scale to 6 — a 1e-6 rounding per bucket that drifts s
+    // off the oracle's exact per-token sum (caught by q151 at
+    // sf0.001: doc 94's mean sat 1.1e-4 from a 1e4-grid line and
+    // flipped its floor). (9,0)×(28,12) → (38,12), exact; 1e9 tokens
+    // of one doc in one md5 bucket is the documented envelope.
+    g.join(broadcast(lr), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum("cnt").as("n_toks"),
+        sum(col("cnt").cast("decimal(9,0)") * col("lg"))
+          .cast("double").as("s"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        floor(col("s") / col("n_toks") * lit(1e4)).cast("long")
+          .as("score_q4"))
+  }
+
   val dsirSelect: QueryDef = {
     val SelectN = 200
     QueryDef.sql(
       "q144_dsir_select",
-      s"""WITH tok AS (SELECT doc_id, source,
-        |   unnest(string_split(text, ' ')) AS t FROM documents),
-        | f AS (SELECT doc_id, source, substring(md5(t), 1, 3) AS b
-        |  FROM tok),
-        | ct AS (SELECT b, count(*) AS c FROM f WHERE source = 'src0'
-        |  GROUP BY b),
-        | cr AS (SELECT b, count(*) AS c FROM f GROUP BY b),
-        | nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
-        | nr AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cr),
-        | nb AS (SELECT count(*) AS nb FROM cr),
-        | lr AS (SELECT cr.b, CAST(
-        |   log10(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) /
-        |     CAST((SELECT n FROM nt) + (SELECT nb FROM nb) AS DOUBLE))
-        |   - log10(CAST(cr.c + 1 AS DOUBLE) /
-        |     CAST((SELECT n FROM nr) + (SELECT nb FROM nb) AS DOUBLE))
-        |   AS DECIMAL(28,12)) AS lg
-        |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
-        | agg AS (SELECT f.doc_id, f.source, count(*) AS n_toks,
-        |   CAST(sum(lr.lg) AS DOUBLE) AS s
-        |  FROM f JOIN lr ON f.b = lr.b GROUP BY f.doc_id, f.source),
-        | sc AS (SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
-        |   round(s / n_toks, 4) AS score FROM agg),
+      (DsirScoreCtes +
+        s""",
         | top AS (SELECT *, row_number() OVER
-        |   (ORDER BY score DESC, doc_id) AS rank FROM sc)
-        | SELECT doc_id, source, n_toks, score, CAST(rank AS INT) AS rank
+        |   (ORDER BY score_q4 DESC, doc_id) AS rank FROM sc)
+        | SELECT doc_id, source, n_toks, score_q4, CAST(rank AS INT) AS rank
         | FROM top WHERE rank <= $SelectN ORDER BY doc_id"""
-        .stripMargin.replaceAll("\n", "")
+        .stripMargin).replaceAll("\n", "")
     ) { (s, d) =>
-      // One tokenization pass: the per-(doc, bucket) count table is
-      // the smallest frame every downstream term derives from (doc
-      // count x <=4096 buckets, vs three re-scans of the exploded
-      // token stream); cnt * decimal(lg) == per-token decimal sums
-      // exactly, so the oracle's per-token spelling hash-matches.
-      val g = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("t"))
-        .groupBy(col("doc_id"), col("source"),
-          substring(md5(col("t")), 1, 3).as("b"))
-        .agg(count(lit(1)).as("cnt"))
-      // Both count tables in ONE conditional aggregate (target is a
-      // slice of raw, so ct rides along as a filtered sum): the token
-      // stream is scanned exactly twice — once into this bucket
-      // table, once into the per-doc scores — not once per table.
-      val bc = g.groupBy("b").agg(sum("cnt").as("cr"),
-        sum(when(col("source") === "src0", col("cnt")).otherwise(0L))
-          .as("ct"))
-      // bucket-level ratio table: <= 4096 rows joined + aggregated
-      // driver-free, then broadcast onto the per-doc counts
-      val totals = bc.agg(sum("cr").as("nr"), count(lit(1)).as("nb"),
-        sum("ct").as("nt"))
-      val lr = bc
-        .crossJoin(broadcast(totals))
-        .select(col("b"),
-          (log10((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
-            (col("nt") + col("nb")).cast("double"))
-           - log10((col("cr") + 1).cast("double") /
-            (col("nr") + col("nb")).cast("double")))
-            .cast("decimal(28,12)").as("lg"))
-      val sc = g.join(broadcast(lr), "b")
-        .groupBy("doc_id", "source")
-        .agg(sum("cnt").as("n_toks"),
-          sum(col("cnt") * col("lg")).cast("double").as("s"))
-        .select(col("doc_id"), col("source"), col("n_toks"),
-          round(col("s") / col("n_toks"), 4).as("score"))
-      val top = sc.orderBy(desc("score"), asc("doc_id")).limit(SelectN)
+      val sc = dsirScores(s, d)
+      val top = sc.orderBy(desc("score_q4"), asc("doc_id")).limit(SelectN)
       top.withColumn("rank",
-          row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
+          row_number().over(Window.orderBy(desc("score_q4"), asc("doc_id")))
+            .cast("int"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** q151 — DSIR importance RESAMPLING, the sampled half the paper
+    * actually prescribes (Xie et al. 2023 §3: draw examples with
+    * probability ∝ the importance weight, where q144's top-N is the
+    * deterministic limit): Gumbel-top-N (Efraimidis–Spirakis via the
+    * Gumbel-max trick) — key_i = score_i + G_i with G_i a Gumbel(0,1)
+    * draw, take the N largest keys ⟺ sample N without replacement
+    * with P ∝ exp-scale(score). Here score is the mean log₁₀
+    * importance ratio, so G enters divided by ln 10:
+    * key = score − log₁₀(−ln u).
+    *
+    * Determinism discipline (the q85/q107 hash-order rule): u derives
+    * from md5(doc_id ‖ ':dsir') — 8 hex chars → integer h, u =
+    * (h+0.5)/2³² ∈ (0,1) strictly — reproducible across engines and
+    * runs; the selection key leaves on the BIGINT 1e6 lattice
+    * (`floor(key·1e6)`, the q150 floor-grid rule) with doc_id
+    * tie-break, so the selected SET is oracle-checkable, not just
+    * plausible. Scale shape: identical to q144 — constant-size count
+    * tables, broadcast ratio join, and the top-N plans as
+    * TakeOrderedAndProject (per-partition top-N, no global sort).
+    * The proportionality property itself is gate-checked (chi-square
+    * of per-source sample counts vs importance-share expectation).
+    */
+  val dsirResample: QueryDef = {
+    val SampleN = 100
+    QueryDef.sql(
+      "q151_dsir_resample",
+      (DsirScoreCtes +
+        s""",
+        | u AS (SELECT doc_id, source, score_q4,
+        |   CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |     || ':dsir'), 1, 8) AS BIGINT) AS DOUBLE) AS h FROM sc),
+        | k AS (SELECT doc_id, source, score_q4,
+        |   CAST(floor((CAST(score_q4 AS DOUBLE) / 1e4
+        |     - log10(-ln((h + 0.5) / 4294967296.0))) * 1e6) AS BIGINT)
+        |    AS key_q FROM u),
+        | top AS (SELECT *, row_number() OVER
+        |   (ORDER BY key_q DESC, doc_id) AS rank FROM k)
+        | SELECT doc_id, source, score_q4, key_q, CAST(rank AS INT) AS rank
+        | FROM top WHERE rank <= $SampleN ORDER BY doc_id"""
+        .stripMargin).replaceAll("\n", "")
+    ) { (s, d) =>
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":dsir"))), 1, 8), 16, 10).cast("long").cast("double")
+      val keyed = dsirScores(s, d)
+        .select(col("doc_id"), col("source"), col("score_q4"),
+          floor((col("score_q4").cast("double") / lit(1e4) -
+            log10(-log((h + lit(0.5)) / lit(4294967296.0)))) * lit(1e6))
+            .cast("long").as("key_q"))
+      val top = keyed.orderBy(desc("key_q"), asc("doc_id")).limit(SampleN)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(desc("key_q"), asc("doc_id")))
             .cast("int"))
         .orderBy("doc_id")
     }
@@ -344,10 +439,14 @@ object Sampling {
     * groups saturated" the candidate λ_k = (B − Σ_{j≤k} cap_j) /
     * Σ_{j>k} w_j, and the unique valid boundary is the one with
     * r_k ≤ λ_k ≤ r_{k+1} (water-filling's standard prefix-sum
-    * solution). Everything before the final division is exact BIGINT
-    * arithmetic on the 1e9-quantized √ grid (the q107 discipline), so
-    * the boundary choice cannot flip between engines; λ and the
-    * allocations are single identical-spelling double expressions.
+    * solution). The boundary test itself never touches a float: both
+    * inequalities are evaluated on their exact cross-multiplied
+    * integer forms ((B−Σcap)·wq vs cap·(Σw remaining), DECIMAL(38,0)
+    * / HUGEINT — the q107 envelope) on the 1e9-quantized √ grid, so
+    * a water level landing exactly on a saturation point still
+    * matches its row — the pick cannot flip between engines or
+    * silently come back empty; λ and the allocations are single
+    * identical-spelling double expressions.
     *
     * Scale shape: the only corpus-sized work is the per-group token
     * count (hash aggregate, map-side partials). The water-filling
@@ -387,12 +486,17 @@ object Sampling {
          |   coalesce(sum(wq) OVER (ORDER BY r, source, lang
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |     CAST(0 AS BIGINT)) AS cumw,
-         |   lag(r) OVER (ORDER BY r, source, lang) AS prev_r
+         |   lag(cap) OVER (ORDER BY r, source, lang) AS prev_cap,
+         |   lag(wq) OVER (ORDER BY r, source, lang) AS prev_wq
          |  FROM s),
-         | c AS (SELECT w.*, CAST(b - cumcap AS DOUBLE) * 1e9
+         | c AS (SELECT w.*, t.b, t.totw, CAST(b - cumcap AS DOUBLE) * 1e9
          |     / CAST(totw - cumw AS DOUBLE) AS lam FROM w, t),
-         | lam AS (SELECT lam FROM c WHERE lam <= r
-         |   AND (prev_r IS NULL OR lam >= prev_r)
+         | lam AS (SELECT lam FROM c WHERE
+         |   CAST(b - cumcap AS HUGEINT) * CAST(wq AS HUGEINT)
+         |     <= CAST(cap AS HUGEINT) * CAST(totw - cumw AS HUGEINT)
+         |   AND (prev_wq IS NULL OR
+         |     CAST(b - cumcap AS HUGEINT) * CAST(prev_wq AS HUGEINT)
+         |       >= CAST(prev_cap AS HUGEINT) * CAST(totw - cumw AS HUGEINT))
          |  ORDER BY r, source, lang LIMIT 1)
          | SELECT source, lang, avail AS avail_tokens,
          |  cap AS cap_tokens,
@@ -422,12 +526,27 @@ object Sampling {
       val w = sRows
         .withColumn("cumcap", coalesce(sum("cap").over(prev), lit(0L)))
         .withColumn("cumw", coalesce(sum("wq").over(prev), lit(0L)))
-        .withColumn("prev_r", lag(col("r"), 1).over(ord))
+        .withColumn("prev_cap", lag(col("cap"), 1).over(ord))
+        .withColumn("prev_wq", lag(col("wq"), 1).over(ord))
       val c = w.crossJoin(broadcast(t))
         .withColumn("lam", (col("b") - col("cumcap")).cast("double") *
           lit(1e9) / (col("totw") - col("cumw")).cast("double"))
-      val lam = c.filter(col("lam") <= col("r") &&
-          (col("prev_r").isNull || col("lam") >= col("prev_r")))
+      // Boundary pick on the EXACT cross-multiplied integers, never
+      // the float lam/r: lam_k ≤ r_k ⟺ (B−cumcap)·wq ≤ cap·(totw−cumw)
+      // and lam_k ≥ r_{k-1} likewise — so a water level landing
+      // exactly on a saturation point can never round every candidate
+      // row out and silently empty the CTE (r9 ADVICE). DECIMAL(38,0)
+      // (Spark) / HUGEINT (oracle) hold the ~n^1.5·1e9 products exact
+      // — the q107 envelope.
+      val lam = c.filter(
+          (col("b") - col("cumcap")).cast("decimal(38,0)") * col("wq") <=
+            col("cap").cast("decimal(38,0)") *
+              (col("totw") - col("cumw")) &&
+          (col("prev_wq").isNull ||
+            (col("b") - col("cumcap")).cast("decimal(38,0)") *
+              col("prev_wq") >=
+              col("prev_cap").cast("decimal(38,0)") *
+                (col("totw") - col("cumw"))))
         .orderBy(col("r"), col("source"), col("lang")).limit(1)
         .select(col("lam").as("lamstar"))
       val alloc = least(col("cap"),
@@ -445,5 +564,5 @@ object Sampling {
 
   val defs: Seq[QueryDef] =
     Seq(negativeSample, temperatureSample, reservoirSample, clusterSplit,
-      dsirSelect, tokenBudget)
+      dsirSelect, dsirResample, tokenBudget)
 }

@@ -41,7 +41,7 @@ object Scalars {
     """SELECT user_id, count(CASE WHEN value > 300 THEN 1 END) AS n_high,
       | count(CASE WHEN value <= 300 THEN 1 END) AS n_low,
       | round(log10(count(CASE WHEN value > 300 THEN 1 END) + 1)
-      | - log10(count(CASE WHEN value <= 300 THEN 1 END) + 1), 4) AS bias
+      | - log10(count(CASE WHEN value <= 300 THEN 1 END) + 1), 4) + 0.0 AS bias
       | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
       .replaceAll("\n", "")
   ) { (s, d) =>
@@ -52,7 +52,9 @@ object Scalars {
       .agg(
         nHigh.as("n_high"),
         nLow.as("n_low"),
-        round(log10(nHigh + 1) - log10(nLow + 1), 4).as("bias"))
+        // + 0.0 normalizes a signed zero (the q144 r9 lesson): the
+        // log-ratio can round to -0.0 in DuckDB vs +0.0 here.
+        (round(log10(nHigh + 1) - log10(nLow + 1), 4) + lit(0.0)).as("bias"))
       .orderBy("user_id")
   }
 

@@ -276,10 +276,10 @@ object Statistics {
       |     AS DOUBLE) AS sxx
       |  FROM b GROUP BY event_type)
       | SELECT event_type, n,
-      |   round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6)
+      |   round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6) + 0.0
       |     AS slope_per_day,
       |   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-      |     4) AS intercept
+      |     4) + 0.0 AS intercept
       | FROM s ORDER BY event_type""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
     val b = Tables.events(s, d).select(col("event_type"),
@@ -295,9 +295,13 @@ object Statistics {
         .cast("double").as("sxx"))
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (col("n") * col("sxx") - col("sx") * col("sx"))
+    // + 0.0 normalizes a signed zero (the q144 r9 lesson): a drift
+    // slope is near zero BY DESIGN, so its rounded value can land on
+    // -0.0 in DuckDB vs +0.0 here.
     st.select(col("event_type"), col("n"),
-      round(slope * lit(86400.0), 6).as("slope_per_day"),
-      round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
+      (round(slope * lit(86400.0), 6) + lit(0.0)).as("slope_per_day"),
+      (round((col("sy") - slope * col("sx")) / col("n"), 4) + lit(0.0))
+        .as("intercept"))
       .orderBy("event_type")
   }
 
@@ -330,7 +334,7 @@ object Statistics {
       |   CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
       |     THEN NULL ELSE
       |     round((n * sxy - sx * sy) /
-      |       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      |       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
       |   END AS hour_value_corr
       | FROM s ORDER BY event_type""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
@@ -349,10 +353,12 @@ object Statistics {
         .cast("double").as("syy"))
     val den = (col("n") * col("sxx") - col("sx") * col("sx")) *
       (col("n") * col("syy") - col("sy") * col("sy"))
+    // + 0.0 normalizes a signed zero (the q144 r9 lesson): an
+    // uncorrelated segment's r rounds to ±0.0 engine-dependently.
     st.select(col("event_type"), col("n"),
       when(den <= 0, lit(null))
         .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt(den), 6)).as("hour_value_corr"))
+          sqrt(den), 6) + lit(0.0)).as("hour_value_corr"))
       .orderBy("event_type")
   }
 

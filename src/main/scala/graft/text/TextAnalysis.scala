@@ -1097,7 +1097,7 @@ object TextAnalysis {
       |   CAST(count(*) AS BIGINT) AS n_distinct,
       |   CAST(sum(term) AS DOUBLE) AS st FROM t GROUP BY doc_id)
       | SELECT doc_id, n_tokens, n_distinct,
-      |  round(log2(CAST(n_tokens AS DOUBLE)) - st / n_tokens, 4)
+      |  round(log2(CAST(n_tokens AS DOUBLE)) - st / n_tokens, 4) + 0.0
       |    AS word_entropy
       | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
   ) { (s, d) =>
@@ -1113,8 +1113,11 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_distinct"),
         sum("term").cast("double").as("st"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(log2(col("n_tokens").cast("double")) -
-          col("st") / col("n_tokens"), 4).as("word_entropy"))
+        // + 0.0 normalizes a signed zero (the q144 r9 lesson): an
+        // all-same-word doc's log2(n) − st/n is a quantization
+        // residual that can round to -0.0 in DuckDB vs +0.0 here.
+        (round(log2(col("n_tokens").cast("double")) -
+          col("st") / col("n_tokens"), 4) + lit(0.0)).as("word_entropy"))
       .orderBy("doc_id")
   }
 

@@ -93,11 +93,17 @@ object Vocab {
     * per-source top-K that Spark plans as WindowGroupLimit (only K
     * rows per source survive the rank shuffle), and two tiny
     * per-source rollups joined at |sources| rows. Float discipline
-    * (the q111 pattern): every ln-product term quantizes through
-    * DECIMAL(28,12) so sums are partition-order-independent, the
-    * closed-form slope is one identical-spelling double expression
-    * on both engines, and the final round(…,4) absorbs cross-engine
-    * libm ulps in ln. top_share stays an unrounded int/int quotient
+    * (the q150/q131 floor-grid rule — no DECIMAL cast half-tie can
+    * reach the slope): every ln-product term lands on the BIGINT
+    * 1e12 lattice via `floor(term·1e12)` — floor of identical IEEE
+    * doubles is tie-free in both engines, where a DECIMAL(28,12)
+    * cast rounds and r9 measured exactly that cast flipping a q150
+    * bit cross-engine. Sums are exact BIGINT (≤ ~1.3e16 ≪ 2⁶³, from
+    * |ln·ln| ≤ 127 over K=100 terms), rescaled to double by one
+    * identical-spelling /1e12; the closed-form slope is then one
+    * identical double expression on both engines, and the final
+    * round(…,4)+0.0 absorbs libm ulps and normalizes any signed
+    * zero. top_share stays an unrounded int/int quotient
     * (bit-identical — the q37 precedent).
     */
   val zipfProfile: QueryDef = QueryDef.sql(
@@ -115,20 +121,21 @@ object Vocab {
        | rk AS (SELECT source, f, row_number() OVER (PARTITION BY source
        |   ORDER BY f DESC, w ASC) AS rk FROM f),
        | top AS (SELECT source,
-       |   CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(28,12)) AS x,
-       |   CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(28,12)) AS y,
-       |   CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(f AS DOUBLE))
-       |     AS DECIMAL(28,12)) AS xy,
-       |   CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
-       |     AS DECIMAL(28,12)) AS xx
+       |   CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e12) AS BIGINT) AS x,
+       |   CAST(floor(ln(CAST(f AS DOUBLE)) * 1e12) AS BIGINT) AS y,
+       |   CAST(floor(ln(CAST(rk AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+       |     * 1e12) AS BIGINT) AS xy,
+       |   CAST(floor(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+       |     * 1e12) AS BIGINT) AS xx
        |  FROM rk WHERE rk <= $ZipfTopK),
        | fit AS (SELECT source, CAST(count(*) AS DOUBLE) AS k,
-       |   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-       |   CAST(sum(xy) AS DOUBLE) AS sxy,
-       |   CAST(sum(xx) AS DOUBLE) AS sxx
+       |   CAST(sum(x) AS DOUBLE) / 1e12 AS sx,
+       |   CAST(sum(y) AS DOUBLE) / 1e12 AS sy,
+       |   CAST(sum(xy) AS DOUBLE) / 1e12 AS sxy,
+       |   CAST(sum(xx) AS DOUBLE) / 1e12 AS sxx
        |  FROM top GROUP BY source)
        | SELECT stats.source, n_tokens, n_distinct, hapax, top_share,
-       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) + 0.0
        |    AS zipf_slope
        | FROM stats JOIN fit ON stats.source = fit.source
        | ORDER BY stats.source""".stripMargin.replaceAll("\n", "")
@@ -147,21 +154,21 @@ object Vocab {
     val lx = log(col("rk").cast("double"))
     val ly = log(col("f").cast("double"))
     val fit = rk.select(col("source"),
-        lx.cast("decimal(28,12)").as("x"),
-        ly.cast("decimal(28,12)").as("y"),
-        (lx * ly).cast("decimal(28,12)").as("xy"),
-        (lx * lx).cast("decimal(28,12)").as("xx"))
+        floor(lx * lit(1e12)).cast("long").as("x"),
+        floor(ly * lit(1e12)).cast("long").as("y"),
+        floor(lx * ly * lit(1e12)).cast("long").as("xy"),
+        floor(lx * lx * lit(1e12)).cast("long").as("xx"))
       .groupBy("source").agg(
         count(lit(1)).cast("double").as("k"),
-        sum("x").cast("double").as("sx"),
-        sum("y").cast("double").as("sy"),
-        sum("xy").cast("double").as("sxy"),
-        sum("xx").cast("double").as("sxx"))
+        (sum("x").cast("double") / lit(1e12)).as("sx"),
+        (sum("y").cast("double") / lit(1e12)).as("sy"),
+        (sum("xy").cast("double") / lit(1e12)).as("sxy"),
+        (sum("xx").cast("double") / lit(1e12)).as("sxx"))
     stats.join(fit, "source")
       .select(col("source"), col("n_tokens"), col("n_distinct"),
         col("hapax"), col("top_share"),
-        round((col("k") * col("sxy") - col("sx") * col("sy")) /
-          (col("k") * col("sxx") - col("sx") * col("sx")), 4)
+        (round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0))
           .as("zipf_slope"))
       .orderBy("source")
   }

@@ -385,11 +385,15 @@ class DedupSpec extends SparkSpec {
     assert(all == 64L)
   }
 
-  test("q68 bloom decontamination: zero false negatives vs exact q60") {
+  test("q68 bloom decontamination: raw tier has zero false negatives " +
+      "vs exact q60; two-tier query result IS the exact set") {
     val exact = Dedup.benchShingleHits(
       Tables.documents(spark, sfSmall), 97)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val flagged = Dedup.decontaminateBloom.fn(spark, sfSmall)
+    // the RAW bloom tier: every contaminated doc must survive it
+    // (no false negatives); its doc-level FP rate stays bounded
+    val flagged = Dedup
+      .bloomProbeSurvivors(Tables.documents(spark, sfSmall), 97)
       .collect().map(_.getLong(0)).toSet
     val leaked = exact -- flagged
     assert(leaked.isEmpty,
@@ -399,6 +403,14 @@ class DedupSpec extends SparkSpec {
     val fp = (flagged -- exact).size.toDouble / clean
     info(f"bloom decontamination false-positive rate: $fp%.5f")
     assert(fp <= 0.02, f"doc-level FP rate $fp%.4f above 2%%")
+    // the registered q68 (bloom prefilter + exact confirm) must emit
+    // exactly the exact-tier decision set — that identity is what
+    // lets it share q60's oracle
+    val q68 = Dedup.decontaminateBloom.fn(spark, sfSmall)
+      .collect().map(_.getLong(0)).toSet
+    assert(q68 == exact,
+      s"two-tier != exact: extra=${(q68 -- exact).take(5)} " +
+        s"missing=${(exact -- q68).take(5)}")
   }
 
   test("q123 attribution reconciles with q60: same contaminated doc " +

@@ -17,7 +17,14 @@ class GatesSpec extends SparkSpec {
     // back an oracle-checked query (q110: the hash check plus the
     // semantic leakage gate is the strongest combination)
     val oracleBacked =
-      Set("q110_cluster_split", "q42_fingerprint", "q126_kcore")
+      Set("q110_cluster_split", "q42_fingerprint", "q126_kcore",
+        // q68: the registered query is the exact two-tier pipeline
+        // (oracle = q60's decision set); the gate keeps measuring
+        // the RAW bloom tier's zero-false-negative contract.
+        "q68_decontaminate_bloom",
+        // q151: hash-checked selection set PLUS the statistical
+        // property (sample proportions track importance weights).
+        "q151_dsir_resample")
     assert((noOracle -- Gates.names.toSet).isEmpty,
       s"missing=${noOracle -- Gates.names.toSet}")
     assert((Gates.names.toSet -- noOracle -- oracleBacked).isEmpty,

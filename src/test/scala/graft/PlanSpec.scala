@@ -558,19 +558,54 @@ class PlanSpec extends SparkSpec {
     und.count() // materialize the cache, as the real first round does
     val lab = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val p = plan(graph.Communities.propagateOnce(und, lab))
-    assert(p.contains("InMemoryTableScan"), p)
-    // the cached edge table must be the join's DIRECT child — a
-    // reshuffle would interpose an Exchange between them. (The
-    // cached-plan dump inside InMemoryRelation prints its own
-    // build-time exchanges; only the join's immediate child line in
-    // the tree section proves the round consumes the cache in place.)
-    val tree = p.linesIterator.toSeq
-    val joinIdx = tree.indexWhere(_.contains("Join"))
-    assert(joinIdx >= 0, p)
-    assert(tree(joinIdx + 1).contains("InMemoryTableScan"),
-      "edge table not consumed in place by the round's join:\n" + p)
-    und.unpersist(true)
+    // Walk the EXECUTED SparkPlan (AQE-final), not the explain
+    // string: the round consumes the cache in place iff some child
+    // of the round's join reaches an InMemoryTableScan without
+    // crossing an Exchange or a materialized shuffle/broadcast stage
+    // — robust to explain layout, join-side order, and an SMJ's
+    // interposed Sort (r9 ADVICE). A TableCacheQueryStage is a
+    // pass-through (it wraps the cache scan itself); traversal must
+    // recurse through QueryStageExec.plan because stages are leaves
+    // in the children sense. Broadcast is forced off: at 3 test rows
+    // AQE broadcasts the cache side, but the 100 TB shape under pin
+    // is the SHUFFLE join consuming HashPartitioning(src) in place.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, BroadcastQueryStageExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graph.Communities.propagateOnce(und, lab)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      def findJoin(p: SparkPlan): Option[SparkPlan] =
+        if (p.nodeName.contains("Join")) Some(p)
+        else kids(p).view.flatMap(findJoin).headOption
+      def scanNoExchange(p: SparkPlan): Boolean = p match {
+        case _: Exchange => false
+        case _: ShuffleQueryStageExec => false
+        case _: BroadcastQueryStageExec => false
+        case q: QueryStageExec => scanNoExchange(q.plan)
+        case s if s.getClass.getSimpleName.startsWith("InMemoryTableScan") =>
+          true
+        case other => other.children.exists(scanNoExchange)
+      }
+      val join = findJoin(finalPlan)
+      assert(join.isDefined, finalPlan.toString)
+      assert(join.get.children.exists(scanNoExchange),
+        "edge table not consumed in place by the round's join:\n" +
+          finalPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      und.unpersist(true)
+    }
   }
 
   test("q150: centroid table broadcasts onto the exploded vector " +

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures what [[graft.search.Pq.compactStore]] buys: ingest the
+  * delta as MANY small micro-batches (the production trigger-rate
+  * pattern that accumulates one file set per touched ccell per
+  * trigger), then measure the keyed streaming lookup's per-trigger
+  * throughput and the store's data-file counts BEFORE and AFTER
+  * compaction. The claim under test is that per-trigger cost tracks
+  * probed data, not ingest history — i.e. the accumulated-files tax
+  * is real before compaction and gone after, while the served rows
+  * are identical (the StreamingSpec case checks identity; this probe
+  * prices it).
+  *
+  *   SPARK_GRAFT_BATCHES=60 sbt "runMain graft.CompactionProbe /root/testdata/sf0.1"
+  */
+object CompactionProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "60").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def f(x: Double): String = String.format(java.util.Locale.ROOT,
+      "%.1f", java.lang.Double.valueOf(x))
+    val emb = Tables.embeddings(spark, d)
+    val n = emb.count()
+    val corpus = emb.filter(col("vec_id") < n / 2)
+    val delta = emb.filter(col("vec_id") >= n / 2)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dir = Scale.managedTempDir("graft_compact_probe").toString
+    search.Ann.saveIvfIndex(search.Ann.buildIvfIndex(corpus), s"$dir/ivf")
+    val index = search.Ann.loadIvfIndex(spark, s"$dir/ivf")
+    val (_, books) = search.Pq.encode(corpus)
+    search.Pq.saveCellCodes(
+      search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx")
+
+    // many SMALL batches: the file-accumulation regime
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val iq = search.Pq.streamingIngest(
+      in.toDF().toDF("vec_id", "embedding"), index, books,
+      s"$dir/idx", s"$dir/ckpt_i")
+    try delta.grouped(math.max(1, delta.length / batches)).foreach { sl =>
+      in.addData(sl); iq.processAllAvailable()
+    } finally iq.stop()
+
+    def files(tier: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/idx/$tier")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return 0L
+      val it = fs.listFiles(p, true); var c = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-")) c += 1
+      }
+      c
+    }
+    // keyed lookup throughput over per-trigger micro-batches (first
+    // trigger excluded: plan/codegen warmup — the probe protocol)
+    val queries = delta.map { case (id, v) => (1000000L + id, v) }
+    def lookupQps(label: String): Double = {
+      val qin = MemoryStream[(Long, Array[Float])](spark)
+      var served = 0L; var nanos = 0L
+      val lq = search.Pq.streamingLookup(
+        qin.toDF().toDF("vec_id", "embedding"), index, books,
+        s"$dir/idx", s"$dir/ckpt_$label", keyed = Some(true)) {
+        (res, _) => res.count(); ()
+      }
+      val sl = queries.grouped(math.max(1, queries.length / 8)).toSeq
+      try sl.zipWithIndex.foreach { case (s0, i) =>
+        val t0 = System.nanoTime()
+        qin.addData(s0); lq.processAllAvailable()
+        if (i > 0) { served += s0.length; nanos += System.nanoTime() - t0 }
+      } finally lq.stop()
+      if (nanos > 0) served / (nanos / 1e9) else 0.0
+    }
+    val filesBefore = (files("cellcodes"), files("vectors"))
+    val qpsBefore = lookupQps("before")
+    val t0 = System.nanoTime()
+    val reports = search.Pq.compactStore(spark, s"$dir/idx")
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val filesAfter = (files("cellcodes"), files("vectors"))
+    val qpsAfter = lookupQps("after")
+    println(s"COMPACTION $d batches=$batches " +
+      s"files_codes ${filesBefore._1}->${filesAfter._1} " +
+      s"files_vecs ${filesBefore._2}->${filesAfter._2} " +
+      s"lookup_q_per_s ${f(qpsBefore)}->${f(qpsAfter)} " +
+      s"compact_s=${f(compactSec)} rows=${reports.map(_.rows).sum}")
+    println(s"""PROBE_JSON {"probe":"index_store_compaction",""" +
+      s""""dir":"$d","batches":$batches,""" +
+      s""""files_cellcodes_before":${filesBefore._1},""" +
+      s""""files_cellcodes_after":${filesAfter._1},""" +
+      s""""files_vectors_before":${filesBefore._2},""" +
+      s""""files_vectors_after":${filesAfter._2},""" +
+      s""""lookup_q_per_sec_before":${f(qpsBefore)},""" +
+      s""""lookup_q_per_sec_after":${f(qpsAfter)},""" +
+      s""""compact_sec":${f(compactSec)}}""")
+    spark.stop()
+  }
+}

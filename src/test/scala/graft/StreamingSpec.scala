@@ -456,6 +456,92 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("index-store compaction: bounded per-cell files, served store " +
+      "unchanged, idempotent, crash-recoverable") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val corpus = emb.filter(col("vec_id") < 100)
+    val index = search.Ann.buildIvfIndex(corpus)
+    val (_, books) = search.Pq.encode(corpus)
+    val dir = Files.createTempDirectory("graft_compact").toString
+    search.Pq.saveCellCodes(
+      search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx")
+    // 10 micro-batches of 2 vectors — the small-file accumulation
+    // compaction exists to fix (each append lands files per touched
+    // ccell directory)
+    for (i <- 0 until 10)
+      search.Pq.ingestBatch(index, books, s"$dir/idx", i.toLong,
+        emb.filter(col("vec_id") === (100 + 2 * i) ||
+          col("vec_id") === (101 + 2 * i))
+          .select("vec_id", "embedding"))
+    def codeRows(): Set[Seq[Any]] =
+      search.Pq.loadCellCodes(spark, s"$dir/idx")
+        .select((col("neighbor_id") +: col("ccell").cast("int") +:
+          col("fcell").cast("int") +:
+          (0 until search.Pq.M).map(m => col(s"code$m").cast("int"))): _*)
+        .collect().map(_.toSeq).toSet
+    def vecRows(): Set[(Long, Int)] =
+      spark.read.parquet(s"$dir/idx/vectors")
+        .select(col("vec_id"), col("ccell").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def serve(qs: Seq[(Long, Array[Float])]): Map[Long, Long] = {
+      val results = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val input = MemoryStream[(Long, Array[Float])](spark)
+      val q = search.Pq.streamingLookup(
+        input.toDF().toDF("vec_id", "embedding"), index, books,
+        s"$dir/idx", Files.createTempDirectory("ck").toString) {
+        (res, _) =>
+          results ++= res.filter(col("rank") === 1)
+            .select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      try { input.addData(qs); q.processAllAvailable() } finally q.stop()
+      results.toMap
+    }
+    def vecOf(id: Long): Array[Float] =
+      emb.filter(col("vec_id") === id).head.getSeq[Float](1).toArray
+    val queries = Seq((9007L, vecOf(7L)), (9111L, vecOf(111L)))
+    val codesBefore = codeRows(); val vecsBefore = vecRows()
+    val servedBefore = serve(queries)
+    val reports = search.Pq.compactStore(spark, s"$dir/idx")
+    assert(reports.map(_.tier).toSet ==
+      Set(s"$dir/idx/cellcodes", s"$dir/idx/vectors"), reports)
+    reports.foreach { r =>
+      // one file per ccell partition afterwards — and strictly fewer
+      // than the accumulated appends
+      assert(r.filesAfter < r.filesBefore, r)
+      assert(r.lateCarried == 0, r)
+    }
+    val nCells = spark.read.parquet(s"$dir/idx/vectors")
+      .select("ccell").distinct().count()
+    assert(reports.find(_.tier.endsWith("vectors")).get.filesAfter
+      == nCells, reports)
+    // pair-for-pair store parity and identical serving
+    assert(codeRows() == codesBefore, "cellcodes changed by compaction")
+    assert(vecRows() == vecsBefore, "vectors tier changed by compaction")
+    assert(serve(queries) == servedBefore, "lookup changed by compaction")
+    // re-running after success is a semantic no-op
+    val again = search.Pq.compactStore(spark, s"$dir/idx")
+    again.foreach(r => assert(r.filesAfter == r.filesBefore, r))
+    assert(codeRows() == codesBefore && vecRows() == vecsBefore)
+    // ingest AFTER compaction still appends and serves
+    search.Pq.ingestBatch(index, books, s"$dir/idx", 50L,
+      emb.filter(col("vec_id") === 121).select("vec_id", "embedding"))
+    assert(vecRows().contains((121L, vecRows().find(_._1 == 121L).get._2)))
+    assert(serve(Seq((9121L, vecOf(121L)))).get(9121L).contains(121L),
+      "post-compaction ingest not served")
+    // crash recovery: a pre-install crash leaves only _precompact —
+    // the next compaction restores it verbatim before proceeding
+    val fsPath = new org.apache.hadoop.fs.Path(s"$dir/idx/vectors")
+    val fs = fsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(fsPath,
+      new org.apache.hadoop.fs.Path(s"$dir/idx/vectors_precompact"))
+    val recovered = search.Pq.compactStore(spark, s"$dir/idx")
+    assert(fs.exists(fsPath), "live tier not restored from _precompact")
+    assert(recovered.nonEmpty)
+    assert(vecRows().exists(_._1 == 121L), "recovery lost ingested rows")
+  }
+
   test("partitioned upsert: replay-idempotent, rewrites only touched " +
       "buckets") {
     val dir = Files.createTempDirectory("graft_upsert_part").toString + "/t"

@@ -287,6 +287,20 @@ object Gates {
             .bloomProbeSurvivors(Tables.documents(s, d), 97)
           exact.join(flagged, Seq("doc_id"), "left_anti").count().toDouble
         }),
+      ("q152_media_perceptual_dedup", "planted_transform_recall", ">=",
+        0.8, (s, d) => {
+          // every 10th doc has a planted transformed copy at
+          // id + CopyIdOffset (JPEG re-encode / 2x upscale /
+          // brightness shift); the pair (id, id+offset) must surface
+          val planted = Tables.documents(s, d)
+            .filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("doc_a"),
+              (col("doc_id") + mm.MediaDedup.CopyIdOffset).as("doc_b"))
+          val found = mm.MediaDedup.mediaDedup.fn(s, d)
+            .select("doc_a", "doc_b")
+          planted.join(found, Seq("doc_a", "doc_b"), "left_semi")
+            .count().toDouble / planted.count()
+        }),
       ("q151_dsir_resample", "source_counts_chisq_vs_importance", "<=",
         45.0, (s, d) => {
           // Does the Gumbel-top-N sample TRACK the importance

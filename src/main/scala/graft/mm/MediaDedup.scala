@@ -1,0 +1,297 @@
+package graft.mm
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash image dedup — media as a first-class dedup citizen
+  * next to the five text families (r9 verdict "What's missing #4"):
+  * re-encoded, resized, or brightness-shifted copies of an image are
+  * byte-distinct (exact dedup blind) but perceptually identical, and
+  * a 100 TB multimodal crawl is FULL of exactly those (thumbnail
+  * pipelines, CDN re-compressions, format migrations).
+  *
+  * The operator is the standard dHash recipe (difference hash — the
+  * gradient-direction member of the aHash/dHash/pHash family): box-
+  * downsample the luma raster to a (HashW+1)×HashH grid — the
+  * downsample IS the resize-invariance, any input resolution lands on
+  * the same grid — then emit one bit per horizontally-adjacent cell
+  * pair (left < right). 64 bits; Hamming distance ≈ perceptual
+  * distance. The downsample is an explicit box filter over exact
+  * integer sums, NOT AWT's interpolating `getScaledInstance`, so the
+  * hash is deterministic across JVMs/platforms.
+  *
+  * Scale shape (the [[graft.dedup.Dedup]] simhash-banding precedent):
+  * hashing is one decode pass over the media scan (mapPartitions,
+  * pixels never shuffle); each image then contributes [[Bands]]
+  * (band_idx, band_key, doc_id) rows — 4 × ~20 B, ids only — and
+  * candidates are the within-bucket pairs of an equi self-join on
+  * (band_idx, band_key), NEVER an all-pairs comparison; by the
+  * pigeonhole bound any pair within Hamming 64/[[Bands]] − 1 = 3 is
+  * GUARANTEED a shared band, and transformed duplicates measure well
+  * inside it (see MediaDedupSpec). A `groupBy(pair)` dedups multi-band
+  * collisions at candidate cardinality, and the exact verify is one
+  * codegen'd `bit_count(xor)` per candidate — no raster ever crosses
+  * the wire.
+  */
+object MediaDedup {
+
+  /** dHash grid: (HashW+1)×HashH luma cells → HashW·HashH = 64 bits. */
+  val HashW = 8
+  val HashH = 8
+
+  /** LSH bands over the 64-bit hash: 4 bands × 16 bits. */
+  val Bands = 4
+
+  /** Candidate pairs at Hamming distance ≤ MaxHamming are duplicates.
+    * Measured on the planted transforms (MediaDedupSpec): JPEG
+    * re-encode ≤ 2 bits, 2× upscale ≤ 2, brightness +16 ≤ 2 — while
+    * distinct synthetic photos sit near the 32-bit random baseline.
+    */
+  val MaxHamming = 10
+
+  /** Deterministic 64-bit dHash of a decoded raster. */
+  def dHash(img: BufferedImage): Long = {
+    val gw = HashW + 1; val gh = HashH
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    // box filter on exact integer sums: cell (cx, cy) averages the
+    // pixel block [cx*w/gw, (cx+1)*w/gw) × [cy*h/gh, (cy+1)*h/gh)
+    val cell = Array.ofDim[Double](gw, gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh; val y1 = math.max((cy + 1) * h / gh, y0 + 1)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw; val x1 = math.max((cx + 1) * w / gw, x0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            // integer Rec.601 luma on the raw samples
+            val r = raster.getSample(x, y, 0)
+            val g = if (bands > 1) raster.getSample(x, y, 1) else r
+            val b = if (bands > 2) raster.getSample(x, y, 2) else r
+            sum += 299L * r + 587L * g + 114L * b
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        cell(cx)(cy) = if (n > 0) sum.toDouble / n else 0.0
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L; var bit = 0
+    cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < HashW) {
+        if (cell(cx)(cy) < cell(cx + 1)(cy)) hash |= (1L << bit)
+        bit += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** (doc_id, phash) for every DECODED image in the media scan;
+    * undecodable payloads and non-images drop out (they have no
+    * raster to hash — audio dedups on its own features).
+    */
+  def hashMedia(media: Dataset[Multimodal.MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { rec =>
+        if (!rec.mime.startsWith("image/")) None
+        else {
+          val img =
+            try ImageIO.read(new ByteArrayInputStream(rec.media))
+            catch { case _: Exception => null }
+          if (img == null) None else Some((rec.doc_id, dHash(img)))
+        }
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** Near-duplicate image pairs (doc_a < doc_b, hamming ≤ maxHamming)
+    * from banded candidates — see the object doc for the shape.
+    */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = MaxHamming)
+      : DataFrame = {
+    val bandBits = 64 / Bands
+    val banded = hashes.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .withColumn("key",
+        expr(s"shiftrightunsigned(phash, band * $bandBits)")
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("phash").as("ha"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("phash").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      // multi-band collisions dedup at candidate cardinality
+      .groupBy("doc_a", "doc_b").agg(first("ha").as("ha"),
+        first("hb").as("hb"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- deterministic photo-like fixture + transforms ----
+  // Low-frequency content (smooth gradients + id-keyed rectangles):
+  // transform-stable under the box downsample, unlike q26's aliased
+  // sawtooth texture, and id-distinct enough that unrelated photos
+  // sit near the random 32-bit Hamming baseline.
+
+  /** Deterministic 64×64 "photo": a sum of three id-seeded
+    * low-frequency sinusoids per channel. Low frequency makes the
+    * content transform-stable under the box downsample (the property
+    * a real photograph has and an aliased texture lacks); the
+    * id-seeded frequencies/phases decorrelate photos, so unrelated
+    * pairs sit near the random 32-bit Hamming baseline (measured in
+    * MediaDedupSpec) instead of sharing gradient-direction bits.
+    * Amplitude keeps peak luma ≤ 239 so the +16 brightness transform
+    * never clamps (a clamp-free shift leaves every dHash difference
+    * sign intact — the invariance the hash family advertises).
+    */
+  def syntheticPhoto(id: Long): Array[Byte] = {
+    val w = 64; val h = 64
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var s = id * 0x9E3779B97F4A7C15L + 0x85EBCA6BL
+    def next(): Long = { // splitmix64
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // 3 waves: frequency 1..4 cycles per axis, arbitrary phase
+    val waves = Array.fill(3) {
+      val r = next()
+      (1 + (r & 3).toInt, 1 + ((r >> 2) & 3).toInt,
+        ((r >> 4) & 0xFFFF) / 65536.0 * 2 * math.Pi)
+    }
+    val chanPhase = Array(0.0, 2.1, 4.2)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var rgb = 0
+        var c = 0
+        while (c < 3) {
+          var v = 0.0
+          var k = 0
+          while (k < 3) {
+            val (fx, fy, ph) = waves(k)
+            v += math.sin(2 * math.Pi * (fx * x.toDouble / w +
+              fy * y.toDouble / h) + ph + chanPhase(c))
+            k += 1
+          }
+          // v in [-3, 3] → [89, 239]: headroom for +16, floor > 80
+          rgb = (rgb << 8) | (164 + (v * 25)).toInt.max(0).min(255)
+          c += 1
+        }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The planted transformed duplicate of a photo: cycle JPEG
+    * re-encode / 2× box upscale / brightness shift by id — the three
+    * byte-breaking, perception-preserving edits a crawl actually
+    * contains.
+    */
+  def transformedCopy(id: Long, png: Array[Byte]): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val out = (id / 10) % 3 match {
+      case 0 => // lossy re-encode
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "jpg", bos)
+        return bos.toByteArray
+      case 1 => // 2× upscale, box replication
+        val up = new BufferedImage(img.getWidth * 2, img.getHeight * 2,
+          BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < up.getHeight) {
+          var x = 0
+          while (x < up.getWidth) {
+            up.setRGB(x, y, img.getRGB(x / 2, y / 2))
+            x += 1
+          }
+          y += 1
+        }
+        up
+      case _ => // +16 brightness, clamped
+        val br = new BufferedImage(img.getWidth, img.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < br.getHeight) {
+          var x = 0
+          while (x < br.getWidth) {
+            val p = img.getRGB(x, y)
+            def c(v: Int) = math.min(v + 16, 255)
+            br.setRGB(x, y, (c((p >> 16) & 0xFF) << 16) |
+              (c((p >> 8) & 0xFF) << 8) | c(p & 0xFF))
+            x += 1
+          }
+          y += 1
+        }
+        br
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Offset separating planted-copy ids from original ids. */
+  val CopyIdOffset = 1000000L
+
+  /** The q152 media corpus: one photo per document plus a transformed
+    * copy for every 10th doc — shared by the query, its gate, and the
+    * spec so "planted" means the same pairs everywhere.
+    */
+  def mediaCorpus(s: org.apache.spark.sql.SparkSession, d: String)
+      : Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val png = syntheticPhoto(id)
+        val orig = Multimodal.MediaRecord(id, "image/png", png)
+        if (id % 10 == 0)
+          Seq(orig, Multimodal.MediaRecord(id + CopyIdOffset,
+            if ((id / 10) % 3 == 0) "image/jpeg" else "image/png",
+            transformedCopy(id, png)))
+        else Seq(orig)
+      }
+  }
+
+  /** q152 — perceptual near-duplicate image pairs over the synthetic
+    * photo corpus with planted transformed copies. Rows-only (pixel
+    * decoding isn't ANSI-SQL-expressible); the gate measures planted
+    * recall ≥ 0.8 and MediaDedupSpec pins per-transform Hamming
+    * bounds and the non-duplicate baseline.
+    */
+  val mediaDedup: QueryDef = QueryDef.rowsOnly(
+    "q152_media_perceptual_dedup") { (s, d) =>
+    nearDupPairs(hashMedia(mediaCorpus(s, d)))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mediaDedup)
+}

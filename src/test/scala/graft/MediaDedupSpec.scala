@@ -1,0 +1,85 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import graft.mm.{MediaDedup, Multimodal}
+import org.apache.spark.sql.functions._
+
+class MediaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashOf(png: Array[Byte]): Long =
+    MediaDedup.dHash(ImageIO.read(new ByteArrayInputStream(png)))
+
+  test("dHash is deterministic and resize-tolerant") {
+    val png = MediaDedup.syntheticPhoto(42L)
+    val h1 = hashOf(png)
+    assert(h1 == hashOf(png), "hash not deterministic")
+    // 2x upscale: the 9-cell grid boundaries fall on different pixel
+    // fractions at 64 vs 128 px (integer floor), so cell means shift
+    // slightly — the hash is CLOSE, not identical; the duplicate bar
+    // must absorb it
+    val d = java.lang.Long.bitCount(
+      h1 ^ hashOf(MediaDedup.transformedCopy(10L, png)))
+    assert(d <= MediaDedup.MaxHamming, s"2x upscale moved $d bits")
+  }
+
+  test("planted transforms stay within MaxHamming; unrelated photos " +
+      "sit near the random baseline") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val byTransform = (0 until 60).map { i =>
+      val id = i * 10L // transform cycles on (id/10) % 3
+      val png = MediaDedup.syntheticPhoto(id)
+      val d = ham(hashOf(png),
+        hashOf(MediaDedup.transformedCopy(id, png)))
+      ((id / 10) % 3, d)
+    }
+    for ((t, ds) <- byTransform.groupBy(_._1)) {
+      val worst = ds.map(_._2).max
+      info(s"transform $t: worst hamming $worst over ${ds.size}")
+      assert(worst <= MediaDedup.MaxHamming,
+        s"transform $t exceeds MaxHamming: $worst")
+    }
+    // unrelated photos: mean pair distance near 32 (random 64-bit
+    // baseline), and no unrelated pair inside the duplicate bar
+    val hashes = (0L until 40L).map(i => hashOf(
+      MediaDedup.syntheticPhoto(i)))
+    val pairs = for {
+      i <- hashes.indices; j <- hashes.indices if i < j
+    } yield ham(hashes(i), hashes(j))
+    info(f"unrelated: mean ${pairs.sum.toDouble / pairs.size}%.1f " +
+      s"min ${pairs.min}")
+    assert(pairs.sum.toDouble / pairs.size > 20.0,
+      "synthetic photos not distinct enough for a meaningful test")
+  }
+
+  test("q152 surfaces planted transformed duplicates through the " +
+      "banded join; recall >= 0.8 and every reported pair verified") {
+    val out = MediaDedup.mediaDedup.fn(spark, sfTiny).cache()
+    val planted = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + MediaDedup.CopyIdOffset).as("doc_b"))
+    val nPlanted = planted.count()
+    val found = planted.join(out, Seq("doc_a", "doc_b"), "left_semi")
+      .count()
+    info(s"planted recall: $found/$nPlanted")
+    assert(found.toDouble / nPlanted >= 0.8)
+    // structural: every reported pair is within the Hamming bar and
+    // ordered doc_a < doc_b
+    assert(out.filter(col("hamming") > MediaDedup.MaxHamming).count() == 0)
+    assert(out.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    out.unpersist()
+  }
+
+  test("non-image and undecodable payloads drop out of the hash scan") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image/png", MediaDedup.syntheticPhoto(1L)),
+      Multimodal.MediaRecord(2L, "audio/wav", Multimodal.syntheticWav(2L)),
+      Multimodal.MediaRecord(3L, "image/png", Array[Byte](1, 2, 3))
+    ).toDS()
+    val hashed = MediaDedup.hashMedia(recs).collect()
+    assert(hashed.map(_.getLong(0)).toSet == Set(1L))
+  }
+}

@@ -152,6 +152,11 @@ object ScaleSweep {
       // sweep pins the exploded join + partial-agg staying linear
       // in the replicated vector count (labels stay 10).
       "q150_centroid_assign",
+      // q153: the five-stage composition (q138 -> q143 -> q144 ->
+      // q147 -> q67) — its sweep point should track roughly the SUM
+      // of its stages' points (span removal dominates); selection and
+      // budget run on bounded frames, so the tail stages are flat.
+      "q153_curation_v3",
       // q149: the doc-unique salts are ADVERSARIAL for type counting
       // — every salt token is a fresh hapax type, so the (source,
       // term) table grows ~linearly with corpus TOKENS (not vocab),

@@ -309,8 +309,15 @@ object Sampling {
     * bucket-level ratio table is ≤ 4096 rows joined + aggregated
     * driver-free, then broadcast onto the per-doc counts.
     */
-  private[graft] def dsirScores(s: SparkSession, d: String): DataFrame = {
-    val g = Tables.documents(s, d)
+  private[graft] def dsirScores(s: SparkSession, d: String): DataFrame =
+    dsirScoresOver(Tables.documents(s, d))
+
+  /** [[dsirScores]] over any `(doc_id, source, text)` frame — exposed
+    * so the q153 curation composition can score the span-cleaned,
+    * bucket-filtered survivors instead of the raw corpus.
+    */
+  private[graft] def dsirScoresOver(docs: DataFrame): DataFrame = {
+    val g = docs
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("t"))
       .groupBy(col("doc_id"), col("source"),
@@ -508,11 +515,22 @@ object Sampling {
          | FROM c, lam ORDER BY source, lang"""
         .stripMargin.replaceAll("\n", "")
     ) { (s, d) =>
-      val g = Tables.documents(s, d)
+      waterFillOver(Tables.documents(s, d)
         .select(col("source"), col("lang"),
           size(split(col("text"), " ")).as("nt"))
         .groupBy("source", "lang")
-        .agg(sum("nt").cast("long").as("avail"))
+        .agg(sum("nt").cast("long").as("avail")))
+    }
+  }
+
+  /** The q147 water-filling allocation over any
+    * `(source, lang, avail)` group summary — exposed so the q153
+    * curation composition can budget its selected set. Same contract
+    * as [[tokenBudget]]: exact BIGINT boundary decisions, allocation
+    * = min(cap, λ·w).
+    */
+  private[graft] def waterFillOver(g: DataFrame): DataFrame = {
+    {
       val q = g.select(col("source"), col("lang"), col("avail"),
         (lit(MaxEpochs.toLong) * col("avail")).as("cap"),
         floor(sqrt(col("avail").cast("double")) * lit(1e9)).cast("long")

@@ -271,5 +271,210 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(pipeline, pipelineV2, audit)
+  /** q153 selection size: a real cut of the bucket survivors at every
+    * SF (500-doc corpora keep ~333 after the tail drop; 5000-doc keep
+    * ~3333).
+    */
+  val SelectNV3 = 150
+  /** q153 packing: q67's shard budget and prefix-sum bucket count. */
+  val ShardBudget = 1024L
+  val PackBuckets = 32
+
+  /** q153 — curation v3: the round-9/10 operator generation composed
+    * as ONE lineage, proving the pieces chain without a driver-side
+    * seam: exact-substring span REMOVAL (q138, Lee et al. 2022) →
+    * CCNet-style perplexity bucketing on the CLEANED text with the
+    * worst (tail) third dropped (q143) → DSIR importance selection of
+    * the top [[SelectNV3]] survivors (q144) → water-filling token
+    * budget across the selected (source, lang) groups (q147) →
+    * next-fit shard packing of the selected docs (q67). Output: one
+    * row per selected doc with its score, shard, and its group's
+    * budget allocation.
+    *
+    * Every stage reuses the exact operator the standalone query
+    * ships ([[graft.dedup.Dedup.removeSharedSpans]],
+    * [[graft.text.TextAnalysis.perplexityBucketsOver]],
+    * [[graft.ml.Sampling.dsirScoresOver]],
+    * [[graft.ml.Sampling.waterFillOver]],
+    * [[graft.text.TextAnalysis.packShardsOver]]), and the oracle
+    * chains the five standalone oracles' CTEs — so the COMPOSITION is
+    * hash-checked end to end, the q62/q117 discipline.
+    *
+    * Scale shape: the stages' own shapes compose unchanged (span
+    * removal's 1/16 content sample, broadcast LM and ratio tables,
+    * TakeOrderedAndProject selection, group-summary water-fill,
+    * two-phase prefix-sum packing). `cleaned` and the bucket
+    * survivors are localCheckpointed — each feeds two downstream
+    * stages, and re-deriving the token-explode chain per consumer
+    * would double the dominant cost (cluster spelling: checkpoint or
+    * table rotation, the LPA discipline); `sel` is
+    * [[SelectNV3]]-row-bounded and checkpointed for the same reason.
+    */
+  val pipelineV3: QueryDef = {
+    val st = graft.dedup.Dedup.SpanTokens
+    val cap = graft.dedup.Dedup.SpanDfCap
+    val me = graft.ml.Sampling.MaxEpochs
+    val bx = graft.ml.Sampling.BudgetX
+    QueryDef.sql(
+      "q153_curation_v3",
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         | g0 AS (SELECT doc_id, i, array_to_string(
+         |   toks[i:i+${st - 1}], ' ') AS gram
+         |  FROM t0, LATERAL (SELECT unnest(generate_series(1,
+         |   len(toks) - ${st - 1})) AS i)
+         |  WHERE len(toks) >= $st),
+         | sg0 AS (SELECT doc_id, i, gram FROM g0
+         |  WHERE substring(md5(gram), 1, 1) = '0'),
+         | dfs0 AS (SELECT gram, count(DISTINCT doc_id) AS df,
+         |   min(doc_id) AS keeper FROM sg0 GROUP BY gram),
+         | rm0 AS (SELECT sg0.doc_id, sg0.i FROM sg0
+         |  JOIN dfs0 ON sg0.gram = dfs0.gram
+         |  WHERE dfs0.df >= 2 AND dfs0.df <= $cap
+         |    AND sg0.doc_id > dfs0.keeper),
+         | cov0 AS (SELECT DISTINCT rm0.doc_id, rm0.i + o.o AS j FROM rm0,
+         |  LATERAL (SELECT unnest(generate_series(0, ${st - 1})) AS o) o),
+         | tok0 AS (SELECT t0.doc_id, u.i, t0.toks[u.i] AS tk FROM t0,
+         |  LATERAL (SELECT unnest(generate_series(1, len(t0.toks)))
+         |   AS i) u),
+         | kept0 AS (SELECT tok0.doc_id, tok0.i, tok0.tk FROM tok0
+         |  LEFT JOIN cov0 ON tok0.doc_id = cov0.doc_id AND tok0.i = cov0.j
+         |  WHERE cov0.j IS NULL),
+         | cleaned AS (SELECT d.doc_id, d.source, d.lang,
+         |   coalesce(k.ct, '') AS text
+         |  FROM documents d LEFT JOIN (SELECT doc_id,
+         |    string_agg(tk, ' ' ORDER BY i) AS ct FROM kept0
+         |    GROUP BY doc_id) k ON d.doc_id = k.doc_id),
+         | ref1 AS (SELECT string_split(text, ' ') AS toks FROM cleaned
+         |  WHERE source = 'src0'),
+         | c21 AS (SELECT b, count(*) AS c2 FROM
+         |   (SELECT unnest([toks[i-1] || ' ' || toks[i]
+         |     for i in generate_series(2, len(toks))]) AS b FROM ref1)
+         |  GROUP BY b),
+         | c11 AS (SELECT w, count(*) AS c1 FROM
+         |   (SELECT unnest(toks) AS w FROM ref1) GROUP BY w),
+         | v1 AS (SELECT count(*) AS v FROM c11),
+         | t1 AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |  FROM cleaned),
+         | bg1 AS (SELECT doc_id, lang, unnest([toks[i-1] || ' ' || toks[i]
+         |   for i in generate_series(2, len(toks))]) AS b FROM t1
+         |  WHERE len(toks) >= 2),
+         | scored1 AS (SELECT bg1.doc_id, bg1.lang,
+         |   CAST(log10(CAST(COALESCE(c21.c2, 0) + 1 AS DOUBLE) /
+         |     CAST(COALESCE(c11.c1, 0) + (SELECT v FROM v1) + 1 AS DOUBLE))
+         |    AS DECIMAL(28,12)) AS lg
+         |  FROM bg1 LEFT JOIN c21 ON bg1.b = c21.b
+         |   LEFT JOIN c11 ON split_part(bg1.b, ' ', 1) = c11.w),
+         | agg1 AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+         |   CAST(sum(lg) AS DOUBLE) AS sum_lg FROM scored1
+         |  GROUP BY doc_id, lang),
+         | p1 AS (SELECT doc_id, lang,
+         |   round(-sum_lg / n_bigrams, 4) AS ppl FROM agg1),
+         | b1 AS (SELECT doc_id, ntile(3) OVER
+         |   (PARTITION BY lang ORDER BY ppl, doc_id) AS nt FROM p1),
+         | surv AS (SELECT c.* FROM cleaned c JOIN b1
+         |   ON c.doc_id = b1.doc_id WHERE b1.nt <= 2),
+         | tok2 AS (SELECT doc_id, source,
+         |   unnest(string_split(text, ' ')) AS t FROM surv),
+         | f2 AS (SELECT doc_id, source, substring(md5(t), 1, 3) AS b
+         |  FROM tok2),
+         | ct2 AS (SELECT b, count(*) AS c FROM f2 WHERE source = 'src0'
+         |  GROUP BY b),
+         | cr2 AS (SELECT b, count(*) AS c FROM f2 GROUP BY b),
+         | nt2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct2),
+         | nr2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cr2),
+         | nb2 AS (SELECT count(*) AS nb FROM cr2),
+         | lr2 AS (SELECT cr2.b, CAST(
+         |   log10(CAST(COALESCE(ct2.c, 0) + 1 AS DOUBLE) /
+         |     CAST((SELECT n FROM nt2) + (SELECT nb FROM nb2) AS DOUBLE))
+         |   - log10(CAST(cr2.c + 1 AS DOUBLE) /
+         |     CAST((SELECT n FROM nr2) + (SELECT nb FROM nb2) AS DOUBLE))
+         |   AS DECIMAL(28,12)) AS lg
+         |  FROM cr2 LEFT JOIN ct2 ON cr2.b = ct2.b),
+         | agg2 AS (SELECT f2.doc_id, f2.source, count(*) AS n_toks,
+         |   CAST(sum(lr2.lg) AS DOUBLE) AS s
+         |  FROM f2 JOIN lr2 ON f2.b = lr2.b GROUP BY f2.doc_id, f2.source),
+         | sc2 AS (SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+         |   CAST(floor(s / n_toks * 1e4) AS BIGINT) AS score_q4 FROM agg2),
+         | top2 AS (SELECT *, row_number() OVER
+         |   (ORDER BY score_q4 DESC, doc_id) AS rank FROM sc2),
+         | sel AS (SELECT top2.doc_id, top2.source, top2.n_toks,
+         |   top2.score_q4, s2.lang FROM top2 JOIN surv s2
+         |   ON top2.doc_id = s2.doc_id WHERE top2.rank <= $SelectNV3),
+         | g3 AS (SELECT source, lang, CAST(sum(n_toks) AS BIGINT) AS avail
+         |  FROM sel GROUP BY source, lang),
+         | q3 AS (SELECT source, lang, avail,
+         |   CAST($me AS BIGINT) * avail AS cap,
+         |   CAST(floor(sqrt(CAST(avail AS DOUBLE)) * 1e9) AS BIGINT)
+         |     AS wq FROM g3),
+         | t3 AS (SELECT CAST(sum(wq) AS BIGINT) AS totw,
+         |   CAST($bx AS BIGINT) * CAST(sum(avail) AS BIGINT) AS b
+         |  FROM q3),
+         | s3 AS (SELECT source, lang, avail, cap, wq,
+         |   CAST(cap AS DOUBLE) * 1e9 / CAST(wq AS DOUBLE) AS r FROM q3),
+         | w3 AS (SELECT source, lang, avail, cap, wq, r,
+         |   coalesce(sum(cap) OVER (ORDER BY r, source, lang
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     CAST(0 AS BIGINT)) AS cumcap,
+         |   coalesce(sum(wq) OVER (ORDER BY r, source, lang
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     CAST(0 AS BIGINT)) AS cumw,
+         |   lag(cap) OVER (ORDER BY r, source, lang) AS prev_cap,
+         |   lag(wq) OVER (ORDER BY r, source, lang) AS prev_wq
+         |  FROM s3),
+         | c3 AS (SELECT w3.*, t3.b, t3.totw, CAST(b - cumcap AS DOUBLE)
+         |    * 1e9 / CAST(totw - cumw AS DOUBLE) AS lam FROM w3, t3),
+         | lam3 AS (SELECT lam FROM c3 WHERE
+         |   CAST(b - cumcap AS HUGEINT) * CAST(wq AS HUGEINT)
+         |     <= CAST(cap AS HUGEINT) * CAST(totw - cumw AS HUGEINT)
+         |   AND (prev_wq IS NULL OR
+         |     CAST(b - cumcap AS HUGEINT) * CAST(prev_wq AS HUGEINT)
+         |       >= CAST(prev_cap AS HUGEINT) * CAST(totw - cumw AS HUGEINT))
+         |  ORDER BY r, source, lang LIMIT 1),
+         | alloc3 AS (SELECT source, lang,
+         |   least(cap, CAST(floor(lam3.lam * CAST(wq AS DOUBLE) / 1e9)
+         |     AS BIGINT)) AS alloc_tokens FROM c3, lam3),
+         | pk AS (SELECT doc_id, n_toks, SUM(n_toks) OVER
+         |   (ORDER BY doc_id % $PackBuckets, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM sel),
+         | sh AS (SELECT doc_id, CAST(FLOOR((cum - n_toks) / $ShardBudget)
+         |   AS BIGINT) AS shard FROM pk)
+         | SELECT sel.doc_id, sel.source, sel.lang, sel.n_toks,
+         |  sel.score_q4, sh.shard, alloc3.alloc_tokens
+         | FROM sel JOIN sh ON sel.doc_id = sh.doc_id
+         |  JOIN alloc3 ON sel.source = alloc3.source
+         |   AND sel.lang = alloc3.lang
+         | ORDER BY sel.doc_id""".stripMargin.replaceAll("\n", "")
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cleaned = graft.dedup.Dedup
+        .removeSharedSpans(docs.select("doc_id", "text"))
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("cleaned_text").as("text"))
+        .localCheckpoint()
+      val surv = cleaned.join(
+        graft.text.TextAnalysis.perplexityBucketsOver(cleaned)
+          .filter(col("bucket") =!= "tail").select("doc_id"),
+        "doc_id").localCheckpoint()
+      val sel = graft.ml.Sampling.dsirScoresOver(surv)
+        .orderBy(desc("score_q4"), asc("doc_id")).limit(SelectNV3)
+        .join(surv.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
+      val alloc = graft.ml.Sampling.waterFillOver(
+        sel.groupBy("source", "lang")
+          .agg(sum("n_toks").cast("long").as("avail")))
+        .select(col("source"), col("lang"), col("alloc_tokens"))
+      val shards = graft.text.TextAnalysis.packShardsOver(
+        sel.select(col("doc_id"), col("n_toks").as("ntok")),
+        ShardBudget, PackBuckets)
+      sel.join(shards.select("doc_id", "shard"), "doc_id")
+        .join(broadcast(alloc), Seq("source", "lang"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_toks"),
+          col("score_q4"), col("shard"), col("alloc_tokens"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(pipeline, pipelineV2, audit, pipelineV3)
 }

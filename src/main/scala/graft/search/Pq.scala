@@ -645,8 +645,7 @@ object Pq {
       keyed: Option[Boolean] = None)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val useKeyed =
-      keyed.getOrElse(index.assigned.count() >= KeyedRerankMinRows)
+    val useKeyed = keyed.getOrElse(chooseKeyedRerank(index))
     queryStream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -689,6 +688,18 @@ object Pq {
     * while flat grows without bound.
     */
   val KeyedRerankMinRows: Long = 10000L
+
+  /** The exact-tier shape decision [[streamingLookup]] makes ONCE at
+    * stream start and re-enters only on restart: a store at or past
+    * [[KeyedRerankMinRows]] serves through the keyed (ccell-pruned)
+    * re-rank; below it the flat union scan's lower fixed cost wins.
+    * Named (rather than inlined) so the restart re-entry is
+    * spec-testable: StreamingSpec pins that a store grown past the
+    * bar actually flips to keyed on its next deploy — the long-lived
+    * serving job's quantizer-refresh restart.
+    */
+  def chooseKeyedRerank(index: Ann.IvfIndex): Boolean =
+    index.assigned.count() >= KeyedRerankMinRows
 
   /** Result of compacting one store tier: parquet data-file counts
     * before/after, the row count carried through, and how many

@@ -5,7 +5,7 @@ import graft.dedup.Dedup.shingles
 import graft.functions.HashFunctions.{minhash_sig, sig_matches}
 import graft.functions.FrequencyAggregates.heavy_hitters
 import graft.functions.SketchAggregates.minhash_union
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -460,27 +460,36 @@ object TextAnalysis {
          |   FROM documents))
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
     ) { (s, d) =>
-      val base = Tables.documents(s, d).select(
-        col("doc_id"),
-        size(toks(col("text"))).cast("long").as("ntok"),
-        pmod(col("doc_id"), lit(nBuckets)).as("bucket"))
-      val wIntra = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val intra = base.withColumn("icum", sum("ntok").over(wIntra))
-      // P rows total: the exclusive prefix of per-bucket sums
-      val wOff = Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy("bucket").agg(sum("ntok").as("btot"))
-        .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
-        .select("bucket", "off")
-      intra.join(broadcast(offsets), "bucket")
-        .select(col("doc_id"), col("ntok"),
-          // integer-valued longs below 2^53: the double quotient and
-          // its floor are exact, matching DuckDB's float division
-          floor((col("icum") + col("off") - col("ntok")) / lit(budget))
-            .cast("long").as("shard"))
-        .orderBy("doc_id")
+      packShardsOver(Tables.documents(s, d).select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("ntok")), budget, nBuckets)
     }
+  }
+
+  /** The q67 packing transform over any `(doc_id, ntok)` frame —
+    * exposed so the q153 curation composition can pack its selected
+    * set. Two-phase distributed prefix sum; see [[packShards]].
+    */
+  def packShardsOver(docs: DataFrame, budget: Long,
+      nBuckets: Int): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      col("ntok").cast("long").as("ntok"),
+      pmod(col("doc_id"), lit(nBuckets)).as("bucket"))
+    val wIntra = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = base.withColumn("icum", sum("ntok").over(wIntra))
+    // P rows total: the exclusive prefix of per-bucket sums
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket").agg(sum("ntok").as("btot"))
+      .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+      .select("bucket", "off")
+    intra.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("ntok"),
+        // integer-valued longs below 2^53: the double quotient and
+        // its floor are exact, matching DuckDB's float division
+        floor((col("icum") + col("off") - col("ntok")) / lit(budget))
+          .cast("long").as("shard"))
+      .orderBy("doc_id")
   }
 
   /** Corpus mixing to target proportions — the reweighting step of a
@@ -1313,8 +1322,14 @@ object TextAnalysis {
       |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
       |   ELSE 'tail' END AS bucket
       | FROM b ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
-  ) { (s, d) =>
-    val docs = Tables.documents(s, d)
+  ) { (s, d) => perplexityBucketsOver(Tables.documents(s, d)) }
+
+  /** The q143 transform over any `(doc_id, lang, source, text)` frame
+    * — exposed so the q153 curation composition can bucket the
+    * span-cleaned corpus instead of the raw one. Reference prior is
+    * the frame's own `source = 'src0'` slice.
+    */
+  def perplexityBucketsOver(docs: DataFrame): DataFrame = {
     val ref = docs.filter(col("source") === "src0")
       .select(toks(col("text")).as("toks"))
     val c2 = ref.filter(size(col("toks")) >= 2)

@@ -456,6 +456,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming lookup cutover re-entry: a store grown past " +
+      "KeyedRerankMinRows flips to keyed on restart and still serves") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val corpus = emb.filter(col("vec_id") < 100)
+    val index = search.Ann.buildIvfIndex(corpus)
+    val (_, books) = search.Pq.encode(corpus)
+    // deploy 1: small store → flat tier
+    assert(!search.Pq.chooseKeyedRerank(index),
+      "small store must serve flat")
+    // the store grows past the bar (quantizer refresh re-assigns the
+    // grown corpus); the restart re-enters the SAME decision function
+    // streamingLookup calls — replicate the assigned table with
+    // shifted ids until it crosses KeyedRerankMinRows
+    val one = index.assigned
+    val copies = (search.Pq.KeyedRerankMinRows / one.count() + 1).toInt
+    val grownAssigned = (0 until copies).map { i =>
+      one.withColumn("neighbor_id",
+        col("neighbor_id") + lit(i.toLong * 1000000L))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val grown = index.copy(assigned = grownAssigned)
+    assert(search.Pq.chooseKeyedRerank(grown),
+      "grown store did not flip to keyed on re-entry")
+    // and the keyed path it flips INTO serves correctly end-to-end:
+    // keyed=None on the grown index must route through the ccell
+    // join and still return the exact twin first
+    val dir = Files.createTempDirectory("graft_cutover").toString
+    search.Pq.saveCellCodes(
+      search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx")
+    def vecOf(id: Long): Array[Float] =
+      emb.filter(col("vec_id") === id).head.getSeq[Float](1).toArray
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = search.Pq.streamingLookup(
+      input.toDF().toDF("vec_id", "embedding"), grown, books,
+      s"$dir/idx", s"$dir/ckpt") { (res, _) =>
+      results ++= res.filter(col("rank") === 1)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try { input.addData((9007L, vecOf(7L))); q.processAllAvailable() }
+    finally q.stop()
+    assert(results.toMap.get(9007L).contains(7L),
+      s"keyed tier after cutover failed to serve: $results")
+  }
+
   test("index-store compaction: bounded per-cell files, served store " +
       "unchanged, idempotent, crash-recoverable") {
     val emb = Tables.embeddings(spark, sfTiny)

@@ -615,4 +615,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q151: Gumbel-top-N selection plans as TakeOrderedAndProject " +
+      "with the broadcast ratio table — no global sort, no cartesian") {
+    val p = plan(ml.Sampling.dsirResample.fn(spark, sfSmall))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q152: banded candidates only — no all-pairs image comparison") {
+    val p = plan(mm.MediaDedup.mediaDedup.fn(spark, sfTiny))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q153: the composition introduces no cartesian; the budget " +
+      "λ-pick stays a 1-row TakeOrderedAndProject") {
+    // the selection stage's own TakeOrderedAndProject is pinned on
+    // q151 (same shape, same code path); here it sits behind the
+    // sel localCheckpoint, so the visible TakeOrdered nodes are the
+    // un-checkpointed water-fill λ-pick
+    val p = plan(pipeline.Curation.pipelineV3.fn(spark, sfTiny))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -293,5 +293,241 @@ object MediaDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(mediaDedup)
+  // ---- audio fingerprint (q154) ----
+
+  /** Analysis windows for [[audioHash]]: 33 windows → 32 adjacent
+    * pairs × 2 signal bits (energy delta, zero-crossing delta) = the
+    * 64-bit fingerprint.
+    */
+  val AudioWindows = 33
+
+  /** 64-bit perceptual fingerprint of a PCM payload — the audio
+    * member of the aHash/dHash family (the energy/ZCR-contour shape
+    * of an acoustic fingerprint, not a byte hash): mono-mix, split
+    * the stream into [[AudioWindows]] equal windows, and emit one bit
+    * per adjacent-window ENERGY delta and one per ZERO-CROSSING-RATE
+    * delta. Both signals are relative, so the fingerprint is
+    * invariant to amplitude scaling and container/endianness
+    * re-encodes, and degrades gracefully under requantization — the
+    * byte-breaking, perception-preserving edits an audio crawl
+    * contains. 16-bit samples normalize to the 8-bit scale so a
+    * 16→8-bit requantized copy measures against the same contour.
+    */
+  def audioHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val ch = fmt.getChannels
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) return None
+        val frameLen = ais.getFrameLength
+        if (frameLen < AudioWindows || frameLen > (1 << 24)) return None
+        val data = ais.readAllBytes()
+        val frames = frameLen.toInt
+        val mono = new Array[Double](frames)
+        var f = 0
+        while (f < frames) {
+          var c = 0; var s = 0.0
+          while (c < ch) {
+            val idx = f * ch + c
+            val v =
+              if (bits == 8) ((data(idx) & 0xFF) - 128).toDouble
+              else {
+                val off = idx * 2
+                val x =
+                  if (fmt.isBigEndian)
+                    (data(off) << 8) | (data(off + 1) & 0xFF)
+                  else (data(off + 1) << 8) | (data(off) & 0xFF)
+                x.toDouble / 256.0
+              }
+            s += v; c += 1
+          }
+          mono(f) = s / ch; f += 1
+        }
+        val wlen = frames / AudioWindows
+        val energy = new Array[Double](AudioWindows)
+        val zcr = new Array[Int](AudioWindows)
+        var w = 0
+        while (w < AudioWindows) {
+          var i = w * wlen; val end = i + wlen
+          var e = 0.0; var z = 0; var prev = 0.0
+          while (i < end) {
+            val v = mono(i)
+            e += v * v
+            if (i > w * wlen && (v > 0) != (prev > 0)) z += 1
+            prev = v; i += 1
+          }
+          energy(w) = e; zcr(w) = z; w += 1
+        }
+        var h = 0L; var b = 0
+        w = 0
+        while (w < AudioWindows - 1) {
+          if (energy(w + 1) > energy(w)) h |= (1L << b)
+          b += 1
+          if (zcr(w + 1) > zcr(w)) h |= (1L << b)
+          b += 1
+          w += 1
+        }
+        Some(h)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** (doc_id, phash) for every decodable PCM payload in the media
+    * scan — the audio analogue of [[hashMedia]], feeding the SAME
+    * banded pipeline ([[nearDupPairs]] is generic over any 64-bit
+    * perceptual hash).
+    */
+  def hashAudio(media: Dataset[Multimodal.MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        if (!rec.mime.startsWith("audio/")) None
+        else audioHash(rec.media).map((rec.doc_id, _))
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** Deterministic synthetic tone: [[AudioWindows]]·64 frames of
+    * 8 kHz mono 16-bit PCM, each analysis window at an id-seeded
+    * amplitude level and square-ish frequency — per-window energy
+    * and ZCR contours decorrelate across ids while staying exactly
+    * preserved under the planted transforms.
+    */
+  def syntheticTone(id: Long): Array[Byte] = {
+    val frames = AudioWindows * 64
+    var s = id * 0x9E3779B97F4A7C15L + 0xC2B2AE35L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val amp = Array.fill(AudioWindows)(1000 + (next() & 0x3FFF).toInt)
+    val per = Array.fill(AudioWindows)(4 + 4 * (next() & 7).toInt)
+    val data = new Array[Byte](frames * 2)
+    var f = 0
+    while (f < frames) {
+      val w = math.min(f / 64, AudioWindows - 1)
+      // square wave: period per(w) frames, amplitude amp(w)
+      val v = (if ((f / (per(w) / 2)) % 2 == 0) amp(w) else -amp(w)).toShort
+      data(2 * f) = (v & 0xFF).toByte
+      data(2 * f + 1) = ((v >> 8) & 0xFF).toByte
+      f += 1
+    }
+    val afmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), afmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The planted transformed duplicate of a tone: cycle 0.5×
+    * amplitude scale / AIFF re-encode (big-endian container) /
+    * 16→8-bit requantization by id — byte-breaking,
+    * contour-preserving.
+    */
+  def transformedTone(id: Long, wav: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    val frames = ais.getFrameLength.toInt
+    val data = ais.readAllBytes()
+    ais.close()
+    def sample(i: Int): Int =
+      ((data(2 * i + 1) << 8) | (data(2 * i) & 0xFF))
+    val bos = new ByteArrayOutputStream()
+    (id / 10) % 3 match {
+      case 0 => // halve the amplitude: energy order + ZCR exactly kept
+        val out = new Array[Byte](data.length)
+        var i = 0
+        while (i < frames) {
+          val v = (sample(i) / 2).toShort
+          out(2 * i) = (v & 0xFF).toByte
+          out(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(out), fmt, frames.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+      case 1 => // AIFF re-encode: big-endian container, same samples
+        val be = new AudioFormat(8000f, 16, 1, true, true)
+        val out = new Array[Byte](data.length)
+        var i = 0
+        while (i < frames) {
+          out(2 * i) = data(2 * i + 1); out(2 * i + 1) = data(2 * i)
+          i += 1
+        }
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(out), be, frames.toLong),
+          AudioFileFormat.Type.AIFF, bos)
+      case _ => // 16→8-bit requantization
+        val fmt8 = new AudioFormat(8000f, 8, 1, true, false)
+        val out = new Array[Byte](frames)
+        var i = 0
+        while (i < frames) {
+          out(i) = ((sample(i) >> 8) + 128).toByte
+          i += 1
+        }
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(out), fmt8, frames.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+    }
+    bos.toByteArray
+  }
+
+  /** The q154 audio corpus: one tone per document plus a transformed
+    * copy for every 10th doc — the audio mirror of [[mediaCorpus]].
+    */
+  def audioCorpus(s: org.apache.spark.sql.SparkSession, d: String)
+      : Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val wav = syntheticTone(id)
+        val orig = Multimodal.MediaRecord(id, "audio/wav", wav)
+        if (id % 10 == 0)
+          Seq(orig, Multimodal.MediaRecord(id + CopyIdOffset,
+            if ((id / 10) % 3 == 1) "audio/aiff" else "audio/wav",
+            transformedTone(id, wav)))
+        else Seq(orig)
+      }
+  }
+
+  /** q154 — perceptual near-duplicate AUDIO pairs: [[audioHash]]
+    * fingerprints through the same banded pipeline as q152. Media
+    * dedup now covers both raster and PCM modalities with one
+    * candidate machinery. Rows-only; gate = planted recall ≥ 0.8.
+    */
+  val audioDedup: QueryDef = QueryDef.rowsOnly(
+    "q154_audio_perceptual_dedup") { (s, d) =>
+    nearDupPairs(hashAudio(audioCorpus(s, d)))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q155 — media duplicate CLUSTERS: q152's verified pairs fold
+    * through the standard hash-min connected components
+    * ([[graft.dedup.Dedup.connectedComponents]] — the q49 machinery)
+    * into cluster labels with a min-id keeper per cluster — the
+    * decision surface a dedup pass actually consumes (drop
+    * non-keepers), mirroring text's q49 for media. Rows-only; the
+    * gate checks every planted copy landed in its original's cluster
+    * and exactly one keeper per cluster.
+    */
+  val mediaDupClusters: QueryDef = QueryDef.rowsOnly(
+    "q155_media_dup_clusters") { (s, d) =>
+    val pairs = nearDupPairs(hashMedia(mediaCorpus(s, d)))
+    val labels = graft.dedup.Dedup.connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b")))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(mediaDedup, audioDedup, mediaDupClusters)
 }

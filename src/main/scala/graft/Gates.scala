@@ -301,6 +301,61 @@ object Gates {
           planted.join(found, Seq("doc_a", "doc_b"), "left_semi")
             .count().toDouble / planted.count()
         }),
+      ("q154_audio_perceptual_dedup", "planted_transform_recall", ">=",
+        0.8, (s, d) => {
+          // the audio mirror of q152's gate: every 10th doc has a
+          // planted transformed tone at id + CopyIdOffset (0.5x
+          // amplitude / AIFF re-encode / 16->8-bit requantization);
+          // the pair (id, id+offset) must surface
+          val planted = Tables.documents(s, d)
+            .filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("doc_a"),
+              (col("doc_id") + mm.MediaDedup.CopyIdOffset).as("doc_b"))
+          val found = mm.MediaDedup.audioDedup.fn(s, d)
+            .select("doc_a", "doc_b")
+          planted.join(found, Seq("doc_a", "doc_b"), "left_semi")
+            .count().toDouble / planted.count()
+        }),
+      ("q155_media_dup_clusters", "cluster_keeper_coverage_and_recall" +
+        "_violations", "<=", 0.0,
+        (s, d) => {
+          // (1) exact structure: exactly one keeper per cluster and
+          // the keeper is the min doc_id (per modality — cluster ids
+          // are modality-scoped); (2) coverage: every hashed media
+          // doc labeled exactly once; (3) planted copies of BOTH
+          // modalities land in their original's cluster at >= 0.8
+          // (the band-recall bound — q152/q154's gates — carried
+          // through the clustering).
+          val out = mm.MediaDedup.mediaDupClusters.fn(s, d).cache()
+          val badKeeper = out.groupBy("modality", "cluster_id")
+            .agg(min("doc_id").as("mn"),
+              sum(when(col("is_keeper"), 1).otherwise(0)).as("k"))
+            .filter(col("mn") =!= col("cluster_id") || col("k") =!= 1)
+            .count()
+          val expected = mm.MediaDedup.imageHashes(s, d).count() +
+            mm.MediaDedup.audioHashes(s, d).count()
+          val cov = math.abs(out.count() - expected) +
+            math.abs(out.select("modality", "doc_id").distinct().count()
+              - expected)
+          def plantedRecall(modality: String): Double = {
+            val orig = out.filter(col("modality") === modality)
+              .select(col("doc_id"), col("cluster_id").as("c_orig"))
+            val copies = out.filter(col("modality") === modality &&
+                col("doc_id") >= mm.MediaDedup.CopyIdOffset)
+              .select((col("doc_id") - mm.MediaDedup.CopyIdOffset)
+                .as("doc_id"), col("cluster_id").as("c_copy"))
+            val joined = copies.join(orig, Seq("doc_id")).cache()
+            val n = joined.count()
+            val hit = joined.filter(col("c_copy") === col("c_orig")).count()
+            joined.unpersist()
+            if (n == 0) Double.NaN else hit.toDouble / n
+          }
+          val imgR = plantedRecall("image")
+          val audR = plantedRecall("audio")
+          out.unpersist()
+          (badKeeper + cov + (if (imgR >= 0.8) 0L else 1L) +
+            (if (audR >= 0.8) 0L else 1L)).toDouble
+        }),
       ("q151_dsir_resample", "source_counts_chisq_vs_importance", "<=",
         45.0, (s, d) => {
           // Does the Gumbel-top-N sample TRACK the importance

@@ -123,8 +123,19 @@ object MediaDedup {
     }.toDF("doc_id", "phash")
   }
 
-  /** Near-duplicate image pairs (doc_a < doc_b, hamming ≤ maxHamming)
-    * from banded candidates — see the object doc for the shape.
+  /** Near-duplicate pairs (doc_a < doc_b, hamming ≤ maxHamming) from
+    * banded candidates — see the object doc for the shape. Works over
+    * ANY 64-bit perceptual hash column (dHash, audio contour, video
+    * slot hashes).
+    *
+    * Recall contract (pigeonhole): with [[Bands]] bands a pair
+    * differing in ≤ [[Bands]]−1 = 3 bits ALWAYS shares an untouched
+    * band, so recall at Hamming ≤ 3 is guaranteed 1.0. Between 4 and
+    * `maxHamming` bits a pair surfaces only if some band happens to
+    * be unhit — best-effort, not guaranteed (measured ≥ 0.98 on the
+    * planted transforms, which concentrate damage in few cells). The
+    * verify filter is still exact: no reported pair ever exceeds
+    * `maxHamming`.
     */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = MaxHamming)
       : DataFrame = {
@@ -259,8 +270,28 @@ object MediaDedup {
     bos.toByteArray
   }
 
-  /** Offset separating planted-copy ids from original ids. */
-  val CopyIdOffset = 1000000L
+  /** Offset separating planted-copy ids from original ids. Far above
+    * any sweep scale (2^40 ≈ 1.1e12 docs would be needed to collide);
+    * the corpus builders assert non-overlap so a collision would fail
+    * loudly instead of corrupting the recall gates and q155's min-id
+    * keeper logic.
+    */
+  val CopyIdOffset = 1L << 40
+
+  /** Namespace offset separating audio node ids from image node ids
+    * inside q155's shared cluster graph. Pairs are mined per modality
+    * so no edge can cross the namespaces; the offset only keeps the
+    * two id spaces disjoint in the unioned graph. Above CopyIdOffset
+    * so `audio original + CopyIdOffset < AudioNsOffset` never holds —
+    * i.e. image ids (with copies) and audio ids (with copies) occupy
+    * [0, 2^41) and [2^41, 2^42) respectively.
+    */
+  val AudioNsOffset = 1L << 41
+
+  private def assertIdHeadroom(maxId: Long): Unit =
+    require(maxId >= 0 && maxId < CopyIdOffset,
+      s"doc_id $maxId would collide with the planted-copy id space " +
+        s"(CopyIdOffset=$CopyIdOffset); raise CopyIdOffset")
 
   /** The q152 media corpus: one photo per document plus a transformed
     * copy for every 10th doc — shared by the query, its gate, and the
@@ -271,6 +302,7 @@ object MediaDedup {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
       .flatMap { id =>
+        assertIdHeadroom(id)
         val png = syntheticPhoto(id)
         val orig = Multimodal.MediaRecord(id, "image/png", png)
         if (id % 10 == 0)
@@ -281,6 +313,34 @@ object MediaDedup {
       }
   }
 
+  // Hash-once per (session, dir, modality): q152/q154 mine pairs and
+  // q155 folds BOTH modalities' pairs into clusters, so a composed
+  // media-dedup pass pays the decode+hash scan once per modality, not
+  // once per consuming query — the [[graft.search.Ann.cachedIndex]] /
+  // [[graft.dedup.Dedup.clusterLabels]] compute-once discipline. The
+  // cached frame is ids+hashes only (~16 B/doc); rasters/PCM never
+  // outlive the scan.
+  private val hashCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), DataFrame]()
+
+  private def cachedHashes(s: org.apache.spark.sql.SparkSession,
+      d: String, modality: String)(build: => DataFrame): DataFrame = {
+    graft.Scale.purgeStopped(hashCache)
+    hashCache.computeIfAbsent((s, d, modality), _ => {
+      val out = build.cache()
+      out.count()
+      out
+    })
+  }
+
+  /** Cached (doc_id, phash) over [[mediaCorpus]]. */
+  def imageHashes(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = cachedHashes(s, d, "image")(hashMedia(mediaCorpus(s, d)))
+
+  /** Cached (doc_id, phash) over [[audioCorpus]]. */
+  def audioHashes(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = cachedHashes(s, d, "audio")(hashAudio(audioCorpus(s, d)))
+
   /** q152 — perceptual near-duplicate image pairs over the synthetic
     * photo corpus with planted transformed copies. Rows-only (pixel
     * decoding isn't ANSI-SQL-expressible); the gate measures planted
@@ -289,7 +349,7 @@ object MediaDedup {
     */
   val mediaDedup: QueryDef = QueryDef.rowsOnly(
     "q152_media_perceptual_dedup") { (s, d) =>
-    nearDupPairs(hashMedia(mediaCorpus(s, d)))
+    nearDupPairs(imageHashes(s, d))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -322,6 +382,11 @@ object MediaDedup {
         val ch = fmt.getChannels
         val bits = fmt.getSampleSizeInBits
         if (bits != 16 && bits != 8) return None
+        // 8-bit PCM comes in both conventions (WAV: unsigned, AIFF:
+        // signed) — center per the stream's declared encoding, or the
+        // contour signs scramble
+        val signed8 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         val frameLen = ais.getFrameLength
         if (frameLen < AudioWindows || frameLen > (1 << 24)) return None
         val data = ais.readAllBytes()
@@ -333,7 +398,9 @@ object MediaDedup {
           while (c < ch) {
             val idx = f * ch + c
             val v =
-              if (bits == 8) ((data(idx) & 0xFF) - 128).toDouble
+              if (bits == 8)
+                (if (signed8) data(idx).toInt
+                 else (data(idx) & 0xFF) - 128).toDouble
               else {
                 val off = idx * 2
                 val x =
@@ -466,8 +533,12 @@ object MediaDedup {
         AudioSystem.write(new AudioInputStream(
           new java.io.ByteArrayInputStream(out), be, frames.toLong),
           AudioFileFormat.Type.AIFF, bos)
-      case _ => // 16→8-bit requantization
-        val fmt8 = new AudioFormat(8000f, 8, 1, true, false)
+      case _ => // 16→8-bit requantization (WAV 8-bit is UNSIGNED —
+        // declare it so, with matching offset-binary samples; a
+        // signed declaration would make the writer XOR 0x80 on top
+        // of our +128 offset and scramble every contour sign)
+        val fmt8 = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+          8000f, 8, 1, 1, 8000f, false)
         val out = new Array[Byte](frames)
         var i = 0
         while (i < frames) {
@@ -489,6 +560,7 @@ object MediaDedup {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
       .flatMap { id =>
+        assertIdHeadroom(id)
         val wav = syntheticTone(id)
         val orig = Multimodal.MediaRecord(id, "audio/wav", wav)
         if (id % 10 == 0)
@@ -502,31 +574,57 @@ object MediaDedup {
   /** q154 — perceptual near-duplicate AUDIO pairs: [[audioHash]]
     * fingerprints through the same banded pipeline as q152. Media
     * dedup now covers both raster and PCM modalities with one
-    * candidate machinery. Rows-only; gate = planted recall ≥ 0.8.
+    * candidate machinery. Rows-only; gated (planted-transform recall
+    * ≥ 0.8 over the (id, id+CopyIdOffset) pairs — Gates q154) and
+    * spec-pinned (per-transform Hamming bounds + unrelated-tone
+    * baseline, MediaDedupSpec).
     */
   val audioDedup: QueryDef = QueryDef.rowsOnly(
     "q154_audio_perceptual_dedup") { (s, d) =>
-    nearDupPairs(hashAudio(audioCorpus(s, d)))
+    nearDupPairs(audioHashes(s, d))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** q155 — media duplicate CLUSTERS: q152's verified pairs fold
-    * through the standard hash-min connected components
+  /** q155 — media duplicate CLUSTERS across BOTH modalities: q152's
+    * image pairs and q154's audio pairs (node ids disjoint via
+    * [[AudioNsOffset]] — no edge can cross modalities, the offset
+    * only keeps the unioned graph's id spaces apart) fold through the
+    * standard hash-min connected components
     * ([[graft.dedup.Dedup.connectedComponents]] — the q49 machinery)
     * into cluster labels with a min-id keeper per cluster — the
     * decision surface a dedup pass actually consumes (drop
-    * non-keepers), mirroring text's q49 for media. Rows-only; the
-    * gate checks every planted copy landed in its original's cluster
-    * and exactly one keeper per cluster.
+    * non-keepers), mirroring text's q49 for media. Every hashed media
+    * doc appears (singletons keep themselves, q49's coverage
+    * contract); output ids are back in each modality's own space with
+    * an explicit `modality` column. Rows-only; gated (exactly one
+    * min-id keeper per cluster, full coverage, planted copies of BOTH
+    * modalities cluster with their originals at ≥ 0.8 — Gates q155)
+    * and spec-pinned (MediaDedupSpec cluster-structure case).
     */
   val mediaDupClusters: QueryDef = QueryDef.rowsOnly(
     "q155_media_dup_clusters") { (s, d) =>
-    val pairs = nearDupPairs(hashMedia(mediaCorpus(s, d)))
+    val imgPairs = nearDupPairs(imageHashes(s, d))
+      .select(col("doc_a"), col("doc_b"))
+    val audPairs = nearDupPairs(audioHashes(s, d))
+      .select((col("doc_a") + AudioNsOffset).as("doc_a"),
+        (col("doc_b") + AudioNsOffset).as("doc_b"))
+    val nodes = imageHashes(s, d).select(col("doc_id"))
+      .union(audioHashes(s, d)
+        .select((col("doc_id") + AudioNsOffset).as("doc_id")))
     val labels = graft.dedup.Dedup.connectedComponents(
-      pairs.select(col("doc_a"), col("doc_b")))
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        (col("id") === col("label")).as("is_keeper"))
-      .orderBy("doc_id")
+      imgPairs.union(audPairs))
+    nodes
+      .join(labels.select(col("id").as("doc_id"),
+        col("label").as("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(
+        when(col("doc_id") >= AudioNsOffset, "audio").otherwise("image")
+          .as("modality"),
+        (col("doc_id") % AudioNsOffset).as("doc_id"),
+        (col("cluster_id") % AudioNsOffset).as("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("modality", "doc_id")
   }
 
   val defs: Seq[QueryDef] = Seq(mediaDedup, audioDedup, mediaDupClusters)

@@ -82,4 +82,100 @@ class MediaDedupSpec extends SparkSpec {
     val hashed = MediaDedup.hashMedia(recs).collect()
     assert(hashed.map(_.getLong(0)).toSet == Set(1L))
   }
+
+  private def audioHashOf(bytes: Array[Byte]): Long =
+    MediaDedup.audioHash(bytes).getOrElse(fail("tone did not decode"))
+
+  test("audioHash is deterministic; planted tone transforms stay " +
+      "within MaxHamming; unrelated tones sit near the random baseline") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val wav = MediaDedup.syntheticTone(42L)
+    assert(audioHashOf(wav) == audioHashOf(wav), "hash not deterministic")
+    val byTransform = (0 until 60).map { i =>
+      val id = i * 10L // transform cycles on (id/10) % 3
+      val w = MediaDedup.syntheticTone(id)
+      val d = ham(audioHashOf(w),
+        audioHashOf(MediaDedup.transformedTone(id, w)))
+      ((id / 10) % 3, d)
+    }
+    for ((t, ds) <- byTransform.groupBy(_._1)) {
+      val worst = ds.map(_._2).max
+      info(s"audio transform $t: worst hamming $worst over ${ds.size}")
+      assert(worst <= MediaDedup.MaxHamming,
+        s"audio transform $t exceeds MaxHamming: $worst")
+    }
+    val hashes = (0L until 40L).map(i =>
+      audioHashOf(MediaDedup.syntheticTone(i)))
+    val pairs = for {
+      i <- hashes.indices; j <- hashes.indices if i < j
+    } yield ham(hashes(i), hashes(j))
+    info(f"unrelated tones: mean ${pairs.sum.toDouble / pairs.size}%.1f " +
+      s"min ${pairs.min}")
+    assert(pairs.sum.toDouble / pairs.size > 20.0,
+      "synthetic tones not distinct enough for a meaningful test")
+  }
+
+  test("q154 surfaces planted transformed tone duplicates; recall " +
+      ">= 0.8 and every reported pair verified") {
+    val out = MediaDedup.audioDedup.fn(spark, sfTiny).cache()
+    val planted = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + MediaDedup.CopyIdOffset).as("doc_b"))
+    val nPlanted = planted.count()
+    val found = planted.join(out, Seq("doc_a", "doc_b"), "left_semi")
+      .count()
+    info(s"planted audio recall: $found/$nPlanted")
+    assert(found.toDouble / nPlanted >= 0.8)
+    assert(out.filter(col("hamming") > MediaDedup.MaxHamming).count() == 0)
+    assert(out.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    out.unpersist()
+  }
+
+  test("non-audio payloads drop out of the audio hash scan") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio/wav", MediaDedup.syntheticTone(1L)),
+      Multimodal.MediaRecord(2L, "image/png", MediaDedup.syntheticPhoto(2L)),
+      Multimodal.MediaRecord(3L, "audio/wav", Array[Byte](1, 2, 3))
+    ).toDS()
+    val hashed = MediaDedup.hashAudio(recs).collect()
+    assert(hashed.map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("q155 clusters cover both modalities: planted copies land in " +
+      "their original's cluster, one min-id keeper per cluster, full " +
+      "coverage") {
+    val out = MediaDedup.mediaDupClusters.fn(spark, sfTiny).cache()
+    // coverage: one row per hashed media doc, per modality
+    val expected = MediaDedup.imageHashes(spark, sfTiny).count() +
+      MediaDedup.audioHashes(spark, sfTiny).count()
+    assert(out.count() == expected)
+    assert(out.select("modality", "doc_id").distinct().count() == expected)
+    assert(out.select("modality").distinct().collect().map(_.getString(0))
+      .toSet == Set("image", "audio"))
+    // keeper structure: exactly one keeper per (modality, cluster) and
+    // the keeper is the min doc_id (= the cluster label)
+    val badKeeper = out.groupBy("modality", "cluster_id")
+      .agg(min("doc_id").as("mn"),
+        sum(when(col("is_keeper"), 1).otherwise(0)).as("k"))
+      .filter(col("mn") =!= col("cluster_id") || col("k") =!= 1)
+      .count()
+    assert(badKeeper == 0, s"$badKeeper clusters with bad keeper structure")
+    // planted copies cluster with their originals, per modality
+    for (modality <- Seq("image", "audio")) {
+      val m = out.filter(col("modality") === modality)
+      val orig = m.select(col("doc_id"), col("cluster_id").as("c_orig"))
+      val copies = m.filter(col("doc_id") >= MediaDedup.CopyIdOffset)
+        .select((col("doc_id") - MediaDedup.CopyIdOffset).as("doc_id"),
+          col("cluster_id").as("c_copy"))
+      val joined = copies.join(orig, Seq("doc_id")).cache()
+      val n = joined.count()
+      val hit = joined.filter(col("c_copy") === col("c_orig")).count()
+      info(s"$modality planted-copy cluster recall: $hit/$n")
+      assert(n > 0, s"no planted $modality copies in the corpus")
+      assert(hit.toDouble / n >= 0.8)
+      joined.unpersist()
+    }
+    out.unpersist()
+  }
 }

@@ -46,9 +46,11 @@ object CompactionProbe {
 
     // many SMALL batches: the file-accumulation regime
     val in = MemoryStream[(Long, Array[Float])](spark)
+    // policy OFF: this probe prices the accumulation regime the
+    // policy exists to prevent, so it must be allowed to happen
     val iq = search.Pq.streamingIngest(
       in.toDF().toDF("vec_id", "embedding"), index, books,
-      s"$dir/idx", s"$dir/ckpt_i")
+      s"$dir/idx", s"$dir/ckpt_i", autoCompactFilesPerCell = 0)
     try delta.grouped(math.max(1, delta.length / batches)).foreach { sl =>
       in.addData(sl); iq.processAllAvailable()
     } finally iq.stop()

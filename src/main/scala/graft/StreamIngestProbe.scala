@@ -47,9 +47,11 @@ object StreamIngestProbe {
 
     // ingest: delta split across `batches` micro-batches
     val in = MemoryStream[(Long, Array[Float])](spark)
+    // policy OFF: this probe prices the raw append path per trigger;
+    // an interleaved compaction rewrite would pollute the rate
     val iq = search.Pq.streamingIngest(
       in.toDF().toDF("vec_id", "embedding"), index, books,
-      s"$dir/idx", s"$dir/ckpt_i")
+      s"$dir/idx", s"$dir/ckpt_i", autoCompactFilesPerCell = 0)
     val slices = delta.grouped(math.max(1, delta.length / batches)).toSeq
     var ingested = 0L; var ingestNanos = 0L
     try slices.zipWithIndex.foreach { case (sl, i) =>

@@ -537,7 +537,8 @@ object Pq {
   def ingestBatch(index: Ann.IvfIndex,
       books: Array[Array[Array[Double]]], dir: String,
       batchId: Long, batch: DataFrame,
-      runNs: String = "manual"): Unit = {
+      runNs: String = "manual",
+      autoCompactFilesPerCell: Int = 0): Unit = {
     val fs = hadoopFs(batch.sparkSession, dir)
     val marker = new org.apache.hadoop.fs.Path(
       s"$dir/_ingest_batches/${runNs}_$batchId")
@@ -562,6 +563,41 @@ object Pq {
     } finally b.unpersist()
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
+    // the compaction POLICY runs after the marker commit, so a crash
+    // mid-compaction never re-ingests the batch — the rewrite is
+    // covered by compactStore's own recovery discipline
+    if (autoCompactFilesPerCell > 0)
+      maybeCompact(batch.sparkSession, dir, index, autoCompactFilesPerCell)
+  }
+
+  /** Default file-count bound for the auto-compaction policy:
+    * compact when a tier holds more than this many data files per
+    * coarse cell. The bound is the trade dial: per-trigger open-file
+    * cost stays ≤ K·nprobe·(files/cell probed) while each compaction
+    * is a full-store rewrite amortized over the ~(K−1) appends that
+    * refill the budget. (A leveled scheme would amortize the rewrite
+    * too; bounding with a threshold is the policy the r10 verdict
+    * asked for and what the two-tier store's rename discipline
+    * supports today.)
+    */
+  val AutoCompactFilesPerCell: Int = 8
+
+  /** The auto-compaction policy check [[ingestBatch]] runs at marker
+    * commit: if the cellcodes tier (both tiers accumulate in
+    * lockstep — one file set per touched ccell per batch) exceeds
+    * `filesPerCell` data files per coarse cell, compact the store.
+    * Returns whether a compaction ran. Idempotent under the existing
+    * marker + rename discipline: replayed batches skip the ingest
+    * AND the check; a compaction crash recovers on the next call.
+    */
+  def maybeCompact(s: SparkSession, dir: String, index: Ann.IvfIndex,
+      filesPerCell: Int): Boolean = {
+    val tier = new org.apache.hadoop.fs.Path(s"$dir/cellcodes")
+    val fs = hadoopFs(s, dir)
+    if (!fs.exists(tier)) return false
+    val bound = filesPerCell.toLong * math.max(1, index.kc)
+    if (dataFiles(fs, tier).size <= bound) false
+    else { compactStore(s, dir); true }
   }
 
   /** The replay-dedup namespace [[streamingIngest]] derives from its
@@ -591,17 +627,27 @@ object Pq {
     * exactly how production vector stores split ingest from
     * (re)indexing. StreamingSpec pins multi-batch accumulation,
     * append-vs-batch parity, and replay idempotence.
+    *
+    * Auto-compaction is ON by default: at each batch's marker commit
+    * the [[maybeCompact]] policy bounds the store at
+    * `autoCompactFilesPerCell` data files per coarse cell (0
+    * disables), so a long-lived ingest job never needs an external
+    * compactStore schedule to keep per-trigger lookup cost
+    * history-free — StreamingSpec pins the bound holding over a long
+    * run with no explicit call.
     */
   def streamingIngest(vecs: DataFrame, index: Ann.IvfIndex,
       books: Array[Array[Array[Double]]], dir: String,
-      checkpoint: String)
+      checkpoint: String,
+      autoCompactFilesPerCell: Int = AutoCompactFilesPerCell)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestBatch(index, books, dir, id, batch,
-          runNs = ingestRunNs(checkpoint))
+          runNs = ingestRunNs(checkpoint),
+          autoCompactFilesPerCell = autoCompactFilesPerCell)
       }
       .start()
 

@@ -587,6 +587,73 @@ class StreamingSpec extends SparkSpec {
     assert(vecRows().exists(_._1 == 121L), "recovery lost ingested rows")
   }
 
+  test("auto-compaction policy: a long ingest run stays within the " +
+      "file bound with no explicit compactStore call") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val corpus = emb.filter(col("vec_id") < 100)
+    val index = search.Ann.buildIvfIndex(corpus)
+    val (_, books) = search.Pq.encode(corpus)
+    val dir = Files.createTempDirectory("graft_autocompact").toString
+    search.Pq.saveCellCodes(
+      search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx")
+    def files(tier: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/idx/$tier")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return 0L
+      val it = fs.listFiles(p, true); var c = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.startsWith("part-")) c += 1
+      }
+      c
+    }
+    val deltaRows = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // filesPerCell=1: the tightest bound, so the 25-batch run must
+    // compact repeatedly to hold it (the policy check runs at every
+    // batch's marker commit)
+    val bound = 1L * index.kc
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = search.Pq.streamingIngest(
+      input.toDF().toDF("vec_id", "embedding"), index, books,
+      s"$dir/idx", s"$dir/ckpt", autoCompactFilesPerCell = 1)
+    try deltaRows.grouped(2).zipWithIndex.foreach { case (sl, i) =>
+      input.addData(sl.toSeq); q.processAllAvailable()
+      if (i % 5 == 4) {
+        assert(files("cellcodes") <= bound,
+          s"file bound broken mid-run after batch $i")
+        assert(files("vectors") <= bound,
+          s"vectors bound broken mid-run after batch $i")
+      }
+    } finally q.stop()
+    assert(files("cellcodes") <= bound, "file bound broken at end of run")
+    assert(files("vectors") <= bound)
+    // the interleaved compactions lost and duplicated nothing
+    val codes = search.Pq.loadCellCodes(spark, s"$dir/idx")
+    assert(codes.count() == 150,
+      s"expected 100 corpus + 50 streamed rows, got ${codes.count()}")
+    assert(codes.select("neighbor_id").distinct().count() == 150)
+    assert(spark.read.parquet(s"$dir/idx/vectors").count() == 50)
+    // and the auto-compacted store still serves the last ingest
+    def vecOf(id: Long): Array[Float] =
+      emb.filter(col("vec_id") === id).head.getSeq[Float](1).toArray
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val qin = MemoryStream[(Long, Array[Float])](spark)
+    val lq = search.Pq.streamingLookup(
+      qin.toDF().toDF("vec_id", "embedding"), index, books,
+      s"$dir/idx", Files.createTempDirectory("ck_ac").toString) {
+      (res, _) =>
+        results ++= res.filter(col("rank") === 1)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try { qin.addData((9149L, vecOf(149L))); lq.processAllAvailable() }
+    finally lq.stop()
+    assert(results.toMap.get(9149L).contains(149L),
+      s"auto-compacted store failed to serve: $results")
+  }
+
   test("partitioned upsert: replay-idempotent, rewrites only touched " +
       "buckets") {
     val dir = Files.createTempDirectory("graft_upsert_part").toString + "/t"

@@ -356,6 +356,20 @@ object Gates {
           (badKeeper + cov + (if (imgR >= 0.8) 0L else 1L) +
             (if (audR >= 0.8) 0L else 1L)).toDouble
         }),
+      ("q156_video_frame_dedup", "planted_transform_recall", ">=",
+        0.8, (s, d) => {
+          // every 10th doc has a video and a planted transformed copy
+          // at id + CopyIdOffset (per-frame JPEG re-encode / trim 2
+          // frames / per-frame 2x upscale); the pair must surface
+          val planted = Tables.documents(s, d)
+            .filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("video_a"),
+              (col("doc_id") + mm.MediaDedup.CopyIdOffset).as("video_b"))
+          val found = mm.VideoDedup.videoDedup.fn(s, d)
+            .select("video_a", "video_b")
+          planted.join(found, Seq("video_a", "video_b"), "left_semi")
+            .count().toDouble / planted.count()
+        }),
       ("q151_dsir_resample", "source_counts_chisq_vs_importance", "<=",
         45.0, (s, d) => {
           // Does the Gumbel-top-N sample TRACK the importance

@@ -26,7 +26,7 @@ object SparkEntry {
       text.TextAnalysis.defs ++ text.Vocab.defs ++ text.Retrieval.defs ++
       text.Bpe.defs ++
       streaming.Rescoring.defs ++ mm.Multimodal.defs ++
-      mm.MediaDedup.defs ++ pipeline.Curation.defs
+      mm.MediaDedup.defs ++ mm.VideoDedup.defs ++ pipeline.Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

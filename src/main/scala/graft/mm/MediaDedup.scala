@@ -228,9 +228,16 @@ object MediaDedup {
     * byte-breaking, perception-preserving edits a crawl actually
     * contains.
     */
-  def transformedCopy(id: Long, png: Array[Byte]): Array[Byte] = {
+  def transformedCopy(id: Long, png: Array[Byte]): Array[Byte] =
+    transformFrame(((id / 10) % 3).toInt, png)
+
+  /** One raster transform by kind: 0 = lossy JPEG re-encode, 1 = 2×
+    * box upscale, 2 = +16 brightness. Shared by [[transformedCopy]]
+    * and [[VideoDedup]]'s per-frame video transforms.
+    */
+  def transformFrame(kind: Int, png: Array[Byte]): Array[Byte] = {
     val img = ImageIO.read(new ByteArrayInputStream(png))
-    val out = (id / 10) % 3 match {
+    val out = kind match {
       case 0 => // lossy re-encode
         val bos = new ByteArrayOutputStream()
         ImageIO.write(img, "jpg", bos)
@@ -323,7 +330,7 @@ object MediaDedup {
   private val hashCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String), DataFrame]()
 
-  private def cachedHashes(s: org.apache.spark.sql.SparkSession,
+  private[mm] def cachedHashes(s: org.apache.spark.sql.SparkSession,
       d: String, modality: String)(build: => DataFrame): DataFrame = {
     graft.Scale.purgeStopped(hashCache)
     hashCache.computeIfAbsent((s, d, modality), _ => {

@@ -1,0 +1,231 @@
+package graft.mm
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Frame-hash video dedup — the third crawl modality next to q152's
+  * rasters and q154's PCM: a re-encoded, trimmed, or rescaled copy of
+  * a video is byte-distinct in every frame, but its FRAMES are
+  * perceptually the originals' frames, so near-duplicate videos are
+  * exactly the pairs sharing most of their sampled frames'
+  * perceptual hashes.
+  *
+  * Shape (the brief's "dHash each sampled frame, band per (video,
+  * frame-slot), score candidate videos by matched-slot fraction"):
+  * one decode pass samples ≤ [[MaxSampledFrames]] frames per video
+  * (stride sampling — at crawl scale a video contributes a constant
+  * number of slots however long it runs) and dHashes each
+  * ([[MediaDedup.dHash]] — the identical 64-bit kernel); each slot
+  * then ships [[MediaDedup.Bands]] ids-only (band, key, video, slot)
+  * rows; candidate FRAME pairs come from the within-bucket equi
+  * self-join (never all-pairs), verify with one codegen'd
+  * `bit_count(xor)`, and candidate VIDEO pairs aggregate matched
+  * slots per (video_a, video_b) with `match_frac = max(matched_a /
+  * slots_a, matched_b / slots_b)` — the `max` makes a TRIMMED copy
+  * (fewer slots, all of them matching) score 1.0 instead of being
+  * diluted by the original's extra frames. No raster ever shuffles;
+  * per-pair state is slot counts.
+  *
+  * Container honesty: the JDK ships no video codec (mp4/mkv decode to
+  * `decoded=false` in [[Multimodal.decode]]), so the fixture uses a
+  * minimal deterministic frame container (`GVID`: magic, frame count,
+  * length-prefixed PNG frames — [[encodeVideo]]/[[decodeVideoFrames]])
+  * whose FRAMES are real PNGs decoded by the real `javax.imageio`
+  * path. At a real crawl an ffmpeg-backed frame iterator replaces
+  * [[decodeVideoFrames]]; every Spark-side shape (sampling, banding,
+  * slot-fraction scoring) is the production one.
+  */
+object VideoDedup {
+
+  /** Frames per synthetic video. */
+  val Frames = 8
+
+  /** Sampling cap: a video contributes at most this many hashed frame
+    * slots (stride-sampled), so per-video candidate cost is constant
+    * in video length.
+    */
+  val MaxSampledFrames = 16
+
+  /** A video pair is a near-duplicate when at least this fraction of
+    * the smaller side's sampled slots matches (frame Hamming ≤
+    * [[MediaDedup.MaxHamming]]).
+    */
+  val MinMatchFrac = 0.6
+
+  // ---- GVID container: magic + count + length-prefixed frames ----
+
+  private val Magic = Array[Byte]('G', 'V', 'I', 'D')
+
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Magic)
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Frames of a GVID payload; None for any malformed byte stream (a
+    * corrupt file in a 100 TB scan must drop out, not fail the task).
+    */
+  def decodeVideoFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (!magic.sameElements(Magic)) return None
+      val n = in.readInt()
+      if (n < 0 || n > (1 << 16)) return None
+      Some((0 until n).map { _ =>
+        val len = in.readInt()
+        if (len < 0 || len > (1 << 26)) return None
+        val f = new Array[Byte](len)
+        in.readFully(f)
+        f
+      })
+    } catch { case _: Exception => None }
+
+  /** (video_id, slot, fhash) for every decodable sampled frame in the
+    * video scan — one decode pass, stride-sampled to
+    * [[MaxSampledFrames]] slots, rasters never leave the task.
+    */
+  def hashVideos(media: Dataset[Multimodal.MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { rec =>
+        if (!rec.mime.startsWith("video/")) Iterator.empty
+        else decodeVideoFrames(rec.media) match {
+          case None => Iterator.empty
+          case Some(frames) =>
+            val stride = math.max(1,
+              (frames.length + MaxSampledFrames - 1) / MaxSampledFrames)
+            frames.indices.by(stride).iterator.flatMap { t =>
+              val img =
+                try ImageIO.read(new ByteArrayInputStream(frames(t)))
+                catch { case _: Exception => null }
+              if (img == null) None
+              else Some((rec.doc_id, t / stride, MediaDedup.dHash(img)))
+            }
+        }
+      }
+    }.toDF("video_id", "slot", "fhash")
+  }
+
+  /** Near-duplicate video pairs from banded frame candidates:
+    * (video_a < video_b, matched_a/b, slots_a/b, match_frac ≥
+    * [[MinMatchFrac]]). Frame-level recall inherits
+    * [[MediaDedup.nearDupPairs]]' pigeonhole contract (guaranteed ≤
+    * Bands−1 bits, best-effort to MaxHamming); the slot-fraction bar
+    * then tolerates a minority of missed or damaged frames per pair.
+    */
+  def videoDupPairs(hashes: DataFrame,
+      minMatchFrac: Double = MinMatchFrac): DataFrame = {
+    val bandBits = 64 / MediaDedup.Bands
+    val banded = hashes.select(col("video_id"), col("slot"), col("fhash"),
+        explode(sequence(lit(0), lit(MediaDedup.Bands - 1))).as("band"))
+      .withColumn("key",
+        expr(s"shiftrightunsigned(fhash, band * $bandBits)")
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+    val a = banded.select(col("band"), col("key"),
+      col("video_id").as("video_a"), col("slot").as("slot_a"),
+      col("fhash").as("ha"))
+    val b = banded.select(col("band"), col("key"),
+      col("video_id").as("video_b"), col("slot").as("slot_b"),
+      col("fhash").as("hb"))
+    val framePairs = a.join(b, Seq("band", "key"))
+      .filter(col("video_a") < col("video_b"))
+      // multi-band collisions dedup at candidate cardinality
+      .groupBy("video_a", "slot_a", "video_b", "slot_b")
+      .agg(first("ha").as("ha"), first("hb").as("hb"))
+      .filter(expr("bit_count(ha ^ hb)") <= MediaDedup.MaxHamming)
+    val slots = hashes.groupBy(col("video_id"))
+      .agg(count(lit(1)).as("slots"))
+    framePairs.groupBy("video_a", "video_b")
+      .agg(countDistinct("slot_a").as("matched_a"),
+        countDistinct("slot_b").as("matched_b"))
+      .join(slots.select(col("video_id").as("video_a"),
+        col("slots").as("slots_a")), "video_a")
+      .join(slots.select(col("video_id").as("video_b"),
+        col("slots").as("slots_b")), "video_b")
+      .withColumn("match_frac",
+        greatest(col("matched_a") / col("slots_a"),
+          col("matched_b") / col("slots_b")))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select("video_a", "video_b", "matched_a", "matched_b",
+        "slots_a", "slots_b", "match_frac")
+  }
+
+  /** Frame t of video id: an id×t-seeded photo from the q152
+    * generator (injective for t < 131, so no two videos share a
+    * frame by construction and unrelated pairs sit at the random
+    * frame-hash baseline).
+    */
+  def syntheticFrame(id: Long, t: Int): Array[Byte] =
+    MediaDedup.syntheticPhoto(id * 131L + t)
+
+  def syntheticVideo(id: Long): Array[Byte] =
+    encodeVideo((0 until Frames).map(t => syntheticFrame(id, t)))
+
+  /** The planted transformed duplicate: cycle per-frame JPEG
+    * re-encode / trim the first 2 frames / per-frame 2× upscale by
+    * id — the re-encoded / temporally-cropped / rescaled copies a
+    * video crawl contains.
+    */
+  def transformedVideo(id: Long, video: Array[Byte]): Array[Byte] = {
+    val frames = decodeVideoFrames(video).get
+    encodeVideo((id / 10) % 3 match {
+      case 0 => frames.map(MediaDedup.transformFrame(0, _))
+      case 1 => frames.drop(2)
+      case _ => frames.map(MediaDedup.transformFrame(1, _))
+    })
+  }
+
+  /** The q156 video corpus: one [[Frames]]-frame video per 10th doc
+    * plus a transformed copy at id + CopyIdOffset — the video mirror
+    * of [[MediaDedup.mediaCorpus]] (sparser: videos carry
+    * [[Frames]]× the raster work per doc).
+    */
+  def videoCorpus(s: org.apache.spark.sql.SparkSession, d: String)
+      : Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 10 == 0)
+      .flatMap { id =>
+        require(id >= 0 && id < MediaDedup.CopyIdOffset,
+          s"doc_id $id collides with the planted-copy id space")
+        val vid = syntheticVideo(id)
+        Seq(Multimodal.MediaRecord(id, "video/x-graft", vid),
+          Multimodal.MediaRecord(id + MediaDedup.CopyIdOffset,
+            "video/x-graft", transformedVideo(id, vid)))
+      }
+  }
+
+  /** Cached (video_id, slot, fhash) over [[videoCorpus]] — the
+    * per-(session, dir) hash-once discipline shared with
+    * [[MediaDedup.imageHashes]].
+    */
+  def videoHashes(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame =
+    MediaDedup.cachedHashes(s, d, "video")(hashVideos(videoCorpus(s, d)))
+
+  /** q156 — near-duplicate video pairs over the synthetic video
+    * corpus with planted transformed copies. Rows-only (frame
+    * decoding isn't ANSI-SQL-expressible); gated (planted-transform
+    * recall ≥ 0.8 over the (id, id+CopyIdOffset) pairs — Gates q156)
+    * and spec-pinned (per-transform slot-match bounds +
+    * unrelated-video baseline, VideoDedupSpec).
+    */
+  val videoDedup: QueryDef = QueryDef.rowsOnly(
+    "q156_video_frame_dedup") { (s, d) =>
+    videoDupPairs(videoHashes(s, d))
+      .orderBy("video_a", "video_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(videoDedup)
+}

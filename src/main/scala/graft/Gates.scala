@@ -175,8 +175,10 @@ object Gates {
           // same two-regime shape as q114: (1) within 10% on the
           // real corpus; (2) on a synthetic 2M-id stream the HLL++
           // estimate must be genuinely approximate (err in (0, 10%])
-          // so the gate can't be satisfied by exact-regime smallness
-          val realErr = ops.Analytics.approxDistinct.fn(s, d)
+          // so the gate can't be satisfied by exact-regime smallness.
+          // Measures the RAW sketch tier (q45 itself is regime-routed
+          // and oracle-checked in its exact regime).
+          val realErr = ops.Analytics.hllDistinctErr(s, d)
             .agg(max("rel_err")).head().getDouble(0)
           val est = s.range(2000000L)
             .agg(approx_count_distinct(col("id"))).head().getLong(0)
@@ -236,8 +238,10 @@ object Gates {
         }),
       ("q63_corpus_sketch", "max_jaccard_err_sigmas", "<=", 4.0,
         (s, d) => {
+          // RAW minhash tier (q63 itself is regime-routed and
+          // oracle-checked in its exact regime)
           val k = 64
-          val est = text.TextAnalysis.corpusSketch.fn(s, d)
+          val est = text.TextAnalysis.minhashVocabJaccard(s, d)
           val toks = Tables.documents(s, d)
             .select(col("lang"), explode(split(col("text"), " ")).as("t"))
             .distinct()
@@ -261,8 +265,10 @@ object Gates {
         }),
       ("q66_quantile_sketch", "max_rank_error", "<=", 0.025,
         (s, d) => {
+          // RAW KLL tier (q66 itself is regime-routed and
+          // oracle-checked in its exact regime)
           val probs = Seq(0.25, 0.5, 0.75, 0.95)
-          val est = ops.Statistics.quantileSketch.fn(s, d).collect()
+          val est = ops.Statistics.kllQuantileRows(s, d).collect()
           val groups = Tables.lineitem(s, d)
             .select(col("l_returnflag"),
               col("l_extendedprice").cast("double"))

@@ -37,6 +37,22 @@ object Scale {
       .booleanValue()
   }
 
+  /** Generic memoized regime decision for LINEAR exact paths, whose
+    * affordability bound is far higher than [[exactPairLimit]]'s
+    * quadratic one: true when `count` (evaluated at most once per
+    * session/key/limit — conf overrides stay live through the key) is
+    * within `limit`. Used by the two-regime queries (q45/q63/q66)
+    * that serve the exact answer while it is affordable and the
+    * sketch above it.
+    */
+  def within(s: SparkSession, key: String, limit: Long)(
+      count: => Long): Boolean = {
+    purgeStopped(decisions)
+    decisions.computeIfAbsent((s, key, limit),
+      _ => java.lang.Boolean.valueOf(count <= limit))
+      .booleanValue()
+  }
+
   // Standing-index caches persist their parquet form under
   // java.io.tmpdir. The directory must outlive the cache-map entry —
   // loaded DataFrames keep reading it lazily — so eviction can't

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,21 +125,83 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
-  /** HLL++ approximate distinct — the sketch path that replaces exact
-    * distinct at 100 TB (fixed-size sketch per group, single pass, no
-    * expand). Rows-only: HLL estimates are engine-specific.
+  /** Rows-per-group bound under which q45 serves the EXACT distinct
+    * count; above it a group takes the HLL++ sketch. The exact path
+    * is linear (expand + two-phase aggregate), so the bound sits far
+    * above [[graft.Scale.exactPairLimit]]'s quadratic one — a 50M-row
+    * group's expand is a routine shuffle; past that the fixed-size
+    * sketch is the only per-group state that stays KB-sized.
+    * Override with `spark.graft.exactDistinctLimit`.
     */
-  val approxDistinct: QueryDef = QueryDef.rowsOnly("q45_approx_distinct") {
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct("l_partkey").as("approx_parts"),
-          countDistinct("l_partkey").as("exact_parts"))
-        .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
-          round(abs(col("approx_parts") - col("exact_parts"))
-            .cast("double") / col("exact_parts"), 4).as("rel_err"))
+  def exactDistinctLimit(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.exactDistinctLimit")
+      .map(_.toLong).getOrElse(50000000L)
+
+  private def q45MaxGroup(s: org.apache.spark.sql.SparkSession,
+      d: String): Boolean =
+    graft.Scale.within(s, s"$d#q45_maxgroup", exactDistinctLimit(s))(
+      Tables.lineitem(s, d).groupBy("l_returnflag").count()
+        .agg(max("count")).head().getLong(0))
+
+  /** The raw HLL++ tier measured by the q45 gate: estimate vs exact
+    * per group — the sketch's error profile on the real corpus,
+    * independent of which regime the registered query serves.
+    */
+  def hllDistinctErr(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        round(abs(col("approx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts"), 4).as("rel_err"))
+
+  /** Distinct count with a per-group REGIME: groups whose row count
+    * fits [[exactDistinctLimit]] get the exact expand; larger groups
+    * get the HLL++ sketch (fixed-size state, single pass, no expand —
+    * the only distinct structure that holds at 100 TB). The regime
+    * signal is the group's ROW count (one cheap pre-aggregate), never
+    * the distinct count itself — deciding by computing the exact
+    * answer would defeat the sketch. The q68 graduation pattern:
+    * below the bound the registered result is exact and
+    * oracle-checked; above it the oracle is withheld (rows-only) and
+    * the gate keeps measuring the raw HLL tier ([[hllDistinctErr]] +
+    * the synthetic genuinely-approximate regime).
+    */
+  val approxDistinct: QueryDef = QueryDef.sqlCutover(
+    "q45_approx_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      | 'exact' AS regime FROM lineitem
+      | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) => !q45MaxGroup(s, d) } { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    if (q45MaxGroup(s, d))
+      li.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"))
+        .withColumn("regime", lit("exact"))
         .orderBy("l_returnflag")
+    else {
+      // mixed regime: route per group on the cheap row-count signal
+      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val small = counts.filter(col("n") <= exactDistinctLimit(s))
+        .select("l_returnflag")
+      val big = counts.filter(col("n") > exactDistinctLimit(s))
+        .select("l_returnflag")
+      val exactPart = li.join(broadcast(small), Seq("l_returnflag"),
+          "left_semi")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"))
+        .withColumn("regime", lit("exact"))
+      val approxPart = li.join(broadcast(big), Seq("l_returnflag"),
+          "left_semi")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("n_parts"))
+        .withColumn("regime", lit("approx"))
+      exactPart.unionByName(approxPart).orderBy("l_returnflag")
+    }
   }
 
   /** q112 — count-min-sketch word frequencies: one fixed-size sketch

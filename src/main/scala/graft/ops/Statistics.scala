@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's statistics batch job re-expressed Spark-first:
@@ -123,17 +124,83 @@ object Statistics {
       .orderBy("l_returnflag")
   }
 
-  /** The scale tier of q55: grouped quantiles from the mergeable
-    * [[graft.functions.KllQuantiles]] sketch — O(k·log(n/k)) state per
-    * group, map-side partials, only sketches cross the shuffle (the
-    * exact spelling sorts each whole group on one reducer). Estimates
-    * are approximate → rows-only here; QuantileSpec gates the rank
-    * error against the exact sort.
+  /** Rows-per-group bound under which q66 serves EXACT percentiles
+    * (full group sorted on one reducer — seconds at 10M doubles);
+    * above it a group takes the KLL sketch. Override with
+    * `spark.graft.exactQuantileLimit`.
     */
-  val quantileSketch: QueryDef = QueryDef.rowsOnly("q66_quantile_sketch") {
-    (s, d) =>
-      import graft.functions.QuantileSketch.kll_quantiles
-      Tables.lineitem(s, d)
+  def exactQuantileLimit(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.exactQuantileLimit")
+      .map(_.toLong).getOrElse(10000000L)
+
+  private def q66MaxGroup(s: org.apache.spark.sql.SparkSession,
+      d: String): Boolean =
+    graft.Scale.within(s, s"$d#q66_maxgroup", exactQuantileLimit(s))(
+      Tables.lineitem(s, d).groupBy("l_returnflag").count()
+        .agg(max("count")).head().getLong(0))
+
+  /** The raw KLL tier measured by the q66 gate (rank error vs the
+    * exact sort), independent of which regime the registered query
+    * serves: O(k·log(n/k)) state per group, map-side partials, only
+    * sketches cross the shuffle.
+    */
+  def kllQuantileRows(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    import graft.functions.QuantileSketch.kll_quantiles
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(kll_quantiles(col("l_extendedprice"), 256,
+        Seq(0.25, 0.5, 0.75, 0.95)).as("qs"))
+      .select(col("l_returnflag"),
+        col("qs").getItem(0).as("p25"),
+        col("qs").getItem(1).as("p50"),
+        col("qs").getItem(2).as("p75"),
+        col("qs").getItem(3).as("p95"))
+  }
+
+  /** Grouped quantiles with a per-group REGIME (the q68 graduation
+    * pattern, q45's sibling): groups within [[exactQuantileLimit]]
+    * rows serve q55's exact interpolated percentiles; larger groups
+    * serve the mergeable KLL sketch — the only per-group state that
+    * stays bounded at 100 TB. The regime signal is the group row
+    * count (one cheap pre-aggregate). Below the bound the result is
+    * exact and oracle-checked (q55's spelling + a regime column);
+    * above it the oracle is withheld and QuantileSpec + the gate keep
+    * measuring the raw sketch tier's rank error
+    * ([[kllQuantileRows]]).
+    */
+  val quantileSketch: QueryDef = QueryDef.sqlCutover(
+    "q66_quantile_sketch",
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      | 'exact' AS regime
+      | FROM lineitem GROUP BY l_returnflag
+      | ORDER BY l_returnflag""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) => !q66MaxGroup(s, d) } { (s, d) =>
+    import graft.functions.QuantileSketch.kll_quantiles
+    val li = Tables.lineitem(s, d)
+    def exactAgg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .withColumn("regime", lit("exact"))
+    if (q66MaxGroup(s, d)) exactAgg(li).orderBy("l_returnflag")
+    else {
+      val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val small = counts.filter(col("n") <= exactQuantileLimit(s))
+        .select("l_returnflag")
+      val big = counts.filter(col("n") > exactQuantileLimit(s))
+        .select("l_returnflag")
+      val exactPart = exactAgg(
+        li.join(broadcast(small), Seq("l_returnflag"), "left_semi"))
+      val approxPart = li
+        .join(broadcast(big), Seq("l_returnflag"), "left_semi")
         .groupBy("l_returnflag")
         .agg(kll_quantiles(col("l_extendedprice"), 256,
           Seq(0.25, 0.5, 0.75, 0.95)).as("qs"))
@@ -142,7 +209,9 @@ object Statistics {
           col("qs").getItem(1).as("p50"),
           col("qs").getItem(2).as("p75"),
           col("qs").getItem(3).as("p95"))
-        .orderBy("l_returnflag")
+        .withColumn("regime", lit("approx"))
+      exactPart.unionByName(approxPart).orderBy("l_returnflag")
+    }
   }
 
   /** Per-group outlier audit: mean/stddev of `value` per event_type

@@ -5,7 +5,7 @@ import graft.dedup.Dedup.shingles
 import graft.functions.HashFunctions.{minhash_sig, sig_matches}
 import graft.functions.FrequencyAggregates.heavy_hitters
 import graft.functions.SketchAggregates.minhash_union
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -326,31 +326,97 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
-  /** Corpus-level similarity profile: per-language VOCABULARY minhash
-    * sketch via the custom [[graft.functions.MinHashUnion]] sketch
-    * aggregate (one narrow pass, k·8 bytes of state per group,
-    * map-side partials), then pairwise estimated vocabulary Jaccard
-    * between languages from the sketches alone — no document-pair
-    * work at any corpus size. Engine-specific hashing → rows-only
-    * check; SketchSpec gates the estimate against the exact
-    * vocabulary Jaccard.
+  /** Distinct (lang, token) row bound under which q63 serves the
+    * EXACT pairwise vocabulary Jaccard (a linear token self-join
+    * keyed by token — quadratic only in languages sharing a token,
+    * linear in vocabulary); above it the minhash sketch path.
+    * Override with `spark.graft.exactVocabLimit`.
     */
-  val corpusSketch: QueryDef = QueryDef.rowsOnly("q63_corpus_sketch") {
-    (s, d) =>
-      val k = 64
-      val rowSig = minhash_sig(
-        transform(toks(col("text")), t => xxhash64(t)), k)
-      val sk = Tables.documents(s, d)
-        .select(col("lang"), rowSig.as("sig"))
-        .groupBy("lang").agg(minhash_union(col("sig"), k).as("sketch"))
-      val a = sk.select(col("lang").as("lang_a"), col("sketch").as("sk_a"))
-      val b = sk.select(col("lang").as("lang_b"), col("sketch").as("sk_b"))
-      a.join(b, col("lang_a") < col("lang_b"))
+  def exactVocabLimit(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.exactVocabLimit")
+      .map(_.toLong).getOrElse(20000000L)
+
+  private def q63VocabOk(s: SparkSession, d: String): Boolean =
+    graft.Scale.within(s, s"$d#q63_vocab", exactVocabLimit(s))(
+      Tables.documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("t"))
+        .distinct().count())
+
+  /** The raw minhash tier measured by the q63 gate (estimate within
+    * 4σ of exact), independent of which regime the registered query
+    * serves: per-language vocabulary sketch via the custom
+    * [[graft.functions.MinHashUnion]] aggregate (one narrow pass,
+    * k·8 bytes per group, map-side partials), pairwise estimates
+    * from sketches alone — no token-pair work at any corpus size.
+    */
+  def minhashVocabJaccard(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val rowSig = minhash_sig(
+      transform(toks(col("text")), t => xxhash64(t)), k)
+    val sk = Tables.documents(s, d)
+      .select(col("lang"), rowSig.as("sig"))
+      .groupBy("lang").agg(minhash_union(col("sig"), k).as("sketch"))
+    val a = sk.select(col("lang").as("lang_a"), col("sketch").as("sk_a"))
+    val b = sk.select(col("lang").as("lang_b"), col("sketch").as("sk_b"))
+    a.join(b, col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        // m/k with k a power of two is binary-exact — emit raw per
+        // the rounding-parity discipline
+        (sig_matches(col("sk_a"), col("sk_b")).cast("double") / k)
+          .as("est_vocab_jaccard"))
+  }
+
+  /** Corpus-level similarity profile with a REGIME (the q68
+    * graduation pattern): pairwise per-language vocabulary Jaccard —
+    * EXACT (token equi self-join, floor-grid ppm quantized so both
+    * engines decide on BIGINT division) while the distinct
+    * (lang, token) table fits [[exactVocabLimit]], the minhash
+    * sketch above it (the only shape with no token-pair work at
+    * 100 TB — [[minhashVocabJaccard]], which the gate keeps
+    * measuring either way). Zero-overlap pairs appear in both
+    * regimes (size cross join + left join, languages are few).
+    */
+  val corpusSketch: QueryDef = QueryDef.sqlCutover(
+    "q63_corpus_sketch",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      | toks AS (SELECT DISTINCT lang, t FROM tok),
+      | sizes AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang),
+      | inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |  count(*) AS ni FROM toks a JOIN toks b
+      |  ON a.t = b.t AND a.lang < b.lang GROUP BY 1, 2)
+      | SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+      |  CAST(COALESCE(i.ni, 0) * 1000000
+      |    // (sa.n + sb.n - COALESCE(i.ni, 0)) AS BIGINT) AS jaccard_q6,
+      |  'exact' AS regime
+      | FROM sizes sa JOIN sizes sb ON sa.lang < sb.lang
+      | LEFT JOIN inter i ON i.lang_a = sa.lang AND i.lang_b = sb.lang
+      | ORDER BY lang_a, lang_b""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) => !q63VocabOk(s, d) } { (s, d) =>
+    if (q63VocabOk(s, d)) {
+      val tokTbl = Tables.documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("t"))
+        .distinct()
+      val sizes = tokTbl.groupBy("lang").agg(count(lit(1)).as("n"))
+      val inter = tokTbl.select(col("lang").as("lang_a"), col("t"))
+        .join(tokTbl.select(col("lang").as("lang_b"), col("t")), "t")
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("ni"))
+      sizes.select(col("lang").as("lang_a"), col("n").as("na"))
+        .join(sizes.select(col("lang").as("lang_b"), col("n").as("nb")),
+          col("lang_a") < col("lang_b"))
+        .join(inter, Seq("lang_a", "lang_b"), "left")
         .select(col("lang_a"), col("lang_b"),
-          // m/k with k a power of two is binary-exact — emit raw per
-          // the rounding-parity discipline
-          (sig_matches(col("sk_a"), col("sk_b")).cast("double") / k)
-            .as("est_vocab_jaccard"))
+          expr("coalesce(ni, 0L) * 1000000L div " +
+            "(na + nb - coalesce(ni, 0L))").as("jaccard_q6"),
+          lit("exact").as("regime"))
+        .orderBy("lang_a", "lang_b")
+    } else
+      minhashVocabJaccard(s, d)
+        .select(col("lang_a"), col("lang_b"),
+          (round(col("est_vocab_jaccard") * 1000000).cast("long"))
+            .as("jaccard_q6"),
+          lit("approx").as("regime"))
         .orderBy("lang_a", "lang_b")
   }
 

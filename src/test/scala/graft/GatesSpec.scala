@@ -24,7 +24,12 @@ class GatesSpec extends SparkSpec {
         "q68_decontaminate_bloom",
         // q151: hash-checked selection set PLUS the statistical
         // property (sample proportions track importance weights).
-        "q151_dsir_resample")
+        "q151_dsir_resample",
+        // q45/q63/q66: regime-routed (exact + oracle-checked below
+        // their linear-affordability bounds, sketch above); the
+        // gates keep measuring the RAW sketch tiers either way.
+        "q45_approx_distinct", "q63_corpus_sketch",
+        "q66_quantile_sketch")
     assert((noOracle -- Gates.names.toSet).isEmpty,
       s"missing=${noOracle -- Gates.names.toSet}")
     assert((Gates.names.toSet -- noOracle -- oracleBacked).isEmpty,

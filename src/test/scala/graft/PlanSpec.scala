@@ -355,14 +355,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q63: the sketch aggregate has a map-side partial phase") {
-    val p = text.TextAnalysis.corpusSketch.fn(spark, sfTiny)
+    val p = text.TextAnalysis.minhashVocabJaccard(spark, sfTiny)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_minhashunion"),
       "sketch aggregate lost its partial phase:\n" + p)
   }
 
   test("q66: the quantile sketch aggregate has a map-side partial phase") {
-    val p = ops.Statistics.quantileSketch.fn(spark, sfTiny)
+    val p = ops.Statistics.kllQuantileRows(spark, sfTiny)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_kllquantiles"),
       "quantile sketch lost its partial phase:\n" + p)

@@ -72,7 +72,9 @@ class QuantileSpec extends SparkSpec {
   }
 
   test("q66 estimates track the exact grouped quantiles") {
-    val est = ops.Statistics.quantileSketch.fn(spark, sfSmall).collect()
+    // the raw KLL tier (the registered q66 serves the exact regime
+    // at this scale)
+    val est = ops.Statistics.kllQuantileRows(spark, sfSmall).collect()
     assert(est.nonEmpty)
     val groups = Tables.lineitem(spark, sfSmall)
       .select(col("l_returnflag"), col("l_extendedprice").cast("double"))

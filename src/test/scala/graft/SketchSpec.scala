@@ -42,7 +42,9 @@ class SketchSpec extends SparkSpec {
   }
 
   test("q63 estimated vocab jaccard tracks the exact value within 4 sigma") {
-    val est = text.TextAnalysis.corpusSketch.fn(spark, sfSmall)
+    // the raw sketch tier (the registered q63 serves the exact
+    // regime at this scale)
+    val est = text.TextAnalysis.minhashVocabJaccard(spark, sfSmall)
     val toks = Tables.documents(spark, sfSmall)
       .select(col("lang"), explode(split(col("text"), " ")).as("t"))
       .distinct()
@@ -158,6 +160,76 @@ class SketchSpec extends SparkSpec {
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("minhash_union")), e.toString)
+  }
+
+  test("q45/q63/q66 regime routing: lowered limits flip groups to " +
+      "the sketch tier and withhold the oracle") {
+    val s = spark
+    try {
+      // q45: bound below the largest group -> mixed per-group regime
+      val counts = Tables.lineitem(s, sfTiny).groupBy("l_returnflag")
+        .count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bar = counts.values.max - 1
+      s.conf.set("spark.graft.exactDistinctLimit", bar.toString)
+      s.conf.set("spark.graft.exactQuantileLimit", bar.toString)
+      s.conf.set("spark.graft.exactVocabLimit", "1")
+      assert(ops.Analytics.approxDistinct.isApproximateFor(s, sfTiny))
+      assert(ops.Statistics.quantileSketch.isApproximateFor(s, sfTiny))
+      assert(text.TextAnalysis.corpusSketch.isApproximateFor(s, sfTiny))
+      val exactDistinct = Tables.lineitem(s, sfTiny)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("x")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val out45 = ops.Analytics.approxDistinct.fn(s, sfTiny).collect()
+      assert(out45.map(_.getString(0)).toSet == counts.keySet)
+      out45.foreach { r =>
+        val g = r.getString(0)
+        val expected = if (counts(g) <= bar) "exact" else "approx"
+        assert(r.getString(2) == expected,
+          s"$g: regime ${r.getString(2)}, expected $expected")
+        if (expected == "exact")
+          assert(r.getLong(1) == exactDistinct(g), s"$g exact tier wrong")
+        else
+          assert(math.abs(r.getLong(1) - exactDistinct(g)).toDouble /
+            exactDistinct(g) <= 0.1, s"$g sketch tier off >10%")
+      }
+      // q66: same routing signal; sketch groups keep the 2.5% rank
+      // error bound (QuantileSpec measures it exhaustively)
+      val out66 = ops.Statistics.quantileSketch.fn(s, sfTiny).collect()
+      assert(out66.map(_.getString(0)).toSet == counts.keySet)
+      out66.foreach { r =>
+        val expected = if (counts(r.getString(0)) <= bar) "exact"
+          else "approx"
+        assert(r.getString(5) == expected)
+        assert(r.getDouble(1) <= r.getDouble(2) &&
+          r.getDouble(2) <= r.getDouble(3) &&
+          r.getDouble(3) <= r.getDouble(4),
+          s"${r.getString(0)}: quantiles not monotone: $r")
+      }
+      // q63: whole-query flip; schema parity with the exact regime
+      // and estimates on the ppm grid
+      val out63 = text.TextAnalysis.corpusSketch.fn(s, sfTiny)
+      assert(out63.columns.toSeq ==
+        Seq("lang_a", "lang_b", "jaccard_q6", "regime"))
+      val rows63 = out63.collect()
+      val nLangs = Tables.documents(s, sfTiny).select("lang")
+        .distinct().count()
+      assert(rows63.length == nLangs * (nLangs - 1) / 2)
+      rows63.foreach { r =>
+        assert(r.getString(3) == "approx")
+        assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+      }
+    } finally {
+      s.conf.unset("spark.graft.exactDistinctLimit")
+      s.conf.unset("spark.graft.exactQuantileLimit")
+      s.conf.unset("spark.graft.exactVocabLimit")
+    }
+    // back at the defaults the exact regime serves and the oracle
+    // applies (memo keys include the limit, so no stale decision)
+    assert(!ops.Analytics.approxDistinct.isApproximateFor(spark, sfTiny))
+    assert(ops.Analytics.approxDistinct.fn(spark, sfTiny).collect()
+      .forall(_.getString(2) == "exact"))
   }
 
   test("minhash_union is SQL-registered") {

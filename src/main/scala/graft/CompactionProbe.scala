@@ -46,11 +46,16 @@ object CompactionProbe {
 
     // many SMALL batches: the file-accumulation regime
     val in = MemoryStream[(Long, Array[Float])](spark)
-    // policy OFF: this probe prices the accumulation regime the
-    // policy exists to prevent, so it must be allowed to happen
+    // Default: policy OFF — this probe prices the accumulation regime
+    // compaction exists to fix, so it must be allowed to happen.
+    // SPARK_GRAFT_AUTOCOMPACT=K > 0 instead prices the POLICY's
+    // steady state: ingest with the files-per-cell bound enforced at
+    // every marker commit, then report the file counts and lookup
+    // q/s the run ENDS at (no explicit compactStore call).
+    val autoK = sys.env.getOrElse("SPARK_GRAFT_AUTOCOMPACT", "0").toInt
     val iq = search.Pq.streamingIngest(
       in.toDF().toDF("vec_id", "embedding"), index, books,
-      s"$dir/idx", s"$dir/ckpt_i", autoCompactFilesPerCell = 0)
+      s"$dir/idx", s"$dir/ckpt_i", autoCompactFilesPerCell = autoK)
     try delta.grouped(math.max(1, delta.length / batches)).foreach { sl =>
       in.addData(sl); iq.processAllAvailable()
     } finally iq.stop()
@@ -88,10 +93,26 @@ object CompactionProbe {
     val filesBefore = (files("cellcodes"), files("vectors"))
     val qpsBefore = lookupQps("before")
     val t0 = System.nanoTime()
-    val reports = search.Pq.compactStore(spark, s"$dir/idx")
+    val reports =
+      if (autoK > 0) Seq.empty // the policy already compacted in-run
+      else search.Pq.compactStore(spark, s"$dir/idx")
     val compactSec = (System.nanoTime() - t0) / 1e9
     val filesAfter = (files("cellcodes"), files("vectors"))
     val qpsAfter = lookupQps("after")
+    if (autoK > 0) {
+      val bound = autoK.toLong * index.kc
+      println(s"AUTOCOMPACT $d batches=$batches files_per_cell=$autoK " +
+        s"bound=$bound files_codes=${filesBefore._1} " +
+        s"files_vecs=${filesBefore._2} lookup_q_per_s=${f(qpsBefore)}")
+      println(s"""PROBE_JSON {"probe":"auto_compaction_policy",""" +
+        s""""dir":"$d","batches":$batches,"files_per_cell":$autoK,""" +
+        s""""file_bound":$bound,""" +
+        s""""files_cellcodes_end":${filesBefore._1},""" +
+        s""""files_vectors_end":${filesBefore._2},""" +
+        s""""lookup_q_per_sec":${f(qpsBefore)}}""")
+      spark.stop()
+      return
+    }
     println(s"COMPACTION $d batches=$batches " +
       s"files_codes ${filesBefore._1}->${filesAfter._1} " +
       s"files_vecs ${filesBefore._2}->${filesAfter._2} " +

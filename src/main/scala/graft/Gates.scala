@@ -328,9 +328,9 @@ object Gates {
           // (1) exact structure: exactly one keeper per cluster and
           // the keeper is the min doc_id (per modality — cluster ids
           // are modality-scoped); (2) coverage: every hashed media
-          // doc labeled exactly once; (3) planted copies of BOTH
+          // doc labeled exactly once; (3) planted copies of ALL THREE
           // modalities land in their original's cluster at >= 0.8
-          // (the band-recall bound — q152/q154's gates — carried
+          // (the band-recall bound — q152/q154/q156's gates — carried
           // through the clustering).
           val out = mm.MediaDedup.mediaDupClusters.fn(s, d).cache()
           val badKeeper = out.groupBy("modality", "cluster_id")
@@ -339,7 +339,9 @@ object Gates {
             .filter(col("mn") =!= col("cluster_id") || col("k") =!= 1)
             .count()
           val expected = mm.MediaDedup.imageHashes(s, d).count() +
-            mm.MediaDedup.audioHashes(s, d).count()
+            mm.MediaDedup.audioHashes(s, d).count() +
+            mm.VideoDedup.videoHashes(s, d)
+              .select("video_id").distinct().count()
           val cov = math.abs(out.count() - expected) +
             math.abs(out.select("modality", "doc_id").distinct().count()
               - expected)
@@ -358,9 +360,25 @@ object Gates {
           }
           val imgR = plantedRecall("image")
           val audR = plantedRecall("audio")
+          val vidR = plantedRecall("video")
           out.unpersist()
           (badKeeper + cov + (if (imgR >= 0.8) 0L else 1L) +
-            (if (audR >= 0.8) 0L else 1L)).toDouble
+            (if (audR >= 0.8) 0L else 1L) +
+            (if (vidR >= 0.8) 0L else 1L)).toDouble
+        }),
+      ("q157_incremental_media_dedup", "pair_diff_vs_full_pass", "<=",
+        0.0, (s, d) => {
+          // q75's incremental==full contract on the media pipeline:
+          // the batch-probe pass must equal the full q152 pass
+          // restricted to pairs touching the batch, pair-for-pair
+          // including the verified hamming
+          val full = mm.MediaDedup.mediaDedup.fn(s, d)
+            .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+            .select("doc_a", "doc_b", "hamming")
+          val incr = mm.MediaDedup.incrementalMediaDedup.fn(s, d)
+            .select("doc_a", "doc_b", "hamming")
+          (incr.exceptAll(full).count() + full.exceptAll(incr).count())
+            .toDouble
         }),
       ("q156_video_frame_dedup", "planted_transform_recall", ">=",
         0.8, (s, d) => {
@@ -478,7 +496,9 @@ object Gates {
           // estimate must be off by MORE than zero (a zero error here
           // would mean the gate was only ever exercising the exact
           // regime) and within the 2% four-sigma bound for lgK=12.
-          val rollupErr = ops.Analytics.hllRollup.fn(s, d)
+          // RAW merged-sketch tier (q114 itself is regime-routed and
+          // oracle-checked in its exact regime)
+          val rollupErr = ops.Analytics.hllRollupErr(s, d)
             .agg(max("rel_err")).head().getDouble(0)
           val big = s.range(2000000L)
             .select(col("id"), pmod(col("id"), lit(4)).as("g"))
@@ -539,7 +559,9 @@ object Gates {
             .withColumn("j", col("inter") / (size(col("toks_a")) +
               size(col("toks_b")) - col("inter")))
             .groupBy("doc_id").agg(max("j").as("true_max")).cache()
-          val got = dedup.Dedup.fuzzyDecontaminate.fn(s, d)
+          // RAW banded-LSH tier (q91 itself is regime-routed and
+          // oracle-checked in its exact regime)
+          val got = dedup.Dedup.fuzzyDecontaminateLsh(s, d)
             .select(col("doc_id"), col("max_jaccard"))
           // soundness: every flagged doc truly has a >= 0.8 match and
           // never over-reports; recall: every true J >= 0.9 doc flagged

@@ -1188,9 +1188,39 @@ object Dedup {
     * first-equal-band trick (no pair `distinct` shuffle), then only
     * surviving ids re-attach token sets for the exact merge-intersect
     * verify; benchmark token sets broadcast likewise.
+    *
+    * REGIME-ROUTED since round 11 (the q68/q45 graduation pattern):
+    * while corpus×bench stays within [[q91PairLimit]] the registered
+    * result is the EXACT max-Jaccard scan (broadcast bench, one
+    * corpus pass, merge-intersect per pair — affordable precisely
+    * because the bench side is small) and hash-checks against a
+    * DuckDB list-intersect oracle (raw IEEE quotients of exact
+    * integer counts — the q33 parity discipline, so no rounding
+    * half-ties); above the limit the LSH path serves with the oracle
+    * withheld, and its soundness/recall gate keeps measuring the RAW
+    * banded tier ([[fuzzyDecontaminateLsh]]) either way.
     */
-  val fuzzyDecontaminate: QueryDef =
-    QueryDef.rowsOnly("q91_fuzzy_decontaminate") { (s, d) =>
+  def q91PairLimit(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.fuzzyDecontamPairLimit")
+      .map(_.toLong).getOrElse(1000000L)
+
+  private def q91Exact(s: org.apache.spark.sql.SparkSession,
+      d: String): Boolean =
+    graft.Scale.within(s, s"$d#q91_pairs", q91PairLimit(s))({
+      val n = Tables.documents(s, d)
+        .select(sum(when(col("doc_id") % 97 === 0, 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("doc_id") % 97 =!= 0, 1L).otherwise(0L)).as("c"))
+        .head()
+      n.getLong(0) * n.getLong(1)
+    })
+
+  /** The RAW banded-LSH fuzzy-decontamination tier the q91 gate
+    * measures (sound, recall ≥ bar for J ≥ 0.9), independent of
+    * which regime the registered query serves.
+    */
+  def fuzzyDecontaminateLsh(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
       val numHashes = 64; val bands = 8; val threshold = 0.8
       val prefLen = math.min(numHashes, 32)
       val sets = tokenSets(Tables.documents(s, d))
@@ -1228,8 +1258,54 @@ object Dedup {
         .groupBy("doc_id")
         .agg(round(max(col("jaccard")), 4).as("max_jaccard"),
           count(lit(1)).as("n_bench_matches"))
+  }
+
+  val fuzzyDecontaminate: QueryDef = QueryDef.sqlCutover(
+    "q91_fuzzy_decontaminate",
+    """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' '))
+      |   AS toks FROM documents),
+      | b AS (SELECT doc_id AS bench_id, toks AS toks_b FROM t
+      |   WHERE doc_id % 97 = 0),
+      | c AS (SELECT doc_id, toks AS toks_a FROM t
+      |   WHERE doc_id % 97 <> 0),
+      | p AS (SELECT c.doc_id,
+      |   CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE) AS inter,
+      |   len(toks_a) AS la, len(toks_b) AS lb FROM c CROSS JOIN b),
+      | j AS (SELECT doc_id, inter / (la + lb - inter) AS jaccard
+      |   FROM p WHERE inter / (la + lb - inter) >= 0.8)
+      | SELECT doc_id, max(jaccard) AS max_jaccard,
+      |  count(*) AS n_bench_matches, 'exact' AS regime
+      | FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) => !q91Exact(s, d) } { (s, d) =>
+    val threshold = 0.8
+    if (q91Exact(s, d)) {
+      import graft.functions.HashFunctions.sorted_intersect_size
+      val sets = tokenSets(Tables.documents(s, d))
+      val bench = sets.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("toks").as("toks_b"))
+      val corpus = sets.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("toks").as("toks_a"))
+      corpus.crossJoin(broadcast(bench))
+        .withColumn("inter",
+          sorted_intersect_size(col("toks_a"), col("toks_b"))
+            .cast("double"))
+        .withColumn("jaccard", col("inter") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(max(col("jaccard")).as("max_jaccard"),
+          count(lit(1)).as("n_bench_matches"))
+        .withColumn("regime", lit("exact"))
         .orderBy("doc_id")
-    }
+    } else
+      fuzzyDecontaminateLsh(s, d)
+        .select(col("doc_id"),
+          col("max_jaccard").cast("double").as("max_jaccard"),
+          col("n_bench_matches"))
+        .withColumn("regime", lit("approx"))
+        .orderBy("doc_id")
+  }
 
   /** q137 — cross-document EXACT shared-span detection (the signal
     * behind exact-substring dedup, Lee et al. 2022 "Deduplicating

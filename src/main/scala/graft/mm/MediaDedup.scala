@@ -159,6 +159,66 @@ object MediaDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-duplicate pairs of a NEW media batch against a standing
+    * hashed corpus — the O(Δ) ingest path for media dedup (the
+    * q75/q134 incremental discipline carried to perceptual hashes):
+    * only the batch is decoded and banded fresh; the corpus side is
+    * the persisted (doc_id, phash) index (~16 B/item — recomputable
+    * here from the cache because the sandbox has no index store),
+    * and the bucket join is batch-bands × all-bands, so each bucket
+    * contributes (batch members × bucket size) combos instead of
+    * size². Emits batch↔corpus and batch↔batch pairs only — by
+    * construction EXACTLY the full pass restricted to pairs touching
+    * the batch (banding is deterministic; the q157 gate measures the
+    * pair diff at zero).
+    */
+  def incrementalNearDupPairs(corpusHashes: DataFrame,
+      batchHashes: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    val bandBits = 64 / Bands
+    def banded(df: DataFrame) =
+      df.select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+        .withColumn("key",
+          expr(s"shiftrightunsigned(phash, band * $bandBits)")
+            .bitwiseAND(lit((1L << bandBits) - 1)))
+    val bNew = banded(batchHashes)
+    val bAll = banded(corpusHashes).withColumn("is_new", lit(false))
+      .unionByName(bNew.withColumn("is_new", lit(true)))
+    val a = bNew.select(col("band"), col("key"),
+      col("doc_id").as("ida"), col("phash").as("ha"))
+    val b = bAll.select(col("band"), col("key"),
+      col("doc_id").as("idb"), col("phash").as("hb"), col("is_new"))
+    a.join(b, Seq("band", "key"))
+      // batch↔batch pairs appear in both orientations (both sides in
+      // the probe table) — keep one; batch↔corpus appears only with
+      // the batch doc on the probe side, either ordering
+      .filter(col("ida") =!= col("idb"))
+      .filter(!col("is_new") || (col("ida") < col("idb")))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        col("ha"), col("hb"))
+      .groupBy("doc_a", "doc_b").agg(first("ha").as("ha"),
+        first("hb").as("hb"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** q157 — incremental media near-dup: the 1-in-7 slice of the
+    * image corpus stands in for a newly-crawled batch, the rest for
+    * the standing hashed index. Rows-only; the gate pins
+    * pair-for-pair equality with the full q152 pass restricted to
+    * the batch (zero diff — q75's incremental==full contract).
+    */
+  val incrementalMediaDedup: QueryDef = QueryDef.rowsOnly(
+    "q157_incremental_media_dedup") { (s, d) =>
+    val hashes = imageHashes(s, d)
+    incrementalNearDupPairs(
+      hashes.filter(col("doc_id") % 7 =!= 0),
+      hashes.filter(col("doc_id") % 7 === 0))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- deterministic photo-like fixture + transforms ----
   // Low-frequency content (smooth gradients + id-keyed rectangles):
   // transform-stable under the box downsample, unlike q26's aliased
@@ -288,12 +348,19 @@ object MediaDedup {
   /** Namespace offset separating audio node ids from image node ids
     * inside q155's shared cluster graph. Pairs are mined per modality
     * so no edge can cross the namespaces; the offset only keeps the
-    * two id spaces disjoint in the unioned graph. Above CopyIdOffset
+    * id spaces disjoint in the unioned graph. Above CopyIdOffset
     * so `audio original + CopyIdOffset < AudioNsOffset` never holds —
     * i.e. image ids (with copies) and audio ids (with copies) occupy
-    * [0, 2^41) and [2^41, 2^42) respectively.
+    * [0, 2^41) and [2^41, 2^42) respectively; video ids (with copies)
+    * take [2^42, 2^42 + 2^41) via [[VideoNsOffset]]. All three
+    * namespaces reduce to the original id with one `% AudioNsOffset`
+    * (the offsets are multiples of 2^41 and in-namespace ids stay
+    * below 2^41).
     */
   val AudioNsOffset = 1L << 41
+
+  /** Video's q155 namespace — see [[AudioNsOffset]]. */
+  val VideoNsOffset = 1L << 42
 
   private def assertIdHeadroom(maxId: Long): Unit =
     require(maxId >= 0 && maxId < CopyIdOffset,
@@ -592,11 +659,12 @@ object MediaDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** q155 — media duplicate CLUSTERS across BOTH modalities: q152's
-    * image pairs and q154's audio pairs (node ids disjoint via
-    * [[AudioNsOffset]] — no edge can cross modalities, the offset
-    * only keeps the unioned graph's id spaces apart) fold through the
-    * standard hash-min connected components
+  /** q155 — media duplicate CLUSTERS across ALL THREE modalities:
+    * q152's image pairs, q154's audio pairs, and q156's video pairs
+    * (node ids disjoint via [[AudioNsOffset]]/[[VideoNsOffset]] — no
+    * edge can cross modalities, the offsets only keep the unioned
+    * graph's id spaces apart) fold through the standard hash-min
+    * connected components
     * ([[graft.dedup.Dedup.connectedComponents]] — the q49 machinery)
     * into cluster labels with a min-id keeper per cluster — the
     * decision surface a dedup pass actually consumes (drop
@@ -604,7 +672,7 @@ object MediaDedup {
     * doc appears (singletons keep themselves, q49's coverage
     * contract); output ids are back in each modality's own space with
     * an explicit `modality` column. Rows-only; gated (exactly one
-    * min-id keeper per cluster, full coverage, planted copies of BOTH
+    * min-id keeper per cluster, full coverage, planted copies of ALL
     * modalities cluster with their originals at ≥ 0.8 — Gates q155)
     * and spec-pinned (MediaDedupSpec cluster-structure case).
     */
@@ -615,24 +683,31 @@ object MediaDedup {
     val audPairs = nearDupPairs(audioHashes(s, d))
       .select((col("doc_a") + AudioNsOffset).as("doc_a"),
         (col("doc_b") + AudioNsOffset).as("doc_b"))
+    val vidPairs = VideoDedup.videoDupPairs(VideoDedup.videoHashes(s, d))
+      .select((col("video_a") + VideoNsOffset).as("doc_a"),
+        (col("video_b") + VideoNsOffset).as("doc_b"))
     val nodes = imageHashes(s, d).select(col("doc_id"))
       .union(audioHashes(s, d)
         .select((col("doc_id") + AudioNsOffset).as("doc_id")))
+      .union(VideoDedup.videoHashes(s, d)
+        .select((col("video_id") + VideoNsOffset).as("doc_id")).distinct())
     val labels = graft.dedup.Dedup.connectedComponents(
-      imgPairs.union(audPairs))
+      imgPairs.union(audPairs).union(vidPairs))
     nodes
       .join(labels.select(col("id").as("doc_id"),
         col("label").as("cluster_id")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .select(
-        when(col("doc_id") >= AudioNsOffset, "audio").otherwise("image")
-          .as("modality"),
+        when(col("doc_id") >= VideoNsOffset, "video")
+          .when(col("doc_id") >= AudioNsOffset, "audio")
+          .otherwise("image").as("modality"),
         (col("doc_id") % AudioNsOffset).as("doc_id"),
         (col("cluster_id") % AudioNsOffset).as("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
       .orderBy("modality", "doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(mediaDedup, audioDedup, mediaDupClusters)
+  val defs: Seq[QueryDef] =
+    Seq(mediaDedup, audioDedup, mediaDupClusters, incrementalMediaDedup)
 }

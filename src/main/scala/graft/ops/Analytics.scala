@@ -250,7 +250,18 @@ object Analytics {
     * it); the estimate itself is approximate → rows-only, gated
     * within 10% of exact.
     */
-  val hllRollup: QueryDef = QueryDef.rowsOnly("q114_hll_rollup") { (s, d) =>
+  private def q114MaxLang(s: SparkSession, d: String): Boolean =
+    graft.Scale.within(s, s"$d#q114_maxlang", exactDistinctLimit(s))(
+      Tables.documents(s, d).groupBy("lang").count()
+        .agg(max("count")).head().getLong(0))
+
+  /** The raw sketch-ALGEBRA tier measured by the q114 gate: per-
+    * (lang, source) HLL sketches merged up to lang (`hll_union_agg`)
+    * vs the exact per-lang distinct — the mergeability property the
+    * operator exists for, independent of which regime the registered
+    * query serves.
+    */
+  def hllRollupErr(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val perSource = docs.groupBy("lang", "source")
       .agg(hll_sketch_agg(col("doc_id")).as("sk"))
@@ -262,7 +273,35 @@ object Analytics {
       .select(col("lang"), col("est_docs"), col("exact_docs"),
         round(abs(col("est_docs") - col("exact_docs")).cast("double") /
           col("exact_docs"), 4).as("rel_err"))
-      .orderBy("lang")
+  }
+
+  /** Per-language distinct-document rollup with a REGIME (q45's
+    * sibling on the sketch-ALGEBRA axis): within
+    * [[exactDistinctLimit]] rows per language the exact distinct
+    * count serves and hash-checks; above it the per-(lang, source)
+    * HLL sketches merge up to lang — the shape whose per-shard
+    * sketches also merge across a 100 TB drop's partitions. The gate
+    * keeps measuring the raw merged-sketch tier ([[hllRollupErr]] +
+    * the synthetic genuinely-approximate regime) either way.
+    */
+  val hllRollup: QueryDef = QueryDef.sqlCutover(
+    "q114_hll_rollup",
+    """SELECT lang, count(DISTINCT doc_id) AS n_docs, 'exact' AS regime
+      | FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) => !q114MaxLang(s, d) } { (s, d) =>
+    if (q114MaxLang(s, d))
+      Tables.documents(s, d).groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .withColumn("regime", lit("exact"))
+        .orderBy("lang")
+    else
+      Tables.documents(s, d).groupBy("lang", "source")
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+        .groupBy("lang")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_docs"))
+        .withColumn("regime", lit("approx"))
+        .orderBy("lang")
   }
 
   /** Rank-family completeness over q28's value windows: ntile decile

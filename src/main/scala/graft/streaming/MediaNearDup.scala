@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.io.ByteArrayInputStream
+import java.sql.Timestamp
+import javax.imageio.ImageIO
+
+import graft.mm.MediaDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One exploded (band, key) row of a streamed image's dHash. */
+case class BandedMedia(band: Int, key: Long, docId: Long, phash: Long,
+    ts: Timestamp)
+
+/** A media near-dup hit: `docB` (later) collided with `docA`
+  * (earlier) in band `band`; `hamming` is the EXACT 64-bit distance
+  * (the full hash rides in state — 8 bytes — so unlike the text
+  * stream's estimated Jaccard, the streaming verify is exact).
+  */
+case class MediaDupHit(docA: Long, docB: Long, hamming: Int, band: Int,
+    ts: Timestamp)
+
+/** Per-bucket state: newest-first ring of (docId, phash, tsMillis). */
+case class MediaBucket(members: Seq[(Long, Long, Long)])
+
+/** Streaming perceptual-hash media dedup — [[NearDup]]'s machinery
+  * carried to the q152 image pipeline: each arriving image is decoded
+  * and dHashed ONCE (mapPartitions, rasters never enter state or the
+  * shuffle), its 4 banded 16-bit keys probe per-bucket ring state,
+  * and collisions against recent earlier images emit exact-verified
+  * pairs (`bit_count(xor) ≤ maxHamming`) — the "is this upload a
+  * re-encode of something we just crawled?" path a live ingest
+  * pipeline runs next to the batch backfill (q152) and the
+  * incremental batch probe (q157).
+  *
+  * State discipline (identical to the text stream, and what lets
+  * this run forever): event-time timeout evicts a bucket once the
+  * watermark passes its newest member + horizon (memory ≈ one
+  * horizon of 8-byte hashes, not payloads, not the stream's
+  * lifetime); `bucketCap` rings a hot bucket (a meme flood) to its
+  * newest members so state stays bounded and misses degrade to OLD
+  * pairs only. Emission is at-least-once per colliding pair (a pair
+  * within Hamming ≤ Bands−1 shares ≥ 1 band by pigeonhole but may
+  * share several — each band's bucket is independent state);
+  * consumers dedup on (doc_a, doc_b).
+  */
+object MediaNearDup {
+
+  /** `media` columns: `doc_id: long`, `mime: string`, `media:
+    * binary`, `ts: timestamp`. Returns a streaming DataFrame
+    * `(doc_a, doc_b, hamming, band, ts)` of exact-verified pairs.
+    * Non-image and undecodable payloads drop out at the hash stage.
+    */
+  def mediaNearDupStream(media: DataFrame, horizon: String = "1 hour",
+      bucketCap: Int = 16,
+      maxHamming: Int = MediaDedup.MaxHamming): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bands = MediaDedup.Bands
+    val bandBits = 64 / bands
+    val horizonMs = NearDup.intervalMillis(horizon)
+
+    val hashed = media.select(col("doc_id"), col("mime"), col("media"),
+        col("ts"))
+      .as[(Long, String, Array[Byte], Timestamp)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, mime, bytes, ts) =>
+          if (!mime.startsWith("image/")) None
+          else {
+            val img =
+              try ImageIO.read(new ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+            if (img == null) None
+            else Some((id, MediaDedup.dHash(img), ts))
+          }
+        }
+      }.toDF("doc_id", "phash", "ts")
+
+    val banded = hashed
+      .select(col("doc_id"), col("phash"), col("ts"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("key",
+        expr(s"shiftrightunsigned(phash, band * $bandBits)")
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+      .withWatermark("ts", horizon)
+      .select(col("band"), col("key"), col("doc_id").as("docId"),
+        col("phash"), col("ts"))
+      .as[BandedMedia]
+
+    banded
+      .groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState[MediaBucket, MediaDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), batch: Iterator[BandedMedia],
+         state: GroupState[MediaBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[MediaDupHit]
+            var maxTs = members.headOption.map(_._3).getOrElse(0L)
+            batch.toSeq.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
+              members.foreach { case (earlierId, earlierHash, _) =>
+                if (earlierId != d.docId) {
+                  val ham = java.lang.Long.bitCount(earlierHash ^ d.phash)
+                  if (ham <= maxHamming)
+                    out += MediaDupHit(earlierId, d.docId, ham, d.band,
+                      d.ts)
+                }
+              }
+              members = ((d.docId, d.phash, d.ts.getTime) +: members)
+                .take(bucketCap)
+              maxTs = math.max(maxTs, d.ts.getTime)
+            }
+            state.update(MediaBucket(members))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            out.result().iterator
+          }
+      }
+      .toDF("doc_a", "doc_b", "hamming", "band", "ts")
+  }
+}

@@ -445,7 +445,9 @@ class DedupSpec extends SparkSpec {
         (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
       .groupBy("doc_id").agg(max("j").as("max_j"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val got = Dedup.fuzzyDecontaminate.fn(spark, sfTiny)
+    // the raw banded-LSH tier (the registered q91 serves the exact
+    // regime at this scale)
+    val got = Dedup.fuzzyDecontaminateLsh(spark, sfTiny)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // soundness: every flagged doc really has a >= 0.8 bench match
     // (the verify stage is exact, so a report is never inflated) —

@@ -29,7 +29,8 @@ class GatesSpec extends SparkSpec {
         // their linear-affordability bounds, sketch above); the
         // gates keep measuring the RAW sketch tiers either way.
         "q45_approx_distinct", "q63_corpus_sketch",
-        "q66_quantile_sketch")
+        "q66_quantile_sketch", "q114_hll_rollup",
+        "q91_fuzzy_decontaminate")
     assert((noOracle -- Gates.names.toSet).isEmpty,
       s"missing=${noOracle -- Gates.names.toSet}")
     assert((Gates.names.toSet -- noOracle -- oracleBacked).isEmpty,

@@ -142,17 +142,19 @@ class MediaDedupSpec extends SparkSpec {
     assert(hashed.map(_.getLong(0)).toSet == Set(1L))
   }
 
-  test("q155 clusters cover both modalities: planted copies land in " +
-      "their original's cluster, one min-id keeper per cluster, full " +
-      "coverage") {
+  test("q155 clusters cover all three modalities: planted copies land " +
+      "in their original's cluster, one min-id keeper per cluster, " +
+      "full coverage") {
     val out = MediaDedup.mediaDupClusters.fn(spark, sfTiny).cache()
     // coverage: one row per hashed media doc, per modality
     val expected = MediaDedup.imageHashes(spark, sfTiny).count() +
-      MediaDedup.audioHashes(spark, sfTiny).count()
+      MediaDedup.audioHashes(spark, sfTiny).count() +
+      graft.mm.VideoDedup.videoHashes(spark, sfTiny)
+        .select("video_id").distinct().count()
     assert(out.count() == expected)
     assert(out.select("modality", "doc_id").distinct().count() == expected)
     assert(out.select("modality").distinct().collect().map(_.getString(0))
-      .toSet == Set("image", "audio"))
+      .toSet == Set("image", "audio", "video"))
     // keeper structure: exactly one keeper per (modality, cluster) and
     // the keeper is the min doc_id (= the cluster label)
     val badKeeper = out.groupBy("modality", "cluster_id")
@@ -162,7 +164,7 @@ class MediaDedupSpec extends SparkSpec {
       .count()
     assert(badKeeper == 0, s"$badKeeper clusters with bad keeper structure")
     // planted copies cluster with their originals, per modality
-    for (modality <- Seq("image", "audio")) {
+    for (modality <- Seq("image", "audio", "video")) {
       val m = out.filter(col("modality") === modality)
       val orig = m.select(col("doc_id"), col("cluster_id").as("c_orig"))
       val copies = m.filter(col("doc_id") >= MediaDedup.CopyIdOffset)
@@ -177,5 +179,25 @@ class MediaDedupSpec extends SparkSpec {
       joined.unpersist()
     }
     out.unpersist()
+  }
+
+  test("q157 incremental pass equals the full pass restricted to the " +
+      "batch, pair for pair") {
+    val hashes = MediaDedup.imageHashes(spark, sfTiny)
+    val incr = MediaDedup.incrementalNearDupPairs(
+      hashes.filter(col("doc_id") % 7 =!= 0),
+      hashes.filter(col("doc_id") % 7 === 0))
+      .select("doc_a", "doc_b", "hamming")
+    val full = MediaDedup.nearDupPairs(hashes)
+      .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+      .select("doc_a", "doc_b", "hamming")
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+      "incremental pass diverged from the restricted full pass")
+    // and it finds something: planted pairs whose original or copy
+    // falls in the batch slice
+    assert(incr.count() > 0, "no pairs touch the batch slice")
+    // corpus-only pairs never leak into the incremental output
+    assert(incr.filter(col("doc_a") % 7 =!= 0 &&
+      col("doc_b") % 7 =!= 0).count() == 0)
   }
 }

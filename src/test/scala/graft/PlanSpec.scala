@@ -630,6 +630,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q156/q157: the video and incremental media passes stay " +
+      "banded — no cartesian, no nested-loop join") {
+    for (df <- Seq(mm.VideoDedup.videoDedup.fn(spark, sfTiny),
+        mm.MediaDedup.incrementalMediaDedup.fn(spark, sfTiny))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("q153: the composition introduces no cartesian; the budget " +
       "λ-pick stays a 1-row TakeOrderedAndProject") {
     // the selection stage's own TakeOrderedAndProject is pinned on

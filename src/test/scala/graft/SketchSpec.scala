@@ -144,7 +144,9 @@ class SketchSpec extends SparkSpec {
         s"${r.getString(0)}: merged=${r.getLong(1)} direct=${r.getLong(2)}")
     }
     // estimates track exact distincts
-    val out = ops.Analytics.hllRollup.fn(spark, sfSmall)
+    // the raw merged-sketch tier (the registered q114 serves the
+    // exact regime at this scale)
+    val out = ops.Analytics.hllRollupErr(spark, sfSmall)
     assert(out.filter(col("rel_err") > 0.05).isEmpty)
   }
 

@@ -587,6 +587,56 @@ class StreamingSpec extends SparkSpec {
     assert(vecRows().exists(_._1 == 121L), "recovery lost ingested rows")
   }
 
+  test("streaming media near-dup: a transformed copy arriving within " +
+      "the horizon pairs with its original, exact-verified; unrelated " +
+      "images and post-eviction copies do not") {
+    import graft.mm.MediaDedup
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)](spark)
+    val orig = MediaDedup.syntheticPhoto(30L)
+    val copy = MediaDedup.transformedCopy(30L, orig)
+    val q = streaming.MediaNearDup.mediaNearDupStream(
+        input.toDF().toDF("doc_id", "mime", "media", "ts"),
+        horizon = "100 seconds")
+      .writeStream.format("memory").queryName("media_neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "image/png", orig, ts(10)),
+        (3L, "image/png", MediaDedup.syntheticPhoto(99L), ts(11)),
+        (4L, "image/png", Array[Byte](1, 2, 3), ts(11)), // undecodable
+        (5L, "audio/wav", MediaDedup.syntheticTone(5L), ts(11)))
+      q.processAllAvailable()
+      input.addData((2L, "image/png", copy, ts(20)))
+      q.processAllAvailable()
+      val pairs = spark.table("media_neardup_out")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), pairs.toString)
+      // the in-stream verify is EXACT hamming within the dup bar
+      val ham = spark.table("media_neardup_out").select("hamming")
+        .head.getInt(0)
+      assert(ham <= MediaDedup.MaxHamming, ham.toString)
+      // march the watermark past the horizon; the evicted bucket must
+      // not pair a later copy (the batch path is the backfill)
+      input.addData((50L, "image/png",
+        MediaDedup.syntheticPhoto(77L), ts(1000)))
+      q.processAllAvailable()
+      input.addData((51L, "image/png",
+        MediaDedup.syntheticPhoto(78L), ts(2000)))
+      q.processAllAvailable()
+      input.addData((6L, "image/png",
+        MediaDedup.transformedCopy(30L, orig), ts(2100)))
+      q.processAllAvailable()
+      assert(spark.table("media_neardup_out")
+        .filter(col("doc_b") === 6L).count() == 0,
+        "evicted bucket still produced pairs")
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .filter(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "no state was evicted")
+    } finally q.stop()
+  }
+
   test("auto-compaction policy: a long ingest run stays within the " +
       "file bound with no explicit compactStore call") {
     val emb = Tables.embeddings(spark, sfTiny)

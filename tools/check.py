@@ -12,12 +12,23 @@ floats). Exit code 1 if any query mismatches.
 import sys, json, glob, math
 import duckdb
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def connect(sf_dir):
     con = duckdb.connect()
+    # Pin the memory budget and give DuckDB a spill path: the default
+    # (80% of RAM, no temp dir) turns a transient host-memory spike
+    # into a hard "bad allocation" mid-sweep; with a bounded limit +
+    # temp_directory the same query spills and finishes.
+    con.sql("SET memory_limit='24GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_check_spill'")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     for name, sql in sorted(oracles.items()):
@@ -26,13 +37,33 @@ def main():
         if not files:
             failures.append((name, "no spark output written"))
             continue
-        got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
-        got_cols = [d[0] for d in con.sql(
-            f"SELECT * FROM '{res_dir}/*.parquet' LIMIT 0").description]
+        def run_query(c):
+            g = c.sql(f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
+            gc = [d[0] for d in c.sql(
+                f"SELECT * FROM '{res_dir}/*.parquet' LIMIT 0").description]
+            rel = c.sql(sql)
+            e = rel.fetchall()
+            ec = [d[0] for d in rel.description]
+            return g, gc, e, ec
         try:
-            exp_rel = con.sql(sql)
-            exp = exp_rel.fetchall()
-            exp_cols = [d[0] for d in exp_rel.description]
+            got, got_cols, exp, exp_cols = run_query(con)
+        except duckdb.OutOfMemoryException:
+            # Observed sporadically on a 120-GB-free host failing
+            # kilobyte-sized blocks: allocator-state flakiness in a
+            # long-lived connection, not a genuinely hungry query
+            # (every culprit ran clean in isolation). One retry on a
+            # FRESH connection separates the two: a real memory hog
+            # fails again and is reported; the flake passes.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sf_dir)
+            try:
+                got, got_cols, exp, exp_cols = run_query(con)
+            except Exception as e:
+                failures.append((name, f"oracle SQL failed: {e}"))
+                continue
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue

@@ -204,18 +204,69 @@ object MediaDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- persisted phash index store ----
+  // The standing side of incremental media dedup as an actual store,
+  // not a recomputation: ~16 B/item parquet, appended per ingest
+  // batch behind the same batch-id idempotency marker discipline as
+  // the vector store ([[graft.search.Pq.ingestBatch]] — replay
+  // within a checkpoint lineage is a no-op; a fresh lineage reusing
+  // an id appends, so recovery duplicates at worst, never drops).
+
+  def savePhashIndex(hashes: DataFrame, dir: String): Unit =
+    hashes.select("doc_id", "phash")
+      .write.mode("overwrite").parquet(s"$dir/phash")
+
+  def loadPhashIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = s.read.parquet(s"$dir/phash")
+
+  /** Append one hashed ingest batch to a standing phash store,
+    * guarded by a run-namespaced batch-id marker.
+    */
+  def appendPhashBatch(dir: String, batchId: Long, hashes: DataFrame,
+      runNs: String = "manual"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(
+      hashes.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/_ingest_batches/${runNs}_$batchId")
+    if (fs.exists(marker)) return
+    hashes.select("doc_id", "phash")
+      .write.mode("append").parquet(s"$dir/phash")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+  }
+
+  // Store-once per (session, dir): q157 serves its corpus side from
+  // the PERSISTED index (the deployment shape — the standing side is
+  // an index on disk, not a recomputation), built once per session
+  // under a managed temp dir like Ann.cachedIndex's parquet form.
+  private val storeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
+  private[mm] def corpusPhashStore(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    graft.Scale.purgeStopped(storeCache)
+    storeCache.computeIfAbsent((s, d), _ => {
+      val dir = graft.Scale.managedTempDir("graft_phash").toString + "/idx"
+      savePhashIndex(imageHashes(s, d).filter(col("doc_id") % 7 =!= 0),
+        dir)
+      dir
+    })
+  }
+
   /** q157 — incremental media near-dup: the 1-in-7 slice of the
-    * image corpus stands in for a newly-crawled batch, the rest for
-    * the standing hashed index. Rows-only; the gate pins
+    * image corpus stands in for a newly-crawled batch; the standing
+    * side is served from the PERSISTED phash index
+    * ([[corpusPhashStore]] — saved once per session, loaded per
+    * query, the deployment shape). Rows-only; the gate pins
     * pair-for-pair equality with the full q152 pass restricted to
     * the batch (zero diff — q75's incremental==full contract).
     */
   val incrementalMediaDedup: QueryDef = QueryDef.rowsOnly(
     "q157_incremental_media_dedup") { (s, d) =>
-    val hashes = imageHashes(s, d)
     incrementalNearDupPairs(
-      hashes.filter(col("doc_id") % 7 =!= 0),
-      hashes.filter(col("doc_id") % 7 === 0))
+      loadPhashIndex(s, corpusPhashStore(s, d)),
+      imageHashes(s, d).filter(col("doc_id") % 7 === 0))
       .orderBy("doc_a", "doc_b")
   }
 

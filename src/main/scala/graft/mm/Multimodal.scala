@@ -48,8 +48,27 @@ object Multimodal {
       if (rec.mime.startsWith("image/")) decodeImage(rec)
       else if (rec.mime == "audio/wav" || rec.mime == "audio/aiff" ||
         rec.mime == "audio/basic") decodePcmAudio(rec)
+      else if (rec.mime == "video/x-graft") decodeGvid(rec)
       else undecoded(rec)
     } catch { case _: Exception => undecoded(rec) }
+
+  /** GVID frame-container decode (the deterministic stand-in for the
+    * codec-bearing video path — the JDK ships none, so mp4/mkv stay
+    * honestly `decoded=false`): frame count from the container,
+    * dimensions and channel means from the FIRST frame's real raster
+    * (`javax.imageio` — the q156 fixture's frames are true PNGs), so
+    * every field is parsed, not inferred.
+    */
+  def decodeGvid(rec: MediaRecord): MediaFeatures =
+    VideoDedup.decodeVideoFrames(rec.media) match {
+      case Some(frames) if frames.nonEmpty =>
+        val first = decodeImage(MediaRecord(rec.doc_id, "image/png",
+          frames.head))
+        if (!first.decoded) undecoded(rec)
+        else first.copy(mime = rec.mime,
+          n_bytes = rec.media.length.toLong, frames = frames.length)
+      case _ => undecoded(rec)
+    }
 
   private def undecoded(rec: MediaRecord): MediaFeatures =
     MediaFeatures(rec.doc_id, rec.mime, rec.media.length.toLong,

@@ -181,6 +181,28 @@ class MediaDedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("phash index store: save/load round-trips; a replayed batch id " +
+      "is a no-op within its lineage, a fresh lineage appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_spec")
+      .toString + "/idx"
+    val base = Seq((1L, 0x1111L), (2L, 0x2222L)).toDF("doc_id", "phash")
+    MediaDedup.savePhashIndex(base, dir)
+    def rows() = MediaDedup.loadPhashIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows() == Set((1L, 0x1111L), (2L, 0x2222L)))
+    val batch = Seq((3L, 0x3333L)).toDF("doc_id", "phash")
+    MediaDedup.appendPhashBatch(dir, 0L, batch, runNs = "run1")
+    assert(rows().contains((3L, 0x3333L)))
+    // replay within the lineage: no duplicate rows
+    MediaDedup.appendPhashBatch(dir, 0L, batch, runNs = "run1")
+    assert(MediaDedup.loadPhashIndex(spark, dir).count() == 3)
+    // a fresh lineage reusing the id must NOT be dropped as a replay
+    MediaDedup.appendPhashBatch(dir, 0L,
+      Seq((4L, 0x4444L)).toDF("doc_id", "phash"), runNs = "run2")
+    assert(rows().contains((4L, 0x4444L)))
+    assert(MediaDedup.loadPhashIndex(spark, dir).count() == 4)
+  }
+
   test("q157 incremental pass equals the full pass restricted to the " +
       "batch, pair for pair") {
     val hashes = MediaDedup.imageHashes(spark, sfTiny)

@@ -20,6 +20,25 @@ class VideoDedupSpec extends SparkSpec {
       "GVIDgarbage".getBytes("UTF-8")).isEmpty)
   }
 
+  test("multimodal decode handles the GVID container: frames counted " +
+      "from the container, raster fields from the first real frame; " +
+      "codec-less containers stay decoded=false") {
+    val vid = VideoDedup.syntheticVideo(9L)
+    val f = Multimodal.decode(
+      Multimodal.MediaRecord(9L, "video/x-graft", vid))
+    assert(f.decoded, "GVID did not decode")
+    assert(f.frames == VideoDedup.Frames, f.toString)
+    assert(f.width == 64 && f.height == 64 && f.channels == 3, f.toString)
+    assert(f.n_bytes == vid.length.toLong)
+    val bad = Multimodal.decode(
+      Multimodal.MediaRecord(1L, "video/x-graft", Array[Byte](1, 2)))
+    assert(!bad.decoded)
+    // mp4/mkv: the JDK ships no codec — honestly undecoded, never faked
+    val mp4 = Multimodal.decode(
+      Multimodal.MediaRecord(1L, "video/mp4", vid))
+    assert(!mp4.decoded)
+  }
+
   test("per-transform: every planted video copy scores above the " +
       "match bar; unrelated videos score zero") {
     // direct pair scoring through the full banded pipeline on a

@@ -920,13 +920,91 @@ object Dedup {
     })
   }
 
+  // Label-once cache for the EXACT-edge full-corpus clustering (the
+  // q49 exact regime) — same discipline as clusterCache.
+  private val exactFullClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+
+  /** Full-corpus cluster labeling over the EXACT Jaccard ≥ 0.9 pair
+    * set ([[SetSimJoin.allPairs]] — prefix-filtered, zero recall
+    * loss): the recall-1.0 spelling of [[clusterLabels]]' LSH edges,
+    * affordable while the corpus fits the exact-pair limit.
+    */
+  def exactFullClusterLabels(s: SparkSession, d: String): DataFrame = {
+    graft.Scale.purgeStopped(exactFullClusterCache)
+    exactFullClusterCache.computeIfAbsent((s, d), _ => {
+      val docs = Tables.documents(s, d)
+      val comp = connectedComponents(
+        SetSimJoin.allPairs(docs, "doc_id", "text", 0.9)
+          .select("doc_a", "doc_b"))
+      val out = docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"),
+          col("label").as("cluster_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+        .cache()
+      out.count()
+      out
+    })
+  }
+
+  /** Corpus bound for q49's exact regime. Deliberately TIGHTER than
+    * [[graft.Scale.exactPairLimit]]: the engine-side exact pass is
+    * prefix-filtered (cheap well past this), but the regime contract
+    * includes an ANSI oracle, and the quadratic DuckDB check crosses
+    * from seconds (500 docs, 5 s) to tens of minutes (5k docs) — an
+    * oracle too slow to run is no oracle. Override with
+    * `spark.graft.exactClusterDocLimit`.
+    */
+  def exactClusterDocLimit(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.exactClusterDocLimit")
+      .map(_.toLong).getOrElse(2000L)
+
+  private def q49ExactOk(s: SparkSession, d: String): Boolean =
+    graft.Scale.within(s, s"$d#q49_docs", exactClusterDocLimit(s))(
+      Tables.documents(s, d).count())
+
   /** Keeper-set dedup: near-dup pairs → connected components → one
     * keeper (min doc_id) per cluster; singleton docs keep themselves.
     * This is the operator a curation pipeline actually applies: filter
     * `is_keeper` and the corpus is deduplicated.
+    *
+    * REGIME-ROUTED since round 11: while the corpus fits
+    * [[graft.Scale.exactPairLimit]] the edges are the EXACT J ≥ 0.9
+    * pair set (prefix-filtered, recall 1.0) and the WHOLE pipeline —
+    * including the distributed connected-components labeling —
+    * hash-checks against a DuckDB `WITH RECURSIVE` min-label
+    * propagation (the q110 oracle pattern over the full corpus at
+    * 0.9); above the limit the LSH-banded edges serve (their recall
+    * is gated at ≥ 0.95 by q31) with the oracle withheld. The
+    * structural gate (coverage, one min-id keeper per cluster) keeps
+    * measuring in both regimes.
     */
-  val clusters: QueryDef = QueryDef.rowsOnly("q49_dedup_clusters") { (s, d) =>
-    clusterLabels(s, d).orderBy("doc_id")
+  val clusters: QueryDef = QueryDef.sqlCutover(
+    "q49_dedup_clusters",
+    """WITH RECURSIVE t AS (SELECT doc_id,
+      |  list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      | p AS (SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |   AND 10 * len(b.toks) >= 9 * len(a.toks)
+      |   AND 10 * len(a.toks) >= 9 * len(b.toks)
+      |   AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (len(a.toks) + len(b.toks)
+      |       - len(list_intersect(a.toks, b.toks))) >= 0.9),
+      | sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+      | r(node, lab) AS (
+      |  SELECT doc_id, doc_id FROM t
+      |  UNION
+      |  SELECT s.b, r.lab FROM r JOIN sym s ON r.node = s.a),
+      | lab AS (SELECT node AS doc_id, min(lab) AS cluster_id
+      |  FROM r GROUP BY node)
+      | SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+      | FROM lab ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) => !q49ExactOk(s, d) } { (s, d) =>
+    if (q49ExactOk(s, d)) exactFullClusterLabels(s, d).orderBy("doc_id")
+    else clusterLabels(s, d).orderBy("doc_id")
   }
 
   /** Quality-aware keeper selection over cluster labels: re-pick each

@@ -250,6 +250,23 @@ class DedupSpec extends SparkSpec {
     assert(keepers < docs.count(), "fixture has near-dups; some must merge")
   }
 
+  test("q49 regimes agree: every LSH-merged cluster folds into " +
+      "exactly one exact-edge cluster") {
+    // the LSH edge set is a verified SUBSET of the exact J>=0.9 pair
+    // set, so the LSH labeling must refine the exact labeling — two
+    // docs an LSH cluster merges can never land in different exact
+    // clusters
+    val l = Dedup.clusterLabels(spark, sfTiny)
+      .select(col("doc_id"), col("cluster_id").as("lc"))
+    val e = Dedup.exactFullClusterLabels(spark, sfTiny)
+      .select(col("doc_id"), col("cluster_id").as("ec"))
+    val split = l.join(e, "doc_id")
+      .groupBy("lc").agg(countDistinct("ec").as("n"))
+      .filter(col("n") > 1)
+    assert(split.isEmpty,
+      s"LSH clusters straddling exact clusters: ${split.count()}")
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val d = Dedup.exact.fn(spark, sfTiny)
     val docs = Tables.documents(spark, sfTiny)

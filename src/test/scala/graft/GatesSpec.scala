@@ -30,7 +30,11 @@ class GatesSpec extends SparkSpec {
         // gates keep measuring the RAW sketch tiers either way.
         "q45_approx_distinct", "q63_corpus_sketch",
         "q66_quantile_sketch", "q114_hll_rollup",
-        "q91_fuzzy_decontaminate")
+        "q91_fuzzy_decontaminate",
+        // q49: exact edges + recursive-CTE CC oracle below the pair
+        // limit, LSH edges (rows-only) above; the structural gate
+        // measures in both regimes.
+        "q49_dedup_clusters")
     assert((noOracle -- Gates.names.toSet).isEmpty,
       s"missing=${noOracle -- Gates.names.toSet}")
     assert((Gates.names.toSet -- noOracle -- oracleBacked).isEmpty,

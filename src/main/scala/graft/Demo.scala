@@ -163,6 +163,28 @@ object Demo {
     println("knnJoin top-5 sample:")
     knn.orderBy("query_id", "rank").show(5)
 
+    // media dedup lifecycle: dHash an image + a JPEG re-encode of it
+    // (byte-distinct, perceptually identical), band, verify exact
+    val orig = mm.MediaDedup.syntheticPhoto(5L)
+    val pair = mm.MediaDedup.nearDupPairs(mm.MediaDedup.hashMedia(Seq(
+      mm.Multimodal.MediaRecord(1L, "image/png", orig),
+      mm.Multimodal.MediaRecord(2L, "image/jpeg",
+        mm.MediaDedup.transformFrame(0, orig)),
+      mm.Multimodal.MediaRecord(3L, "image/png",
+        mm.MediaDedup.syntheticPhoto(99L))).toDS()))
+    println("media near-dup (re-encode caught, unrelated not):")
+    pair.show()
+
+    // and the same machinery over video frames: a trimmed copy still
+    // matches every one of its sampled frames (max-fraction rule)
+    val vid = mm.VideoDedup.syntheticVideo(10L)
+    val vp = mm.VideoDedup.videoDupPairs(mm.VideoDedup.hashVideos(Seq(
+      mm.Multimodal.MediaRecord(1L, "video/x-graft", vid),
+      mm.Multimodal.MediaRecord(2L, "video/x-graft",
+        mm.VideoDedup.transformedVideo(10L, vid))).toDS()))
+    println("video frame-hash dedup (trimmed copy scores 1.0):")
+    vp.show(truncate = false)
+
     val flagship = SparkEntry.entry(spark)
     println(s"flagship entry() -> ${flagship.count()} rows")
     flagship.show(truncate = false)

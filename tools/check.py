@@ -48,12 +48,13 @@ def main():
         try:
             got, got_cols, exp, exp_cols = run_query(con)
         except duckdb.OutOfMemoryException:
-            # Observed sporadically on a 120-GB-free host failing
-            # kilobyte-sized blocks: allocator-state flakiness in a
-            # long-lived connection, not a genuinely hungry query
-            # (every culprit ran clean in isolation). One retry on a
-            # FRESH connection separates the two: a real memory hog
-            # fails again and is reported; the flake passes.
+            # Kilobyte-sized blocks failing on a 120-GB-free host:
+            # per-process vm.max_map_count exhaustion (default 65530)
+            # after a heavy query fragments the allocator - every
+            # later mmap ENOMEMs regardless of free RAM. Raise the
+            # sysctl (vm.max_map_count=1048576) where possible; this
+            # fresh-connection retry is the in-tool fallback - a real
+            # memory hog fails again and is reported.
             try:
                 con.close()
             except Exception:

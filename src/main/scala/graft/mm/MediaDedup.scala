@@ -163,8 +163,9 @@ object MediaDedup {
     * hashed corpus — the O(Δ) ingest path for media dedup (the
     * q75/q134 incremental discipline carried to perceptual hashes):
     * only the batch is decoded and banded fresh; the corpus side is
-    * the persisted (doc_id, phash) index (~16 B/item — recomputable
-    * here from the cache because the sandbox has no index store),
+    * the persisted (doc_id, phash) index (~16 B/item —
+    * [[loadPhashIndex]] over a [[savePhashIndex]]/[[appendPhashBatch]]
+    * store, which is exactly what q157 serves from),
     * and the bucket join is batch-bands × all-bands, so each bucket
     * contributes (batch members × bucket size) combos instead of
     * size². Emits batch↔corpus and batch↔batch pairs only — by

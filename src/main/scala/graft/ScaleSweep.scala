@@ -162,7 +162,18 @@ object ScaleSweep {
       // term) table grows ~linearly with corpus TOKENS (not vocab),
       // the worst case for this aggregate; the top-K fit stays
       // K-bounded regardless.
-      "q149_zipf_profile")
+      "q149_zipf_profile",
+      // round-11 media tier: corpora derive from doc_id alone and
+      // replica ids are fresh, so cross-replica media are unrelated
+      // (id-seeded content) and pair volume grows ~k, never k² — the
+      // clean scaling regime. Rep 1 pays the decode+hash pass into
+      // the per-session cache; later reps price the banded join /
+      // cluster serving (the same cache-backed median semantics as
+      // q49/q84/q127 in this tier). q156 is absent: replica ids are
+      // doc_id·k + rep, so its `id % 10 == 0` video corpus selects
+      // only replica 0 and would not scale with k.
+      "q152_media_perceptual_dedup", "q154_audio_perceptual_dedup",
+      "q155_media_dup_clusters", "q157_incremental_media_dedup")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

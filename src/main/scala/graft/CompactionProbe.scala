@@ -71,6 +71,23 @@ object CompactionProbe {
       }
       c
     }
+    // worst single ccell=N partition's data-file count — the quantity
+    // the per-cell auto-compaction policy actually bounds
+    def maxFilesPerCell(tier: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/idx/$tier")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return 0L
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.startsWith("part-")) {
+          val cell = s.getPath.getParent.getName
+          counts(cell) = counts.getOrElse(cell, 0L) + 1L
+        }
+      }
+      if (counts.isEmpty) 0L else counts.valuesIterator.max
+    }
     // keyed lookup throughput over per-trigger micro-batches (first
     // trigger excluded: plan/codegen warmup — the probe protocol)
     val queries = delta.map { case (id, v) => (1000000L + id, v) }
@@ -92,27 +109,33 @@ object CompactionProbe {
     }
     val filesBefore = (files("cellcodes"), files("vectors"))
     val qpsBefore = lookupQps("before")
-    val t0 = System.nanoTime()
-    val reports =
-      if (autoK > 0) Seq.empty // the policy already compacted in-run
-      else search.Pq.compactStore(spark, s"$dir/idx")
-    val compactSec = (System.nanoTime() - t0) / 1e9
-    val filesAfter = (files("cellcodes"), files("vectors"))
-    val qpsAfter = lookupQps("after")
+    // Policy mode reports only the end-state (the in-run policy
+    // already compacted): return BEFORE the manual compactStore
+    // timing and the second lookupQps sweep — neither is printed in
+    // this mode and the qps sweep alone roughly doubled probe
+    // runtime.
     if (autoK > 0) {
-      val bound = autoK.toLong * index.kc
+      // r12: the policy bound is per-cell now (maybeCompact), so the
+      // probe reports the worst cell against autoK directly instead
+      // of an aggregate autoK*kc total.
+      val worstCell = maxFilesPerCell("cellcodes")
       println(s"AUTOCOMPACT $d batches=$batches files_per_cell=$autoK " +
-        s"bound=$bound files_codes=${filesBefore._1} " +
+        s"worst_cell=$worstCell files_codes=${filesBefore._1} " +
         s"files_vecs=${filesBefore._2} lookup_q_per_s=${f(qpsBefore)}")
       println(s"""PROBE_JSON {"probe":"auto_compaction_policy",""" +
         s""""dir":"$d","batches":$batches,"files_per_cell":$autoK,""" +
-        s""""file_bound":$bound,""" +
+        s""""worst_cell_files_end":$worstCell,""" +
         s""""files_cellcodes_end":${filesBefore._1},""" +
         s""""files_vectors_end":${filesBefore._2},""" +
         s""""lookup_q_per_sec":${f(qpsBefore)}}""")
       spark.stop()
       return
     }
+    val t0 = System.nanoTime()
+    val reports = search.Pq.compactStore(spark, s"$dir/idx")
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val filesAfter = (files("cellcodes"), files("vectors"))
+    val qpsAfter = lookupQps("after")
     println(s"COMPACTION $d batches=$batches " +
       s"files_codes ${filesBefore._1}->${filesAfter._1} " +
       s"files_vecs ${filesBefore._2}->${filesAfter._2} " +

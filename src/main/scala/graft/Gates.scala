@@ -203,10 +203,12 @@ object Gates {
           (v1 + v2 + bad).toDouble
         }),
       ("q127_knn_join", "recall_at_5_vs_exact_sample", ">=", 0.8,
+        // RAW IVF tier (q127 itself is regime-routed and
+        // oracle-checked in its exact regime)
         (s, d) => {
           val emb = Tables.embeddings(s, d)
           annRecall(search.Ann.exactTopK(emb, queryIds = 50),
-            search.Ann.knnJoinQ.fn(s, d).filter(col("query_id") < 50))
+            search.Ann.knnJoinIvf(s, d).filter(col("query_id") < 50))
         }),
       ("q134_knn_incremental", "recall_at_5_vs_exact_delta", ">=", 0.8,
         (s, d) => {
@@ -485,7 +487,9 @@ object Gates {
           (v1 + v2).toDouble
         }),
       ("q112_count_min", "underestimates", "<=", 0.0,
-        (s, d) => ops.Analytics.countMin.fn(s, d)
+        // RAW CMS tier (q112 itself is regime-routed and
+        // oracle-checked in its exact regime)
+        (s, d) => ops.Analytics.countMinErr(s, d)
           .filter(col("est") < col("exact")).count().toDouble),
       ("q114_hll_rollup", "rollup_and_approx_regime_violations", "<=", 0.0,
         (s, d) => {

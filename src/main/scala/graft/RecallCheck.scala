@@ -33,7 +33,7 @@ object RecallCheck {
       val r48 = annRecall(exact, search.Ann.ivfTopK.fn(spark, d))
       val r84 = annRecall(exact, search.Pq.pqTopK.fn(spark, d))
       val r127 = annRecall(search.Ann.exactTopK(emb, 50),
-        search.Ann.knnJoinQ.fn(spark, d).filter(col("query_id") < 50))
+        search.Ann.knnJoinIvf(spark, d).filter(col("query_id") < 50))
       val corpus = emb.filter(col("vec_id") % 10 =!= 0)
       val delta = emb.filter(col("vec_id") % 10 === 0 &&
         col("vec_id") < 500)

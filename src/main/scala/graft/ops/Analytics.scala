@@ -204,19 +204,31 @@ object Analytics {
     }
   }
 
-  /** q112 — count-min-sketch word frequencies: one fixed-size sketch
-    * over the whole token stream answers a point-frequency query for
-    * ANY word with a one-sided guarantee (never under, over by ≤
-    * ε·N w.h.p.) — the complement of q88's Misra–Gries, which only
-    * retains the top-k. At 100 TB the sketch is the only
-    * frequency structure that stays KB-sized while supporting
-    * arbitrary after-the-fact lookups (per-shard sketches also merge,
-    * like q114's HLL). The report probes the 20 most frequent words:
-    * estimate vs exact, overestimate per word. Rows-only (sketch
-    * internals are engine-specific); the gate pins zero
-    * underestimates — the CMS invariant.
+  /** Total-token bound under which q112 serves EXACT top-20 word
+    * frequencies (a plain linear group-by — affordable far past the
+    * quadratic bounds); above it the sketch pair: Misra–Gries
+    * candidates + count-min estimates, the only frequency structure
+    * whose state stays KB-sized at 100 TB.
+    * Override with `spark.graft.exactFreqLimit`.
     */
-  val countMin: QueryDef = QueryDef.rowsOnly("q112_count_min") { (s, d) =>
+  def exactFreqLimit(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.exactFreqLimit")
+      .map(_.toLong).getOrElse(50000000L)
+
+  private def q112TokensOk(s: SparkSession, d: String): Boolean =
+    // cheap routing signal: total token count (narrow scan + sum),
+    // never the group-by the decision is deciding whether to afford
+    graft.Scale.within(s, s"$d#q112_tokens", exactFreqLimit(s))(
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .agg(sum(col("n"))).head().getLong(0))
+
+  /** The raw count-min tier measured by the q112 gate, independent
+    * of which regime the registered query serves: estimate vs exact
+    * for the 20 most frequent words — the CMS one-sided guarantee
+    * (never under, over by ≤ ε·N w.h.p.) checked on the real corpus.
+    */
+  def countMinErr(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
     import s.implicits._
     val tok = Tables.documents(s, d)
@@ -236,6 +248,57 @@ object Analytics {
     top.toSeq.toDF("word", "exact", "est")
       .withColumn("over", col("est") - col("exact"))
       .orderBy("word")
+  }
+
+  /** q112 — top-20 word point frequencies with a REGIME (the q68
+    * graduation pattern): EXACT while the token stream fits
+    * [[exactFreqLimit]] (one linear group-by, DuckDB-oracle-checked);
+    * above it the all-sketch pair — Misra–Gries picks the candidate
+    * words (fixed k-counter state, superset guarantee), the
+    * count-min sketch prices them (one-sided error) — so no
+    * vocabulary-sized aggregate exists anywhere in the approx plan.
+    * The gate keeps measuring the raw CMS tier ([[countMinErr]],
+    * zero underestimates — the CMS invariant) in both regimes.
+    */
+  val countMin: QueryDef = QueryDef.sqlCutover(
+    "q112_count_min",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      | f AS (SELECT w, count(*) AS freq FROM tok
+      |  WHERE length(w) > 0 GROUP BY w)
+      | SELECT w AS word, freq, 'exact' AS regime FROM f
+      | ORDER BY freq DESC, word LIMIT 20""".stripMargin
+      .replaceAll("\n", "")
+  ) { (s, d) => !q112TokensOk(s, d) } { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    if (q112TokensOk(s, d))
+      tok.groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("w")).limit(20)
+        .select(col("w").as("word"), col("freq"),
+          lit("exact").as("regime"))
+        .orderBy(desc("freq"), asc("word"))
+    else {
+      import org.apache.spark.util.sketch.CountMinSketch
+      import s.implicits._
+      // both sketches fold in ONE narrow pass; candidates come from
+      // the MG summary (≤ 64 rows to the driver — index-metadata
+      // scale), frequencies from the CMS point query
+      val row = tok.agg(
+        graft.functions.FrequencyAggregates
+          .heavy_hitters(col("w"), 64).as("hh"),
+        count_min_sketch(col("w"), lit(0.0001), lit(0.99), lit(42))
+          .as("sk")).head()
+      val cms = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+      val cand = row.getSeq[org.apache.spark.sql.Row](0)
+        .map(_.getAs[String]("item"))
+      cand.map(w => (w, cms.estimateCount(w)))
+        .sortBy { case (w, est) => (-est, w) }.take(20)
+        .toDF("word", "freq")
+        .withColumn("regime", lit("approx"))
+    }
   }
 
   /** q114 — HLL sketch ALGEBRA rollup: per-(lang, source) Datasketches

@@ -830,22 +830,79 @@ object Ann {
     cents
   }
 
-  /** q127 — the kNN self-join over the embeddings table (top-5 per
-    * vector). No oracle (recall-gated approximate path); the gate
-    * measures recall@5 against the exact scan on a query sample.
-    *
-    * Served from the SHARED standing "full" index (q48/q136's): the
-    * self-join's corpus is the same table those queries index, and a
+  /** Self-join pair bound (n²) under which q127 serves the EXACT
+    * kNN self-join — q35's cross-join + window plan with every
+    * vector a query — and is DuckDB-oracle-checked; above it the
+    * IVF-served path (recall-gated ≥ 0.8). The bound is
+    * pair-denominated because both the Spark plan AND the oracle are
+    * quadratic there: 25M pairs ≈ 5k vectors keeps the DuckDB side
+    * in seconds (measured at sf0.1's 4M pairs — SWEEP_r12).
+    * Override with `spark.graft.exactKnnPairLimit`.
+    */
+  def exactKnnPairLimit(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.exactKnnPairLimit")
+      .map(_.toLong).getOrElse(25000000L)
+
+  private def q127ExactOk(s: SparkSession, d: String): Boolean =
+    graft.Scale.within(s, s"$d#q127_pairs", exactKnnPairLimit(s))({
+      val n = Tables.embeddings(s, d).count(); n * n
+    })
+
+  /** The raw IVF tier measured by the q127 gate, independent of
+    * which regime the registered query serves: the self-join served
+    * from the SHARED standing "full" index (q48/q136's) — a
     * production kNN-graph build over an already-indexed corpus
     * reuses the index rather than re-training a second identical
-    * quantizer in the same job — the index build is paid once per
+    * quantizer in the same job; the index build is paid once per
     * (session, dir) wherever its first consumer lands. The generic
     * [[knnJoin]] keeps the inline build for arbitrary DataFrames.
     */
-  val knnJoinQ: QueryDef = QueryDef.rowsOnly("q127_knn_join") { (s, d) =>
+  def knnJoinIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     knnQuery(cachedIndex(s, d, "full", emb), emb, k = 5, nprobe = 10)
       .orderBy("query_id", "rank")
+  }
+
+  /** q127 — the kNN self-join over the embeddings table (top-5 per
+    * vector) with a REGIME (the q68 graduation pattern): below
+    * [[exactKnnPairLimit]] the exact broadcast cross-join + window
+    * top-k (same kernel as q35, so the rounding-parity discipline is
+    * inherited) with a full DuckDB oracle; above it the IVF path,
+    * whose recall gate keeps measuring the raw tier
+    * ([[knnJoinIvf]]) in both regimes.
+    */
+  val knnJoinQ: QueryDef = QueryDef.sqlCutover(
+    "q127_knn_join",
+    """WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |  CAST(b.embedding AS DOUBLE[])) AS sim
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+      | r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      |  FROM s)
+      | SELECT query_id, neighbor_id, round(sim, 4) AS sim,
+      |  CAST(rn AS INT) AS rank FROM r WHERE rn <= 5
+      | ORDER BY query_id, rank""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) => !q127ExactOk(s, d) } { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    if (q127ExactOk(s, d)) {
+      val q = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("sim"), asc("neighbor_id"))
+      // within the pair bound the query side is ≲5k × ~300 B — a
+      // broadcast nested-loop, no shuffle until the per-query window
+      broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine_sim(col("qv"), col("nv")).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    } else knnJoinIvf(s, d)
   }
 
   /** q134 — incremental kNN lookup: the 1-in-10 vec_id slice plays

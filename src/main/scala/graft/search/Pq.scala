@@ -595,8 +595,19 @@ object Pq {
     val tier = new org.apache.hadoop.fs.Path(s"$dir/cellcodes")
     val fs = hadoopFs(s, dir)
     if (!fs.exists(tier)) return false
-    val bound = filesPerCell.toLong * math.max(1, index.kc)
-    if (dataFiles(fs, tier).size <= bound) false
+    // The bound is enforced PER CELL, not as a store-wide aggregate:
+    // the per-trigger open-file guarantee (≤ K·nprobe·files-per-
+    // probed-cell) is a per-cell property, and under skewed ingest —
+    // batches repeatedly landing in a few hot coarse cells — a hot
+    // cell blows past filesPerCell long before the aggregate
+    // filesPerCell·kc total would trip. The tier is ccell=N-
+    // partitioned on disk, so each data file's leading path segment
+    // names its cell; max-over-cells ≥ the old aggregate average, so
+    // this triggers at least as often under uniform ingest too.
+    val perCell = dataFiles(fs, tier).groupBy(_.takeWhile(_ != '/'))
+    val worst =
+      if (perCell.isEmpty) 0 else perCell.valuesIterator.map(_.size).max
+    if (worst <= filesPerCell) false
     else { compactStore(s, dir); true }
   }
 

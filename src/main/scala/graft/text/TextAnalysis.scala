@@ -329,7 +329,9 @@ object TextAnalysis {
   /** Distinct (lang, token) row bound under which q63 serves the
     * EXACT pairwise vocabulary Jaccard (a linear token self-join
     * keyed by token — quadratic only in languages sharing a token,
-    * linear in vocabulary); above it the minhash sketch path.
+    * linear in vocabulary); above it the minhash sketch path. The
+    * routing probe checks TOTAL token count against this bound
+    * (total ≥ distinct, so the cheap signal is conservative).
     * Override with `spark.graft.exactVocabLimit`.
     */
   def exactVocabLimit(s: SparkSession): Long =
@@ -337,10 +339,16 @@ object TextAnalysis {
       .map(_.toLong).getOrElse(20000000L)
 
   private def q63VocabOk(s: SparkSession, d: String): Boolean =
+    // Routed on TOTAL token count, not distinct (lang, token) rows:
+    // the distinct count costs the same explode+distinct shuffle as
+    // the exact answer itself (the r11 ADVICE finding), while the
+    // total is a narrow scan + sum. Total ≥ distinct, so the proxy
+    // is a sound upper bound — it can only err toward the sketch
+    // tier, never route an unaffordable corpus to the exact join.
     graft.Scale.within(s, s"$d#q63_vocab", exactVocabLimit(s))(
       Tables.documents(s, d)
-        .select(col("lang"), explode(toks(col("text"))).as("t"))
-        .distinct().count())
+        .select(size(toks(col("text"))).cast("long").as("n"))
+        .agg(sum(col("n"))).head().getLong(0))
 
   /** The raw minhash tier measured by the q63 gate (estimate within
     * 4σ of exact), independent of which regime the registered query

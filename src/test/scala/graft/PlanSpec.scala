@@ -237,7 +237,9 @@ class PlanSpec extends SparkSpec {
 
   test("q127: two-level IVF — coarse routing broadcasts a one-row " +
       "table, fine routing shuffle-hashes on (ccell, salt)") {
-    val p = plan(search.Ann.knnJoinQ.fn(spark, sfSmall))
+    // the RAW IVF tier — the registered query serves the exact
+    // regime below the pair bound at test scale (r12 graduation)
+    val p = plan(search.Ann.knnJoinIvf(spark, sfSmall))
     // coarse layer: the only broadcast is the kc=O(√cells) centroid
     // table, attached as a one-row cross join (Cross Build)
     val bnlj = p.linesIterator

@@ -31,14 +31,43 @@ class RecallSpec extends SparkSpec {
   }
 
   test("q127 kNN join: recall@5 >= 0.8 vs exact on a query sample") {
+    // the RAW IVF tier — the registered query serves the exact
+    // regime below the pair bound at test scale (r12 graduation)
     val emb = Tables.embeddings(spark, sfSmall)
     val exact = search.Ann.exactTopK(emb, queryIds = 50).cache()
-    val approx = search.Ann.knnJoinQ.fn(spark, sfSmall)
+    val approx = search.Ann.knnJoinIvf(spark, sfSmall)
       .filter(col("query_id") < 50).select("query_id", "neighbor_id")
     val hit = exact.join(approx, Seq("query_id", "neighbor_id"),
       "left_semi").count()
     val r = hit.toDouble / exact.count()
     assert(r >= 0.8, s"kNN-join recall@5 = $r")
+  }
+
+  test("q127 regime routing: exact below the pair bound (matches the " +
+      "brute-force kernel), IVF above it with the oracle withheld") {
+    val s = spark
+    // default bound: test-scale embeddings are inside the exact
+    // regime — the registered result must equal the exact kernel's
+    val emb = Tables.embeddings(s, sfSmall)
+    assert(!search.Ann.knnJoinQ.isApproximateFor(s, sfSmall))
+    val exact = search.Ann.exactTopK(emb, queryIds = 50)
+      .withColumnRenamed("neighbor_id", "nb")
+    val got = search.Ann.knnJoinQ.fn(s, sfSmall)
+      .filter(col("query_id") < 50).select("query_id", "neighbor_id")
+    assert(got.join(exact, col("neighbor_id") === col("nb") &&
+        exact("query_id") === got("query_id"), "left_anti").count() == 0L,
+      "exact regime diverged from the brute-force kernel")
+    try {
+      s.conf.set("spark.graft.exactKnnPairLimit", "1")
+      assert(search.Ann.knnJoinQ.isApproximateFor(s, sfSmall))
+      val ivf = search.Ann.knnJoinQ.fn(s, sfSmall)
+      assert(ivf.columns.toSeq ==
+        Seq("query_id", "neighbor_id", "sim", "rank"))
+      assert(ivf.limit(1).count() == 1L)
+    } finally s.conf.unset("spark.graft.exactKnnPairLimit")
+    // back at the default the exact regime serves again (memo keys
+    // include the limit, so no stale decision)
+    assert(!search.Ann.knnJoinQ.isApproximateFor(s, sfSmall))
   }
 
   test("q134 incremental kNN: recall@5 >= 0.8 vs exact delta lookup") {

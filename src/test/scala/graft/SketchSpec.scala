@@ -209,6 +209,24 @@ class SketchSpec extends SparkSpec {
           r.getDouble(3) <= r.getDouble(4),
           s"${r.getString(0)}: quantiles not monotone: $r")
       }
+      // q112: whole-query flip; schema parity and the CMS one-sided
+      // guarantee (est >= exact) on every MG-picked probe word
+      s.conf.set("spark.graft.exactFreqLimit", "1")
+      assert(ops.Analytics.countMin.isApproximateFor(s, sfTiny))
+      val out112 = ops.Analytics.countMin.fn(s, sfTiny)
+      assert(out112.columns.toSeq == Seq("word", "freq", "regime"))
+      val rows112 = out112.collect()
+      assert(rows112.nonEmpty && rows112.length <= 20)
+      assert(rows112.forall(_.getString(2) == "approx"))
+      val exact112 = Tables.documents(s, sfTiny)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows112.foreach { r =>
+        assert(r.getLong(1) >= exact112(r.getString(0)),
+          s"CMS underestimated '${r.getString(0)}'")
+      }
       // q63: whole-query flip; schema parity with the exact regime
       // and estimates on the ppm grid
       val out63 = text.TextAnalysis.corpusSketch.fn(s, sfTiny)
@@ -226,6 +244,7 @@ class SketchSpec extends SparkSpec {
       s.conf.unset("spark.graft.exactDistinctLimit")
       s.conf.unset("spark.graft.exactQuantileLimit")
       s.conf.unset("spark.graft.exactVocabLimit")
+      s.conf.unset("spark.graft.exactFreqLimit")
     }
     // back at the defaults the exact regime serves and the oracle
     // applies (memo keys include the limit, so no stale decision)

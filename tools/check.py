@@ -9,8 +9,32 @@ sfDir tables registered as views, and compares: schema (column names,
 sorted), row count, and cell values (exact for non-floats, tiny eps for
 floats). Exit code 1 if any query mismatches.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os, atexit, shutil, tempfile
 import duckdb
+
+# Per-run spill dir (concurrent check runs must not contend on one
+# path), cleaned up on exit.
+_SPILL_DIR = tempfile.mkdtemp(prefix="duckdb_check_spill_")
+atexit.register(lambda: shutil.rmtree(_SPILL_DIR, ignore_errors=True))
+
+
+def _mem_limit_gb():
+    # Derive from available RAM instead of a hardcoded 24GB: on a
+    # smaller host a fixed limit above physical memory reintroduces
+    # the hard allocation failure the bound exists to prevent.
+    try:
+        avail_kb = 0
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+        if avail_kb:
+            return max(1, min(24, int(avail_kb / 1024 / 1024 * 0.5)))
+    except OSError:
+        pass
+    return 4  # conservative fallback when /proc is unreadable
+
 
 def connect(sf_dir):
     con = duckdb.connect()
@@ -18,8 +42,8 @@ def connect(sf_dir):
     # (80% of RAM, no temp dir) turns a transient host-memory spike
     # into a hard "bad allocation" mid-sweep; with a bounded limit +
     # temp_directory the same query spills and finishes.
-    con.sql("SET memory_limit='24GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_check_spill'")
+    con.sql(f"SET memory_limit='{_mem_limit_gb()}GB'")
+    con.sql(f"SET temp_directory='{_SPILL_DIR}'")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")

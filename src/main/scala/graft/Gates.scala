@@ -382,6 +382,20 @@ object Gates {
           (incr.exceptAll(full).count() + full.exceptAll(incr).count())
             .toDouble
         }),
+      ("q158_incremental_audio_dedup", "pair_diff_vs_full_pass", "<=",
+        0.0, (s, d) => {
+          // q157's incremental==full contract on the AUDIO pipeline:
+          // the batch-probe pass must equal the full q154 pass
+          // restricted to pairs touching the batch, pair-for-pair
+          // including the verified hamming
+          val full = mm.MediaDedup.audioDedup.fn(s, d)
+            .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+            .select("doc_a", "doc_b", "hamming")
+          val incr = mm.MediaDedup.incrementalAudioDedup.fn(s, d)
+            .select("doc_a", "doc_b", "hamming")
+          (incr.exceptAll(full).count() + full.exceptAll(incr).count())
+            .toDouble
+        }),
       ("q156_video_frame_dedup", "planted_transform_recall", ">=",
         0.8, (s, d) => {
           // every 10th doc has a video and a planted transformed copy

@@ -237,20 +237,25 @@ object MediaDedup {
     fs.create(marker, false).close()
   }
 
-  // Store-once per (session, dir): q157 serves its corpus side from
-  // the PERSISTED index (the deployment shape — the standing side is
-  // an index on disk, not a recomputation), built once per session
-  // under a managed temp dir like Ann.cachedIndex's parquet form.
+  // Store-once per (session, dir, modality): q157/q158 serve their
+  // corpus side from the PERSISTED index (the deployment shape — the
+  // standing side is an index on disk, not a recomputation), built
+  // once per session under a managed temp dir like Ann.cachedIndex's
+  // parquet form. The store layout is modality-blind (any 64-bit
+  // perceptual hash), so one lifecycle serves every modality.
   private val storeCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), String]()
+    (org.apache.spark.sql.SparkSession, String, String), String]()
 
   private[mm] def corpusPhashStore(s: org.apache.spark.sql.SparkSession,
-      d: String): String = {
+      d: String, modality: String = "image"): String = {
     graft.Scale.purgeStopped(storeCache)
-    storeCache.computeIfAbsent((s, d), _ => {
+    storeCache.computeIfAbsent((s, d, modality), _ => {
       val dir = graft.Scale.managedTempDir("graft_phash").toString + "/idx"
-      savePhashIndex(imageHashes(s, d).filter(col("doc_id") % 7 =!= 0),
-        dir)
+      val hashes = modality match {
+        case "audio" => audioHashes(s, d)
+        case _ => imageHashes(s, d)
+      }
+      savePhashIndex(hashes.filter(col("doc_id") % 7 =!= 0), dir)
       dir
     })
   }
@@ -268,6 +273,23 @@ object MediaDedup {
     incrementalNearDupPairs(
       loadPhashIndex(s, corpusPhashStore(s, d)),
       imageHashes(s, d).filter(col("doc_id") % 7 === 0))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q158 — incremental AUDIO near-dup: q157's lifecycle verbatim on
+    * the q154 fingerprints ([[incrementalNearDupPairs]] and the
+    * persisted store are generic over any 64-bit perceptual hash, so
+    * this is wiring, not new machinery): the 1-in-7 id slice of the
+    * audio corpus plays the fresh batch, the standing side is the
+    * persisted audio phash index. Rows-only; the gate pins
+    * pair-for-pair equality with the full q154 pass restricted to
+    * the batch (zero diff).
+    */
+  val incrementalAudioDedup: QueryDef = QueryDef.rowsOnly(
+    "q158_incremental_audio_dedup") { (s, d) =>
+    incrementalNearDupPairs(
+      loadPhashIndex(s, corpusPhashStore(s, d, "audio")),
+      audioHashes(s, d).filter(col("doc_id") % 7 === 0))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -761,5 +783,6 @@ object MediaDedup {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(mediaDedup, audioDedup, mediaDupClusters, incrementalMediaDedup)
+    Seq(mediaDedup, audioDedup, mediaDupClusters, incrementalMediaDedup,
+      incrementalAudioDedup)
 }

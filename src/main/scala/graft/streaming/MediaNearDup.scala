@@ -9,30 +9,43 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One exploded (band, key) row of a streamed image's dHash. */
-case class BandedMedia(band: Int, key: Long, docId: Long, phash: Long,
-    ts: Timestamp)
+/** One exploded (modality, band, key) row of a streamed medium's
+  * 64-bit perceptual hash.
+  */
+case class BandedMedia(mod: String, band: Int, key: Long, docId: Long,
+    phash: Long, ts: Timestamp)
 
 /** A media near-dup hit: `docB` (later) collided with `docA`
-  * (earlier) in band `band`; `hamming` is the EXACT 64-bit distance
-  * (the full hash rides in state — 8 bytes — so unlike the text
-  * stream's estimated Jaccard, the streaming verify is exact).
+  * (earlier) in band `band` of modality `modality`; `hamming` is the
+  * EXACT 64-bit distance (the full hash rides in state — 8 bytes —
+  * so unlike the text stream's estimated Jaccard, the streaming
+  * verify is exact).
   */
-case class MediaDupHit(docA: Long, docB: Long, hamming: Int, band: Int,
-    ts: Timestamp)
+case class MediaDupHit(modality: String, docA: Long, docB: Long,
+    hamming: Int, band: Int, ts: Timestamp)
 
 /** Per-bucket state: newest-first ring of (docId, phash, tsMillis). */
 case class MediaBucket(members: Seq[(Long, Long, Long)])
 
 /** Streaming perceptual-hash media dedup — [[NearDup]]'s machinery
-  * carried to the q152 image pipeline: each arriving image is decoded
-  * and dHashed ONCE (mapPartitions, rasters never enter state or the
-  * shuffle), its 4 banded 16-bit keys probe per-bucket ring state,
-  * and collisions against recent earlier images emit exact-verified
-  * pairs (`bit_count(xor) ≤ maxHamming`) — the "is this upload a
-  * re-encode of something we just crawled?" path a live ingest
-  * pipeline runs next to the batch backfill (q152) and the
-  * incremental batch probe (q157).
+  * carried to the media pipeline, serving BOTH hash-frame modalities
+  * in one topology: each arriving payload is decoded and hashed ONCE
+  * (mapPartitions — image → q152's dHash, audio → q154's energy/ZCR
+  * contour; rasters and PCM never enter state or the shuffle), its 4
+  * banded 16-bit keys probe per-bucket ring state, and collisions
+  * against recent earlier media emit exact-verified pairs
+  * (`bit_count(xor) ≤ maxHamming`) — the "is this upload a re-encode
+  * of something we just crawled?" path a live ingest pipeline runs
+  * next to the batch backfill (q152/q154) and the incremental batch
+  * probes (q157/q158). Video stays batch-only by design: its
+  * per-pair score is slot-aware (`match_frac` over frame sets), so a
+  * streaming variant needs per-video frame-slot state, not a ring of
+  * scalars — a design note, not a wiring gap.
+  *
+  * The MODALITY is part of the bucket key, so an image hash and an
+  * audio hash that happen to share a band value occupy different
+  * state and can never pair — the streaming spelling of q155's
+  * namespace-disjoint guarantee.
   *
   * State discipline (identical to the text stream, and what lets
   * this run forever): event-time timeout evicts a bucket once the
@@ -49,8 +62,9 @@ object MediaNearDup {
 
   /** `media` columns: `doc_id: long`, `mime: string`, `media:
     * binary`, `ts: timestamp`. Returns a streaming DataFrame
-    * `(doc_a, doc_b, hamming, band, ts)` of exact-verified pairs.
-    * Non-image and undecodable payloads drop out at the hash stage.
+    * `(modality, doc_a, doc_b, hamming, band, ts)` of exact-verified
+    * same-modality pairs. Undecodable payloads and mimes outside the
+    * image and audio families drop out at the hash stage.
     */
   def mediaNearDupStream(media: DataFrame, horizon: String = "1 hour",
       bucketCap: Int = 16,
@@ -67,33 +81,34 @@ object MediaNearDup {
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.flatMap { case (id, mime, bytes, ts) =>
-          if (!mime.startsWith("image/")) None
-          else {
+          if (mime.startsWith("image/")) {
             val img =
               try ImageIO.read(new ByteArrayInputStream(bytes))
               catch { case _: Exception => null }
             if (img == null) None
-            else Some((id, MediaDedup.dHash(img), ts))
-          }
+            else Some(("image", id, MediaDedup.dHash(img), ts))
+          } else if (mime.startsWith("audio/"))
+            MediaDedup.audioHash(bytes).map(h => ("audio", id, h, ts))
+          else None
         }
-      }.toDF("doc_id", "phash", "ts")
+      }.toDF("mod", "doc_id", "phash", "ts")
 
     val banded = hashed
-      .select(col("doc_id"), col("phash"), col("ts"),
+      .select(col("mod"), col("doc_id"), col("phash"), col("ts"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("key",
         expr(s"shiftrightunsigned(phash, band * $bandBits)")
           .bitwiseAND(lit((1L << bandBits) - 1)))
       .withWatermark("ts", horizon)
-      .select(col("band"), col("key"), col("doc_id").as("docId"),
-        col("phash"), col("ts"))
+      .select(col("mod"), col("band"), col("key"),
+        col("doc_id").as("docId"), col("phash"), col("ts"))
       .as[BandedMedia]
 
     banded
-      .groupByKey(d => (d.band, d.key))
+      .groupByKey(d => (d.mod, d.band, d.key))
       .flatMapGroupsWithState[MediaBucket, MediaDupHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: (Int, Long), batch: Iterator[BandedMedia],
+        (key: (String, Int, Long), batch: Iterator[BandedMedia],
          state: GroupState[MediaBucket]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -107,8 +122,8 @@ object MediaNearDup {
                 if (earlierId != d.docId) {
                   val ham = java.lang.Long.bitCount(earlierHash ^ d.phash)
                   if (ham <= maxHamming)
-                    out += MediaDupHit(earlierId, d.docId, ham, d.band,
-                      d.ts)
+                    out += MediaDupHit(key._1, earlierId, d.docId, ham,
+                      d.band, d.ts)
                 }
               }
               members = ((d.docId, d.phash, d.ts.getTime) +: members)
@@ -120,6 +135,6 @@ object MediaNearDup {
             out.result().iterator
           }
       }
-      .toDF("doc_a", "doc_b", "hamming", "band", "ts")
+      .toDF("modality", "doc_a", "doc_b", "hamming", "band", "ts")
   }
 }

@@ -637,6 +637,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media near-dup serves audio through the same " +
+      "topology: a transformed tone pairs with its original, tagged " +
+      "by modality, and never pairs across modalities") {
+    import graft.mm.MediaDedup
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)](spark)
+    val tone = MediaDedup.syntheticTone(30L)
+    val toneCopy = MediaDedup.transformedTone(30L, tone)
+    val photo = MediaDedup.syntheticPhoto(30L)
+    val q = streaming.MediaNearDup.mediaNearDupStream(
+        input.toDF().toDF("doc_id", "mime", "media", "ts"),
+        horizon = "100 seconds")
+      .writeStream.format("memory").queryName("audio_neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "audio/wav", tone, ts(10)),
+        (2L, "image/png", photo, ts(10)),
+        (3L, "audio/wav", MediaDedup.syntheticTone(99L), ts(11)),
+        (4L, "audio/wav", Array[Byte](9, 9, 9), ts(11))) // undecodable
+      q.processAllAvailable()
+      input.addData(
+        (5L, "audio/wav", toneCopy, ts(20)),
+        (6L, "image/png", MediaDedup.transformedCopy(30L, photo), ts(20)))
+      q.processAllAvailable()
+      val hits = spark.table("audio_neardup_out")
+        .select("modality", "doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // exactly the within-modality planted pairs; the interleaved
+      // image and audio streams share doc-id space and arrival order
+      // yet never cross-pair (modality is part of the bucket key)
+      assert(hits == Set(("audio", 1L, 5L), ("image", 2L, 6L)),
+        hits.toString)
+      val hams = spark.table("audio_neardup_out").select("hamming")
+        .collect().map(_.getInt(0))
+      assert(hams.forall(_ <= MediaDedup.MaxHamming), hams.mkString(","))
+    } finally q.stop()
+  }
+
   test("auto-compaction policy: a long ingest run stays within the " +
       "file bound with no explicit compactStore call") {
     val emb = Tables.embeddings(spark, sfTiny)

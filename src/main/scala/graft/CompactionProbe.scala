@@ -56,9 +56,17 @@ object CompactionProbe {
     val iq = search.Pq.streamingIngest(
       in.toDF().toDF("vec_id", "embedding"), index, books,
       s"$dir/idx", s"$dir/ckpt_i", autoCompactFilesPerCell = autoK)
+    search.Pq.CompactionStats.drain() // clear any prior-run residue
+    val ingestT0 = System.nanoTime()
+    var nTriggers = 0
     try delta.grouped(math.max(1, delta.length / batches)).foreach { sl =>
-      in.addData(sl); iq.processAllAvailable()
+      in.addData(sl); iq.processAllAvailable(); nTriggers += 1
     } finally iq.stop()
+    val ingestSec = (System.nanoTime() - ingestT0) / 1e9
+    // every policy-triggered rewrite's wall seconds, in order — the
+    // long-horizon pricing the leveled-scheme build/no-build decision
+    // needs (rewrite cost vs per-trigger budget)
+    val rewrites = search.Pq.CompactionStats.drain()
 
     def files(tier: String): Long = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/idx/$tier")
@@ -119,15 +127,27 @@ object CompactionProbe {
       // probe reports the worst cell against autoK directly instead
       // of an aggregate autoK*kc total.
       val worstCell = maxFilesPerCell("cellcodes")
+      val secPerTrigger = ingestSec / math.max(1, nTriggers)
+      val rw = if (rewrites.isEmpty) Seq(0.0) else rewrites
+      def f3(x: Double): String = String.format(java.util.Locale.ROOT,
+        "%.3f", java.lang.Double.valueOf(x))
       println(s"AUTOCOMPACT $d batches=$batches files_per_cell=$autoK " +
         s"worst_cell=$worstCell files_codes=${filesBefore._1} " +
-        s"files_vecs=${filesBefore._2} lookup_q_per_s=${f(qpsBefore)}")
+        s"files_vecs=${filesBefore._2} lookup_q_per_s=${f(qpsBefore)} " +
+        s"compactions=${rewrites.size} rewrite_mean=${f3(rw.sum / rw.size)}s" +
+        s" rewrite_max=${f3(rw.max)}s trigger_mean=${f3(secPerTrigger)}s")
       println(s"""PROBE_JSON {"probe":"auto_compaction_policy",""" +
         s""""dir":"$d","batches":$batches,"files_per_cell":$autoK,""" +
         s""""worst_cell_files_end":$worstCell,""" +
         s""""files_cellcodes_end":${filesBefore._1},""" +
         s""""files_vectors_end":${filesBefore._2},""" +
-        s""""lookup_q_per_sec":${f(qpsBefore)}}""")
+        s""""lookup_q_per_sec":${f(qpsBefore)},""" +
+        s""""n_compactions":${rewrites.size},""" +
+        s""""rewrite_sec_total":${f3(rewrites.sum)},""" +
+        s""""rewrite_sec_mean":${f3(rw.sum / rw.size)},""" +
+        s""""rewrite_sec_max":${f3(rw.max)},""" +
+        s""""ingest_sec_total":${f3(ingestSec)},""" +
+        s""""sec_per_trigger_mean":${f3(secPerTrigger)}}""")
       spark.stop()
       return
     }

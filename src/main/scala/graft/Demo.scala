@@ -185,6 +185,100 @@ object Demo {
     println("video frame-hash dedup (trimmed copy scores 1.0):")
     vp.show(truncate = false)
 
+    // ---- the FULL media-dedup lifecycle, one narrative ----
+    // crawl -> batch dedup -> persist the phash index -> incremental
+    // batch against the standing index -> streaming probe -> cluster
+    // + keeper decision. Images here; q154/q158 and the audio arm of
+    // the stream run the identical wiring on the energy/ZCR contour.
+    println("\n=== media lifecycle: crawl -> batch -> index -> " +
+      "incremental -> stream -> keepers ===")
+    def photo(id: Long) = mm.MediaDedup.syntheticPhoto(id)
+    // 1. the backfill crawl: 8 originals plus a JPEG re-encode of #0
+    //    already in the crawl (CDNs do this to you)
+    val crawl = (0L to 7L).map(i =>
+        mm.Multimodal.MediaRecord(i, "image/png", photo(i))) :+
+      mm.Multimodal.MediaRecord(100L, "image/jpeg",
+        mm.MediaDedup.transformFrame(0, photo(0L)))
+    val crawlHashes = mm.MediaDedup.hashMedia(crawl.toDS())
+      .localCheckpoint()
+    // 2. batch dedup over the crawl (q152's pass)
+    val batchPairs = mm.MediaDedup.nearDupPairs(crawlHashes)
+      .localCheckpoint()
+    println("batch pass: the in-crawl re-encode surfaces")
+    batchPairs.show()
+    // 3. persist the standing index: ids + 64-bit hashes, ~16 B/item
+    //    — the crawl's rasters are gone from here on
+    val mediaIdx = java.nio.file.Files
+      .createTempDirectory("graft_demo_media").toString + "/idx"
+    mm.MediaDedup.savePhashIndex(crawlHashes, mediaIdx)
+    // 4. next day's incremental batch: a 2x upscale of #4 plus one
+    //    genuinely new photo — only the batch is decoded; the
+    //    standing side loads from disk (q157's pass)
+    val incrBatch = Seq(
+      mm.Multimodal.MediaRecord(200L, "image/png",
+        mm.MediaDedup.transformFrame(1, photo(4L))),
+      mm.Multimodal.MediaRecord(201L, "image/png", photo(55L))).toDS()
+    val incrHashes = mm.MediaDedup.hashMedia(incrBatch).localCheckpoint()
+    val incrPairs = mm.MediaDedup.incrementalNearDupPairs(
+      mm.MediaDedup.loadPhashIndex(spark, mediaIdx), incrHashes)
+      .localCheckpoint()
+    println("incremental pass: the upscale pairs with standing #4, " +
+      "the fresh photo stays clean")
+    incrPairs.show()
+    // ...and the batch joins the standing index behind a marker
+    mm.MediaDedup.appendPhashBatch(mediaIdx, 1L, incrHashes, "demo")
+    // 5. live uploads probe the stream (q152's hash, per-bucket ring
+    //    state, exact in-stream Hamming verify): a brightness-shifted
+    //    copy of #2 arrives minutes after its original
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val uploads =
+      MemoryStream[(Long, String, Array[Byte], java.sql.Timestamp)](spark)
+    val streamQ = streaming.MediaNearDup.mediaNearDupStream(
+        uploads.toDF().toDF("doc_id", "mime", "media", "ts"),
+        horizon = "10 minutes")
+      .writeStream.format("memory").queryName("demo_media_stream")
+      .outputMode("append").start()
+    uploads.addData(
+      (300L, "image/png", photo(2L),
+        new java.sql.Timestamp(1000L * 60)),
+      (301L, "image/png", photo(77L),
+        new java.sql.Timestamp(1000L * 61)))
+    streamQ.processAllAvailable()
+    uploads.addData((302L, "image/png",
+      mm.MediaDedup.transformFrame(2, photo(2L)),
+      new java.sql.Timestamp(1000L * 120)))
+    streamQ.processAllAvailable()
+    val streamPairs = spark.table("demo_media_stream")
+      .select("doc_a", "doc_b", "hamming").distinct().localCheckpoint()
+    println("stream probe: the brightness-shifted upload hits the " +
+      "in-horizon original")
+    streamPairs.show()
+    streamQ.stop()
+    // 6. the decision surface: every pair source folds through
+    //    hash-min connected components into cluster labels; the
+    //    min-id member per cluster is the keeper (q155's pass) —
+    //    filter is_keeper and the corpus is deduplicated
+    val allPairs = batchPairs.select("doc_a", "doc_b")
+      .union(incrPairs.select("doc_a", "doc_b"))
+      .union(streamPairs.select("doc_a", "doc_b"))
+    val allDocs = crawlHashes.select("doc_id")
+      .union(incrHashes.select("doc_id"))
+      .union(streamPairs.select(col("doc_a").as("doc_id")))
+      .union(streamPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val labels = dedup.Dedup.connectedComponents(allPairs)
+    val keepers = allDocs
+      .join(labels.select(col("id").as("doc_id"),
+        col("label").as("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+    println("keeper decision (one keeper per cluster; copies from " +
+      "every lifecycle stage collapse onto their originals; an " +
+      "unpaired live upload joins the standing index at its next " +
+      "batch ingest):")
+    keepers.orderBy("cluster_id", "doc_id").show(20)
+
     val flagship = SparkEntry.entry(spark)
     println(s"flagship entry() -> ${flagship.count()} rows")
     flagship.show(truncate = false)

@@ -211,13 +211,15 @@ object Gates {
             search.Ann.knnJoinIvf(s, d).filter(col("query_id") < 50))
         }),
       ("q134_knn_incremental", "recall_at_5_vs_exact_delta", ">=", 0.8,
+        // RAW IVF tier (q134 itself is regime-routed and
+        // oracle-checked in its exact regime)
         (s, d) => {
           val emb = Tables.embeddings(s, d)
           val corpus = emb.filter(col("vec_id") % 10 =!= 0)
           val delta = emb.filter(col("vec_id") % 10 === 0 &&
             col("vec_id") < 500)
           annRecall(search.Ann.exactTopKAgainst(corpus, delta),
-            search.Ann.knnIncrementalQ.fn(s, d)
+            search.Ann.knnIncrementalIvf(s, d)
               .filter(col("query_id") < 500))
         }),
       ("q126_kcore", "members_below_k_violations", "<=", 0.0,

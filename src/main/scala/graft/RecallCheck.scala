@@ -38,7 +38,7 @@ object RecallCheck {
       val delta = emb.filter(col("vec_id") % 10 === 0 &&
         col("vec_id") < 500)
       val r134 = annRecall(search.Ann.exactTopKAgainst(corpus, delta),
-        search.Ann.knnIncrementalQ.fn(spark, d)
+        search.Ann.knnIncrementalIvf(spark, d)
           .filter(col("query_id") < 500))
       println(String.format(java.util.Locale.ROOT,
         "RECALL %s q36=%.3f q48=%.3f q84=%.3f q127=%.3f q134=%.3f",

@@ -24,13 +24,32 @@ import org.apache.spark.sql.functions._
   * fixed); lineitem shifts order/part keys so q81's co-purchase graph
   * grows k× with per-replica structure. Derived columns not used by
   * the tier (e.g. documents.n_chars) are carried verbatim.
+  *
+  * Replica ids live in HIGH bits: `id + rep · ReplicaOffset`, with
+  * the offset divisible by 10 and 7 and below the media tier's
+  * CopyIdOffset headroom — so every `id % 10` / `id % 7` routing
+  * decision (q156's video corpus selection, q134/q139's delta
+  * slices, q157/q158's batch slices) gives each replica the same
+  * slice shape the base corpus has. The old `id·k + rep` scheme
+  * collapsed `id % k` to the replica number, which silently emptied
+  * q156's corpus for every replica but 0 (SWEEP_r11 protocol note).
   */
 object ScaleSweep {
+
+  /** 7·10^10: divisible by 10 and 7 (the engine's id-routing moduli),
+    * and 15 replicas stay under [[graft.mm.MediaDedup.CopyIdOffset]]
+    * (2^40) so media copy/namespace ids keep their headroom.
+    */
+  val ReplicaOffset = 70000000000L
+
   def main(args: Array[String]): Unit = {
     val k = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "10").toInt
+    require(k.toLong * ReplicaOffset <= graft.mm.MediaDedup.CopyIdOffset,
+      s"replicate=$k overflows the media id headroom " +
+        s"(k * $ReplicaOffset must stay <= 2^40); max 15")
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out =
-      sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR", s"/tmp/graft_sfx${k}v2")
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR", s"/tmp/graft_sfx${k}v3")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -47,8 +66,9 @@ object ScaleSweep {
     if (!new java.io.File(s"$out/part.parquet").exists()) {
       def reps10(df: DataFrame): DataFrame =
         df.crossJoin(spark.range(k).select(col("id").as("rep")))
+      val off = lit(ReplicaOffset)
       reps10(spark.read.parquet(s"$src/documents.parquet"))
-        .withColumn("doc_id", col("doc_id") * k + col("rep"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * off)
         .withColumn("text", concat_ws(" ", col("text"),
           array_join(transform(
             sequence(lit(1),
@@ -58,12 +78,12 @@ object ScaleSweep {
         .drop("rep")
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       reps10(spark.read.parquet(s"$src/embeddings.parquet"))
-        .withColumn("vec_id", col("vec_id") * k + col("rep"))
+        .withColumn("vec_id", col("vec_id") + col("rep") * off)
         .drop("rep")
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       reps10(spark.read.parquet(s"$src/lineitem.parquet"))
-        .withColumn("l_orderkey", col("l_orderkey") * k + col("rep"))
-        .withColumn("l_partkey", col("l_partkey") * k + col("rep"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * off)
+        .withColumn("l_partkey", col("l_partkey") + col("rep") * off)
         .drop("rep")
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       // part names get a per-replica salt whose pairwise levenshtein
@@ -73,7 +93,7 @@ object ScaleSweep {
       // cross-replica near-identical names are pushed OUT of the
       // match set — fuzzy-dup clusters grow k×, not k²×.
       reps10(spark.read.parquet(s"$src/part.parquet"))
-        .withColumn("p_partkey", col("p_partkey") * k + col("rep"))
+        .withColumn("p_partkey", col("p_partkey") + col("rep") * off)
         .withColumn("p_name", concat(col("p_name"), lit(" "),
           concat(lit("z"), col("rep"), lit("z"), col("rep"),
             lit("z"), col("rep"))))
@@ -169,11 +189,12 @@ object ScaleSweep {
       // clean scaling regime. Rep 1 pays the decode+hash pass into
       // the per-session cache; later reps price the banded join /
       // cluster serving (the same cache-backed median semantics as
-      // q49/q84/q127 in this tier). q156 is absent: replica ids are
-      // doc_id·k + rep, so its `id % 10 == 0` video corpus selects
-      // only replica 0 and would not scale with k.
+      // q49/q84/q127 in this tier). q156 joined in round 12: the
+      // high-bit replica ids preserve its `id % 10 == 0` corpus
+      // selection, so every replica contributes videos.
       "q152_media_perceptual_dedup", "q154_audio_perceptual_dedup",
-      "q155_media_dup_clusters", "q157_incremental_media_dedup")
+      "q155_media_dup_clusters", "q156_video_frame_dedup",
+      "q157_incremental_media_dedup", "q158_incremental_audio_dedup")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

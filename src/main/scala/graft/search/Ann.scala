@@ -212,6 +212,14 @@ object Ann {
   /** q141 — filtered ANN through the shared standing IVF index.
     * Rows-only; the gate measures recall@5 against q140's exact
     * filtered scan.
+    *
+    * Deliberately NOT graduated with q127/q134 (round 12): its exact
+    * regime would be q140's query verbatim — same query set, same
+    * label predicate, same kernel — so the "graduation" would add a
+    * duplicate oracle row, not a newly checked surface. The recall
+    * gate already measures this IVF tier against q140's hash-green
+    * exact scan, which is the strongest check the operator's
+    * approximate semantics admit.
     */
   val filteredIvfQ: QueryDef =
     QueryDef.rowsOnly("q141_ann_filtered_ivf") { (s, d) =>
@@ -885,46 +893,92 @@ object Ann {
       | ORDER BY query_id, rank""".stripMargin.replaceAll("\n", "")
   ) { (s, d) => !q127ExactOk(s, d) } { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    if (q127ExactOk(s, d)) {
-      val q = emb.select(col("vec_id").as("query_id"),
-        col("embedding").as("qv"))
-      val c = emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("nv"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(desc("sim"), asc("neighbor_id"))
-      // within the pair bound the query side is ≲5k × ~300 B — a
-      // broadcast nested-loop, no shuffle until the per-query window
-      broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine_sim(col("qv"), col("nv")).as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("sim"), 4).as("sim"), col("rank"))
-        .orderBy("query_id", "rank")
-    } else knnJoinIvf(s, d)
+    if (q127ExactOk(s, d)) exactKnnPairs(emb, emb)
+    else knnJoinIvf(s, d)
   }
 
-  /** q134 — incremental kNN lookup: the 1-in-10 vec_id slice plays
-    * the newly-ingested batch, searched against the remaining 9/10
-    * corpus through the corpus-trained IVF index. Rows-only; the
-    * gate measures recall@5 against the exact delta-vs-corpus scan.
+  /** Exact top-k of `queries` against `corpus` with the full
+    * (sim, rank) output — the oracle-facing spelling of
+    * [[exactTopKAgainst]] (the q35 kernel, so rounding parity is
+    * inherited). Serves the exact regimes of q127/q134; affordable
+    * below [[exactKnnPairLimit]] pairs, where the query side is
+    * bounded enough to broadcast (≤ pairs/corpus rows × ~300 B), so
+    * the plan is a broadcast nested-loop with no shuffle until the
+    * per-query window.
     */
-  val knnIncrementalQ: QueryDef =
-    QueryDef.rowsOnly("q134_knn_incremental") { (s, d) =>
+  def exactKnnPairs(corpus: DataFrame, queries: DataFrame,
+      k: Int = K): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("nv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def q134ExactOk(s: SparkSession, d: String): Boolean =
+    graft.Scale.within(s, s"$d#q134_pairs", exactKnnPairLimit(s))({
       val emb = Tables.embeddings(s, d)
-      // nprobe 10 (vs the self-join's 8): delta queries are OUTSIDE
-      // the corpus the quantizer was trained on, so their cell
-      // ranking is noisier than a member vector's — the wider probe
-      // buys back the out-of-sample recall loss for +25% candidate
-      // volume on the (small) delta side only. The corpus index is
-      // session-cached: an incremental-ingest lookup never
-      // re-indexes the standing corpus.
-      knnQuery(
-        cachedIndex(s, d, "mod10", emb.filter(col("vec_id") % 10 =!= 0)),
-        emb.filter(col("vec_id") % 10 === 0), nprobe = 10)
-        .orderBy("query_id", "rank")
-    }
+      emb.filter(col("vec_id") % 10 === 0).count() *
+        emb.filter(col("vec_id") % 10 =!= 0).count()
+    })
+
+  /** The raw IVF tier measured by the q134 gate, independent of
+    * which regime the registered query serves: the 1-in-10 delta
+    * slice searched against the remaining 9/10 corpus through the
+    * corpus-trained, session-cached IVF index — an incremental-
+    * ingest lookup never re-indexes the standing corpus. nprobe 10
+    * (vs the self-join's 8): delta queries are OUTSIDE the corpus
+    * the quantizer was trained on, so their cell ranking is noisier
+    * than a member vector's — the wider probe buys back the
+    * out-of-sample recall loss for +25% candidate volume on the
+    * (small) delta side only.
+    */
+  def knnIncrementalIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    knnQuery(
+      cachedIndex(s, d, "mod10", emb.filter(col("vec_id") % 10 =!= 0)),
+      emb.filter(col("vec_id") % 10 === 0), nprobe = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q134 — incremental kNN lookup (the 1-in-10 vec_id slice plays
+    * the newly-ingested batch, searched against the remaining 9/10
+    * corpus) with a REGIME (the q68 graduation pattern, q127's
+    * delta-vs-corpus sibling): below [[exactKnnPairLimit]]
+    * delta×corpus pairs the exact broadcast scan serves with a full
+    * DuckDB oracle; above it the IVF path, whose recall gate keeps
+    * measuring the raw tier ([[knnIncrementalIvf]]) in both regimes.
+    */
+  val knnIncrementalQ: QueryDef = QueryDef.sqlCutover(
+    "q134_knn_incremental",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       | FROM embeddings WHERE vec_id % 10 = 0),
+       | s AS (SELECT query_id, vec_id AS neighbor_id,
+       |  list_cosine_similarity(CAST(qv AS DOUBLE[]),
+       |  CAST(embedding AS DOUBLE[])) AS sim
+       |  FROM q JOIN embeddings ON vec_id % 10 <> 0),
+       | r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM s)
+       | SELECT query_id, neighbor_id, round(sim, 4) AS sim,
+       |  CAST(rn AS INT) AS rank FROM r WHERE rn <= $K
+       | ORDER BY query_id, rank""".stripMargin.replaceAll("\n", "")
+  ) { (s, d) => !q134ExactOk(s, d) } { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    if (q134ExactOk(s, d))
+      exactKnnPairs(emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0))
+    else knnIncrementalIvf(s, d)
+  }
 
   /** Exact top-k for a bounded query-id sample — the gate's
     * baseline. Brute force over queries × corpus, fine for ≤100

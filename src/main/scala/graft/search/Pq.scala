@@ -608,7 +608,32 @@ object Pq {
     val worst =
       if (perCell.isEmpty) 0 else perCell.valuesIterator.map(_.size).max
     if (worst <= filesPerCell) false
-    else { compactStore(s, dir); true }
+    else {
+      val t0 = System.nanoTime()
+      compactStore(s, dir)
+      CompactionStats.record((System.nanoTime() - t0) / 1e9)
+      true
+    }
+  }
+
+  /** Probe-facing accumulator: every [[maybeCompact]]-triggered
+    * rewrite records its wall seconds here, so measurement harnesses
+    * (CompactionProbe's long-horizon pricing) can compare rewrite
+    * cost against the trigger budget without instrumenting the
+    * engine inline. Drained (read-and-clear) by the reader; unread
+    * entries cost a few bytes each, nothing else.
+    */
+  object CompactionStats {
+    private val times =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    private[search] def record(sec: Double): Unit =
+      times.add(java.lang.Double.valueOf(sec))
+    def drain(): Seq[Double] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var x = times.poll()
+      while (x != null) { buf += x.doubleValue; x = times.poll() }
+      buf.toSeq
+    }
   }
 
   /** The replay-dedup namespace [[streamingIngest]] derives from its

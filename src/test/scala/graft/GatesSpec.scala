@@ -34,7 +34,12 @@ class GatesSpec extends SparkSpec {
         // q49: exact edges + recursive-CTE CC oracle below the pair
         // limit, LSH edges (rows-only) above; the structural gate
         // measures in both regimes.
-        "q49_dedup_clusters")
+        "q49_dedup_clusters",
+        // round-12 graduations: regime-routed with the gates
+        // re-pointed at the raw sketch/IVF tiers (countMinErr,
+        // knnJoinIvf, knnIncrementalIvf) so they keep measuring in
+        // both regimes.
+        "q112_count_min", "q127_knn_join", "q134_knn_incremental")
     assert((noOracle -- Gates.names.toSet).isEmpty,
       s"missing=${noOracle -- Gates.names.toSet}")
     assert((Gates.names.toSet -- noOracle -- oracleBacked).isEmpty,

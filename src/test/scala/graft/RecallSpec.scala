@@ -57,25 +57,46 @@ class RecallSpec extends SparkSpec {
     assert(got.join(exact, col("neighbor_id") === col("nb") &&
         exact("query_id") === got("query_id"), "left_anti").count() == 0L,
       "exact regime diverged from the brute-force kernel")
+    // q134, same template: exact regime must equal the exact
+    // delta-vs-corpus kernel
+    assert(!search.Ann.knnIncrementalQ.isApproximateFor(s, sfSmall))
+    val exact134 = search.Ann.exactTopKAgainst(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0))
+      .withColumnRenamed("neighbor_id", "nb")
+    val got134 = search.Ann.knnIncrementalQ.fn(s, sfSmall)
+      .select("query_id", "neighbor_id")
+    assert(got134.join(exact134,
+        got134("neighbor_id") === exact134("nb") &&
+        exact134("query_id") === got134("query_id"), "left_anti")
+      .count() == 0L, "q134 exact regime diverged")
     try {
       s.conf.set("spark.graft.exactKnnPairLimit", "1")
       assert(search.Ann.knnJoinQ.isApproximateFor(s, sfSmall))
+      assert(search.Ann.knnIncrementalQ.isApproximateFor(s, sfSmall))
       val ivf = search.Ann.knnJoinQ.fn(s, sfSmall)
       assert(ivf.columns.toSeq ==
         Seq("query_id", "neighbor_id", "sim", "rank"))
       assert(ivf.limit(1).count() == 1L)
+      val ivf134 = search.Ann.knnIncrementalQ.fn(s, sfSmall)
+      assert(ivf134.columns.toSeq ==
+        Seq("query_id", "neighbor_id", "sim", "rank"))
+      assert(ivf134.limit(1).count() == 1L)
     } finally s.conf.unset("spark.graft.exactKnnPairLimit")
     // back at the default the exact regime serves again (memo keys
     // include the limit, so no stale decision)
     assert(!search.Ann.knnJoinQ.isApproximateFor(s, sfSmall))
+    assert(!search.Ann.knnIncrementalQ.isApproximateFor(s, sfSmall))
   }
 
   test("q134 incremental kNN: recall@5 >= 0.8 vs exact delta lookup") {
+    // the RAW IVF tier — the registered query serves the exact
+    // regime below the pair bound at test scale (r12 graduation)
     val emb = Tables.embeddings(spark, sfSmall)
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
     val delta = emb.filter(col("vec_id") % 10 === 0)
     val exact = search.Ann.exactTopKAgainst(corpus, delta).cache()
-    val approx = search.Ann.knnIncrementalQ.fn(spark, sfSmall)
+    val approx = search.Ann.knnIncrementalIvf(spark, sfSmall)
       .select("query_id", "neighbor_id")
     val hit = exact.join(approx, Seq("query_id", "neighbor_id"),
       "left_semi").count()

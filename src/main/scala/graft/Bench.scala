@@ -76,7 +76,7 @@ object Bench {
     val warmFamily = Set("q20", "q21", "q22", "q23", "q24", "q31",
       "q45", "q48", "q49", "q63", "q66", "q77", "q84", "q109", "q110",
       "q121", "q127", "q134", "q136", "q139", "q141", "q152", "q154",
-      "q155", "q156", "q157", "q158")
+      "q155", "q156", "q157", "q158", "q159")
     def isWarm(name: String): Boolean =
       warmFamily.exists(t => name == t || name.startsWith(t + "_"))
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)

@@ -398,6 +398,22 @@ object Gates {
           (incr.exceptAll(full).count() + full.exceptAll(incr).count())
             .toDouble
         }),
+      ("q159_incremental_video_dedup", "pair_diff_vs_full_pass", "<=",
+        0.0, (s, d) => {
+          // q157's incremental==full contract on the slot-aware
+          // modality: the batch-probe pass must equal the full q156
+          // pass restricted to pairs touching the batch, pair for
+          // pair including the matched/slot counts
+          val cols = Seq("video_a", "video_b", "matched_a",
+            "matched_b", "slots_a", "slots_b")
+          val full = mm.VideoDedup.videoDedup.fn(s, d)
+            .filter(col("video_a") % 7 === 0 || col("video_b") % 7 === 0)
+            .select(cols.map(col): _*)
+          val incr = mm.VideoDedup.incrementalVideoDedup.fn(s, d)
+            .select(cols.map(col): _*)
+          (incr.exceptAll(full).count() + full.exceptAll(incr).count())
+            .toDouble
+        }),
       ("q156_video_frame_dedup", "planted_transform_recall", ">=",
         0.8, (s, d) => {
           // every 10th doc has a video and a planted transformed copy

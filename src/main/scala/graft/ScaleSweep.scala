@@ -194,7 +194,8 @@ object ScaleSweep {
       // selection, so every replica contributes videos.
       "q152_media_perceptual_dedup", "q154_audio_perceptual_dedup",
       "q155_media_dup_clusters", "q156_video_frame_dedup",
-      "q157_incremental_media_dedup", "q158_incremental_audio_dedup")
+      "q157_incremental_media_dedup", "q158_incremental_audio_dedup",
+      "q159_incremental_video_dedup")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

@@ -227,5 +227,117 @@ object VideoDedup {
       .orderBy("video_a", "video_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(videoDedup)
+  // ---- persisted frame-hash index + incremental pass (q159) ----
+  // q157's O(Δ) lifecycle carried to the slot-aware modality: the
+  // standing side is (video_id, slot, fhash) — ~20 B per sampled
+  // frame, ≤ MaxSampledFrames rows per video however long it runs —
+  // and only the fresh batch is decoded and banded.
+
+  def saveFrameIndex(hashes: DataFrame, dir: String): Unit =
+    hashes.select("video_id", "slot", "fhash")
+      .write.mode("overwrite").parquet(s"$dir/fhash")
+
+  def loadFrameIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = s.read.parquet(s"$dir/fhash")
+
+  private val frameStoreCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
+  private[mm] def corpusFrameStore(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    graft.Scale.purgeStopped(frameStoreCache)
+    frameStoreCache.computeIfAbsent((s, d), _ => {
+      val dir = graft.Scale.managedTempDir("graft_fhash").toString + "/idx"
+      saveFrameIndex(videoHashes(s, d).filter(col("video_id") % 7 =!= 0),
+        dir)
+      dir
+    })
+  }
+
+  /** Near-duplicate video pairs of a NEW batch against a standing
+    * frame-hash index — [[MediaDedup.incrementalNearDupPairs]]' O(Δ)
+    * probe made slot-aware: only the batch's frames are banded
+    * fresh; each bucket contributes batch-frames × bucket-size
+    * combos; the per-pair `match_frac` aggregation is exactly
+    * [[videoDupPairs]]' (slot counts from the standing index for the
+    * corpus side). For any video pair touching the batch, EVERY one
+    * of its candidate frame pairs has a batch-side frame, so the
+    * output equals the full pass restricted to pairs touching the
+    * batch — same determinism argument as q157's, gate-pinned at
+    * pair-diff zero.
+    */
+  def incrementalVideoDupPairs(corpusHashes: DataFrame,
+      batchHashes: DataFrame,
+      minMatchFrac: Double = MinMatchFrac): DataFrame = {
+    val bandBits = 64 / MediaDedup.Bands
+    def banded(df: DataFrame) =
+      df.select(col("video_id"), col("slot"), col("fhash"),
+          explode(sequence(lit(0), lit(MediaDedup.Bands - 1))).as("band"))
+        .withColumn("key",
+          expr(s"shiftrightunsigned(fhash, band * $bandBits)")
+            .bitwiseAND(lit((1L << bandBits) - 1)))
+    val bNew = banded(batchHashes)
+    val bAll = banded(corpusHashes).withColumn("is_new", lit(false))
+      .unionByName(bNew.withColumn("is_new", lit(true)))
+    val a = bNew.select(col("band"), col("key"),
+      col("video_id").as("ida"), col("slot").as("slot_ia"),
+      col("fhash").as("ha"))
+    val b = bAll.select(col("band"), col("key"),
+      col("video_id").as("idb"), col("slot").as("slot_ib"),
+      col("fhash").as("hb"), col("is_new"))
+    val framePairs = a.join(b, Seq("band", "key"))
+      // batch↔batch frame pairs appear in both orientations — keep
+      // one; batch↔corpus appears only with the batch frame on the
+      // probe side, either id ordering
+      .filter(col("ida") =!= col("idb"))
+      .filter(!col("is_new") || (col("ida") < col("idb")))
+      .select(
+        least(col("ida"), col("idb")).as("video_a"),
+        greatest(col("ida"), col("idb")).as("video_b"),
+        when(col("ida") < col("idb"), col("slot_ia"))
+          .otherwise(col("slot_ib")).as("slot_a"),
+        when(col("ida") < col("idb"), col("slot_ib"))
+          .otherwise(col("slot_ia")).as("slot_b"),
+        when(col("ida") < col("idb"), col("ha"))
+          .otherwise(col("hb")).as("ha"),
+        when(col("ida") < col("idb"), col("hb"))
+          .otherwise(col("ha")).as("hb"))
+      .groupBy("video_a", "slot_a", "video_b", "slot_b")
+      .agg(first("ha").as("ha"), first("hb").as("hb"))
+      .filter(expr("bit_count(ha ^ hb)") <= MediaDedup.MaxHamming)
+    val slots = corpusHashes.select("video_id", "slot")
+      .unionByName(batchHashes.select("video_id", "slot"))
+      .groupBy("video_id").agg(count(lit(1)).as("slots"))
+    framePairs.groupBy("video_a", "video_b")
+      .agg(countDistinct("slot_a").as("matched_a"),
+        countDistinct("slot_b").as("matched_b"))
+      .join(slots.select(col("video_id").as("video_a"),
+        col("slots").as("slots_a")), "video_a")
+      .join(slots.select(col("video_id").as("video_b"),
+        col("slots").as("slots_b")), "video_b")
+      .withColumn("match_frac",
+        greatest(col("matched_a") / col("slots_a"),
+          col("matched_b") / col("slots_b")))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select("video_a", "video_b", "matched_a", "matched_b",
+        "slots_a", "slots_b", "match_frac")
+  }
+
+  /** q159 — incremental VIDEO near-dup: the 1-in-7 id slice of the
+    * video corpus plays the fresh batch, the standing side is the
+    * PERSISTED frame-hash index ([[corpusFrameStore]] — saved once
+    * per session, loaded per query). Completes the incremental row
+    * of the media lifecycle table for all three modalities.
+    * Rows-only; the gate pins pair-for-pair equality with the full
+    * q156 pass restricted to the batch (zero diff).
+    */
+  val incrementalVideoDedup: QueryDef = QueryDef.rowsOnly(
+    "q159_incremental_video_dedup") { (s, d) =>
+    incrementalVideoDupPairs(
+      loadFrameIndex(s, corpusFrameStore(s, d)),
+      videoHashes(s, d).filter(col("video_id") % 7 === 0))
+      .orderBy("video_a", "video_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(videoDedup, incrementalVideoDedup)
 }

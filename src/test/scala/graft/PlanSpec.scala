@@ -235,6 +235,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q127/q134 exact regime: corpus broadcasts, queries hash on " +
+      "query_id so the n² pair stream is never re-shuffled") {
+    val emb = Tables.embeddings(spark, sfSmall)
+    val p = plan(search.Ann.exactKnnPairs(emb, emb))
+    // the nested loop streams the query side; the corpus is the
+    // broadcast build — never a CartesianProduct
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly two exchanges touch ROW-count-sized data (the query
+    // repartition and the final output sort); the n²-row pair stream
+    // between the join and the window top-k must flow through ZERO
+    // exchanges — the window consumes the repartition's distribution
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"pair stream re-shuffled ($exchanges):\n$p")
+  }
+
   test("q127: two-level IVF — coarse routing broadcasts a one-row " +
       "table, fine routing shuffle-hashes on (ccell, salt)") {
     // the RAW IVF tier — the registered query serves the exact

@@ -115,4 +115,26 @@ class VideoDedupSpec extends SparkSpec {
     assert(out.filter(col("video_a") >= col("video_b")).count() == 0)
     out.unpersist()
   }
+
+  test("q159 incremental video pass equals the full pass restricted " +
+      "to the batch, pair for pair") {
+    val hashes = VideoDedup.videoHashes(spark, sfTiny)
+    val cols = Seq("video_a", "video_b", "matched_a", "matched_b",
+      "slots_a", "slots_b")
+    val incr = VideoDedup.incrementalVideoDupPairs(
+      hashes.filter(col("video_id") % 7 =!= 0),
+      hashes.filter(col("video_id") % 7 === 0))
+      .select(cols.map(col): _*)
+    val full = VideoDedup.videoDupPairs(hashes)
+      .filter(col("video_a") % 7 === 0 || col("video_b") % 7 === 0)
+      .select(cols.map(col): _*)
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+      "incremental video pass diverged from the restricted full pass")
+    // and it finds something: planted pairs whose original or copy
+    // falls in the batch slice
+    assert(incr.count() > 0, "no video pairs touch the batch slice")
+    // corpus-only pairs never leak into the incremental output
+    assert(incr.filter(col("video_a") % 7 =!= 0 &&
+      col("video_b") % 7 =!= 0).count() == 0)
+  }
 }

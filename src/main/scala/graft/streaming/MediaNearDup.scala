@@ -37,10 +37,10 @@ case class MediaBucket(members: Seq[(Long, Long, Long)])
   * (`bit_count(xor) ≤ maxHamming`) — the "is this upload a re-encode
   * of something we just crawled?" path a live ingest pipeline runs
   * next to the batch backfill (q152/q154) and the incremental batch
-  * probes (q157/q158). Video stays batch-only by design: its
-  * per-pair score is slot-aware (`match_frac` over frame sets), so a
-  * streaming variant needs per-video frame-slot state, not a ring of
-  * scalars — a design note, not a wiring gap.
+  * probes (q157/q158). Video streams through its own topology
+  * ([[VideoNearDup]]): its per-pair score is slot-aware (`match_frac`
+  * over frame sets), so it needs per-video-pair slot state — two Long
+  * bitmasks — on top of this operator's frame-ring shape.
   *
   * The MODALITY is part of the bucket key, so an image hash and an
   * audio hash that happen to share a band value occupy different

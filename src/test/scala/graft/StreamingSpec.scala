@@ -675,6 +675,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming video near-dup: slot-state pair scoring — a " +
+      "re-encoded copy pairs with its original, a trimmed copy " +
+      "scores 1.0, unrelated videos and malformed payloads do not " +
+      "pair, and a pair emits once") {
+    import graft.mm.VideoDedup
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)](spark)
+    val vid30 = VideoDedup.syntheticVideo(30L)
+    val reenc = VideoDedup.transformedVideo(30L, vid30) // per-frame JPEG
+    val vid40 = VideoDedup.syntheticVideo(40L)
+    val trimmed = VideoDedup.transformedVideo(40L, vid40) // drop 2 frames
+    val q = streaming.VideoNearDup.videoNearDupStream(
+        input.toDF().toDF("doc_id", "mime", "media", "ts"),
+        horizon = "100 seconds")
+      .writeStream.format("memory").queryName("video_neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "video/x-graft", vid30, ts(10)),
+        (2L, "video/x-graft", vid40, ts(10)),
+        (3L, "video/x-graft", VideoDedup.syntheticVideo(99L), ts(11)),
+        (4L, "video/x-graft", Array[Byte](9, 9, 9), ts(11))) // malformed
+      q.processAllAvailable()
+      input.addData(
+        (5L, "video/x-graft", reenc, ts(20)),
+        (6L, "video/x-graft", trimmed, ts(20)))
+      q.processAllAvailable()
+      val rows = spark.table("video_neardup_out")
+        .select("video_a", "video_b", "match_frac", "slots_a", "slots_b")
+        .collect()
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 5L), (2L, 6L)), pairs.toString)
+      assert(rows.length == 2, "a pair emitted more than once")
+      // the trimmed copy has fewer slots, all matching — the
+      // max-fraction rule scores it 1.0 (batch semantics carried)
+      val trimRow = rows.find(_.getLong(0) == 2L).get
+      assert(trimRow.getDouble(2) >= 0.999, trimRow.toString)
+      assert(trimRow.getInt(4) < trimRow.getInt(3),
+        "trimmed side should have fewer slots")
+      // a later duplicate hit does not re-emit the pair
+      input.addData((5L, "video/x-graft", reenc, ts(25)))
+      q.processAllAvailable()
+      assert(spark.table("video_neardup_out").count() == 2,
+        "duplicate arrival re-emitted an emitted pair")
+      // state is evicted once the watermark passes the horizon
+      input.addData((50L, "video/x-graft",
+        VideoDedup.syntheticVideo(77L), ts(1000)))
+      q.processAllAvailable()
+      input.addData((51L, "video/x-graft",
+        VideoDedup.syntheticVideo(78L), ts(2000)))
+      q.processAllAvailable()
+      // timeouts fire in the batch AFTER the watermark passes them
+      input.addData((52L, "video/x-graft",
+        VideoDedup.syntheticVideo(79L), ts(3000)))
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .filter(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "no state was evicted")
+    } finally q.stop()
+  }
+
   test("auto-compaction policy: a long ingest run stays within the " +
       "file bound with no explicit compactStore call") {
     val emb = Tables.embeddings(spark, sfTiny)

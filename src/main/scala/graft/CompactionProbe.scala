@@ -79,21 +79,15 @@ object CompactionProbe {
       }
       c
     }
-    // worst single ccell=N partition's data-file count — the quantity
-    // the per-cell auto-compaction policy actually bounds
+    // worst single ccell=N partition's data-file count, measured by
+    // the SAME helper the policy's trigger uses (Pq.maybeCompact) so
+    // the probe can never report a different quantity than the
+    // policy enforces
     def maxFilesPerCell(tier: String): Long = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/idx/$tier")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) return 0L
-      val counts = scala.collection.mutable.Map.empty[String, Long]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.startsWith("part-")) {
-          val cell = s.getPath.getParent.getName
-          counts(cell) = counts.getOrElse(cell, 0L) + 1L
-        }
-      }
+      val counts = search.Pq.perCellDataFileCounts(fs, p)
       if (counts.isEmpty) 0L else counts.valuesIterator.max
     }
     // keyed lookup throughput over per-trigger micro-batches (first

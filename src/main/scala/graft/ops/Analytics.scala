@@ -219,9 +219,11 @@ object Analytics {
     // cheap routing signal: total token count (narrow scan + sum),
     // never the group-by the decision is deciding whether to afford
     graft.Scale.within(s, s"$d#q112_tokens", exactFreqLimit(s))(
+      // coalesce: sum over zero rows is null — an empty corpus routes
+      // to the (trivially affordable) exact regime, not an NPE
       Tables.documents(s, d)
         .select(size(split(col("text"), " ")).cast("long").as("n"))
-        .agg(sum(col("n"))).head().getLong(0))
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0))
 
   /** The raw count-min tier measured by the q112 gate, independent
     * of which regime the registered query serves: estimate vs exact

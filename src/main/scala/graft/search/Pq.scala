@@ -604,9 +604,8 @@ object Pq {
     // partitioned on disk, so each data file's leading path segment
     // names its cell; max-over-cells ≥ the old aggregate average, so
     // this triggers at least as often under uniform ingest too.
-    val perCell = dataFiles(fs, tier).groupBy(_.takeWhile(_ != '/'))
-    val worst =
-      if (perCell.isEmpty) 0 else perCell.valuesIterator.map(_.size).max
+    val perCell = perCellDataFileCounts(fs, tier)
+    val worst = if (perCell.isEmpty) 0L else perCell.valuesIterator.max
     if (worst <= filesPerCell) false
     else {
       val t0 = System.nanoTime()
@@ -615,6 +614,20 @@ object Pq {
       true
     }
   }
+
+  /** Data files per ccell=N partition of a store tier — the ONE
+    * definition of "files per cell" shared by the compaction policy
+    * ([[maybeCompact]]'s trigger) and the measurement harnesses
+    * (CompactionProbe's worst-cell report), so the probe can never
+    * silently measure a different quantity than the policy enforces.
+    * Keys are the leading path segment (the `ccell=N` directory; a
+    * file at the tier root groups under its own name — a 1-count).
+    */
+  private[graft] def perCellDataFileCounts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tier: org.apache.hadoop.fs.Path): Map[String, Long] =
+    dataFiles(fs, tier).groupBy(_.takeWhile(_ != '/'))
+      .map { case (cell, fsq) => cell -> fsq.size.toLong }
 
   /** Probe-facing accumulator: every [[maybeCompact]]-triggered
     * rewrite records its wall seconds here, so measurement harnesses

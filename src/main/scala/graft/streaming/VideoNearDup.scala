@@ -96,6 +96,22 @@ object VideoNearDup {
       minMatchFrac: Double = VideoDedup.MinMatchFrac): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // These two confs are SESSION-scoped, and a streaming DataFrame
+    // is bound to its session, so the operator cannot isolate them
+    // internally — it must mutate the caller's session. Refuse to do
+    // that silently under other ACTIVE streams (whose semantics a
+    // policy flip could change — e.g. a min-policy stream-stream
+    // join would start dropping the slower input's lagging events);
+    // callers with mixed streaming workloads start this operator in
+    // a dedicated session (SparkSession.newSession()) and build the
+    // source DataFrame there. Queries STARTED LATER in this session
+    // also inherit the confs — same remedy.
+    require(spark.streams.active.isEmpty,
+      "videoNearDupStream sets session-wide streaming confs " +
+        "(multipleWatermarkPolicy=max, stateful-operator correctness " +
+        "check off) and refuses to change them under other active " +
+        "streaming queries; start it in a dedicated session " +
+        "(SparkSession.newSession()) instead")
     // Spark's global-watermark correctness check pattern-matches ANY
     // stateful operator downstream of flatMapGroupsWithState and
     // refuses to start, because a downstream watermark could classify

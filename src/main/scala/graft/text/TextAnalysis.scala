@@ -346,9 +346,11 @@ object TextAnalysis {
     // is a sound upper bound — it can only err toward the sketch
     // tier, never route an unaffordable corpus to the exact join.
     graft.Scale.within(s, s"$d#q63_vocab", exactVocabLimit(s))(
+      // coalesce: sum over zero rows is null — an empty corpus routes
+      // to the (trivially affordable) exact regime, not an NPE
       Tables.documents(s, d)
         .select(size(toks(col("text"))).cast("long").as("n"))
-        .agg(sum(col("n"))).head().getLong(0))
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0))
 
   /** The raw minhash tier measured by the q63 gate (estimate within
     * 4σ of exact), independent of which regime the registered query

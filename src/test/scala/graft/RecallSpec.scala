@@ -54,9 +54,15 @@ class RecallSpec extends SparkSpec {
       .withColumnRenamed("neighbor_id", "nb")
     val got = search.Ann.knnJoinQ.fn(s, sfSmall)
       .filter(col("query_id") < 50).select("query_id", "neighbor_id")
+    // set EQUALITY, both directions — a subset check alone would
+    // pass on a routed result that dropped rows or whole queries
     assert(got.join(exact, col("neighbor_id") === col("nb") &&
         exact("query_id") === got("query_id"), "left_anti").count() == 0L,
-      "exact regime diverged from the brute-force kernel")
+      "exact regime returned a pair outside the brute-force kernel")
+    assert(exact.join(got, got("neighbor_id") === exact("nb") &&
+        exact("query_id") === got("query_id"), "left_anti").count() == 0L,
+      "exact regime dropped pairs the brute-force kernel returns")
+    assert(got.count() == exact.count())
     // q134, same template: exact regime must equal the exact
     // delta-vs-corpus kernel
     assert(!search.Ann.knnIncrementalQ.isApproximateFor(s, sfSmall))
@@ -69,7 +75,12 @@ class RecallSpec extends SparkSpec {
     assert(got134.join(exact134,
         got134("neighbor_id") === exact134("nb") &&
         exact134("query_id") === got134("query_id"), "left_anti")
-      .count() == 0L, "q134 exact regime diverged")
+      .count() == 0L, "q134 exact regime returned an out-of-kernel pair")
+    assert(exact134.join(got134,
+        got134("neighbor_id") === exact134("nb") &&
+        exact134("query_id") === got134("query_id"), "left_anti")
+      .count() == 0L, "q134 exact regime dropped kernel pairs")
+    assert(got134.count() == exact134.count())
     try {
       s.conf.set("spark.graft.exactKnnPairLimit", "1")
       assert(search.Ann.knnJoinQ.isApproximateFor(s, sfSmall))

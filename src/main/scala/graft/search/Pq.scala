@@ -944,6 +944,14 @@ object Pq {
     * run per bounded batch (the [[adcSearch]] contract), never over
     * an unbounded accumulated delta. Rows-only; the gate combines
     * delta recall@5 ≥ 0.8 with pair-for-pair append-vs-batch parity.
+    *
+    * Deliberately NOT graduated with q127/q134 (round 12, same
+    * reasoning as q141): PQ distances are quantized, so there is no
+    * exact regime whose answer ANSI SQL can reproduce — an "exact"
+    * tier would be q127's query verbatim, a duplicate oracle row,
+    * not a newly checked surface. The two-sided gate (recall vs the
+    * exact kernel + append-vs-batch pair parity) is the strongest
+    * check the operator's approximate semantics admit.
     */
   val ivfPqIncremental: QueryDef =
     QueryDef.rowsOnly("q139_ivfpq_incremental") { (s, d) =>

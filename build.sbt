@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as bare JSON. Two sbt decorations broke that for five rounds:
+// the `[info] ` prefix sbt's default LoggedOutput strategy adds to a
+// forked process's stdout, and the `[success] Total time: ...`
+// epilogue printed after the task. StdoutOutput passes the forked
+// JVM's stdout through verbatim; showSuccess drops the epilogue.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another
+// setting, so the unused-key lint false-positives on it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,7 +34,7 @@ object GateRun {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(Gates.toJson(Gates.all(spark, sfDir, only)))
+    println(Gates.toJson(Gates.all(spark, sfDir, only), sfDir))
     spark.stop()
   }
 }

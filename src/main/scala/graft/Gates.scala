@@ -649,8 +649,15 @@ object Gates {
     (coverage + collide).toDouble
   }
 
-  /** Render results as the SPECGATES.json artifact. */
-  def toJson(rs: Seq[GateResult]): String = {
+  /** Render results as the SPECGATES.json artifact. `sf` (when
+    * non-empty) is stamped as a leading `"_sf"` field: every full
+    * Verify run rewrites SPECGATES.json at whatever SF it ran, and
+    * before round 13 only a manual `git checkout` convention kept the
+    * committed artifact at sf0.01 — the stamp makes a forgotten
+    * restore self-evident instead of silently mislabeling sf0.1 gate
+    * values as the sf0.01 record.
+    */
+  def toJson(rs: Seq[GateResult], sf: String = ""): String = {
     def v(x: Double): String =
       if (x.isNaN) "null"
       else if (x == x.floor && math.abs(x) < 1e15) x.toLong.toString
@@ -658,14 +665,17 @@ object Gates {
       // invalid JSON.
       else String.format(java.util.Locale.ROOT, "%.6f",
         java.lang.Double.valueOf(x))
-    rs.map { r =>
+    val sfRow =
+      if (sf.isEmpty) Seq.empty
+      else Seq(s"""  "_sf": "$sf"""")
+    (sfRow ++ rs.map { r =>
       s"""  "${r.query}": {"gate": "${r.gate}", "value": ${v(r.value)},""" +
         s""" "threshold": ${v(r.threshold)}, "op": "${r.op}",""" +
         s""" "pass": ${r.pass}}"""
-    }.mkString("{\n", ",\n", "\n}\n")
+    }).mkString("{\n", ",\n", "\n}\n")
   }
 
-  def writeJson(rs: Seq[GateResult], path: String): Unit =
+  def writeJson(rs: Seq[GateResult], path: String, sf: String = ""): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      toJson(rs).getBytes("UTF-8"))
+      toJson(rs, sf).getBytes("UTF-8"))
 }

@@ -79,8 +79,8 @@ object Verify {
     // models, so this adds measurement, not refitting.
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_GATES", "1") != "0") {
       val gates = Gates.all(spark, sfDir)
-      Gates.writeJson(gates, s"$outDir/specgates.json")
-      try Gates.writeJson(gates, "SPECGATES.json")
+      Gates.writeJson(gates, s"$outDir/specgates.json", sfDir)
+      try Gates.writeJson(gates, "SPECGATES.json", sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[gates] cwd write failed: ${e.getMessage}")
       }

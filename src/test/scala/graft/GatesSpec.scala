@@ -64,6 +64,11 @@ class GatesSpec extends SparkSpec {
     assert(js.contains("\"value\": 0,"))
     assert(js.contains("\"value\": null,") && !js.contains("NaN"))
     assert(js.trim.startsWith("{") && js.trim.endsWith("}"))
+    // the SF stamp (round-13): present iff an sf was passed, and first
+    val stamped = Gates.toJson(rs, "/root/testdata/sf0.01")
+    assert(stamped.contains("\"_sf\": \"/root/testdata/sf0.01\""))
+    assert(stamped.indexOf("\"_sf\"") < stamped.indexOf("\"q00_x\""))
+    assert(!js.contains("\"_sf\""))
   }
 
   test("structural gates measure zero violations at sf0.001") {

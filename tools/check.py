@@ -24,14 +24,21 @@ def _mem_limit_gb():
     # the hard allocation failure the bound exists to prevent.
     try:
         avail_kb = 0
+        total_kb = 0
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemAvailable:"):
                     avail_kb = int(line.split()[1])
-                    break
+                elif line.startswith("MemTotal:"):
+                    total_kb = int(line.split()[1])
         if avail_kb:
-            return max(1, min(24, int(avail_kb / 1024 / 1024 * 0.5)))
-    except OSError:
+            # Floor at 4GB on big hosts: a transient load spike can
+            # leave MemAvailable near-zero for a moment, and min 1GB
+            # is too tight for the q127 n^2 oracle join.
+            floor = 4 if total_kb >= 32 * 1024 * 1024 else 1
+            return max(floor, min(24, int(avail_kb / 1024 / 1024 * 0.5)))
+    except (OSError, ValueError, IndexError):
+        # malformed /proc line or unreadable /proc: fall through
         pass
     return 4  # conservative fallback when /proc is unreadable
 

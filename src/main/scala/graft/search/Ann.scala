@@ -247,9 +247,16 @@ object Ann {
     // corpora manage with 2-4. Cell count grows as n/targetCell — a
     // FIXED cell count would mean cell size, and so per-query
     // candidate work, growing linearly with the corpus.
+    // nprobe 10 (8 through round 12): at sf0.1 the measured recall@5
+    // landed EXACTLY on the 0.800 gate bar — zero margin, one
+    // testdata regen from red. Near-random vectors are IVF's worst
+    // case (cell ranking barely orders true neighbors), so the honest
+    // fix is a wider probe, not a looser gate: two extra cells/query
+    // (~+25% candidate volume on a 10-query workload, ~ms) bought
+    // recall ≥ 0.86 at all three SFs (SWEEP_r13 q48 entry).
     val emb = Tables.embeddings(s, d)
     knnQuery(cachedIndex(s, d, "full", emb),
-      emb.filter(col("vec_id") < 10), k = K, nprobe = 8)
+      emb.filter(col("vec_id") < 10), k = K, nprobe = 10)
       .orderBy("query_id", "rank")
   }
 

@@ -56,7 +56,7 @@ object CompactionProbe {
     val iq = search.Pq.streamingIngest(
       in.toDF().toDF("vec_id", "embedding"), index, books,
       s"$dir/idx", s"$dir/ckpt_i", autoCompactFilesPerCell = autoK)
-    search.Pq.CompactionStats.drain() // clear any prior-run residue
+    search.Pq.CompactionStats.drain(s"$dir/idx") // clear prior residue
     val ingestT0 = System.nanoTime()
     var nTriggers = 0
     try delta.grouped(math.max(1, delta.length / batches)).foreach { sl =>
@@ -66,7 +66,7 @@ object CompactionProbe {
     // every policy-triggered rewrite's wall seconds, in order — the
     // long-horizon pricing the leveled-scheme build/no-build decision
     // needs (rewrite cost vs per-trigger budget)
-    val rewrites = search.Pq.CompactionStats.drain()
+    val rewrites = search.Pq.CompactionStats.drain(s"$dir/idx")
 
     def files(tier: String): Long = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/idx/$tier")

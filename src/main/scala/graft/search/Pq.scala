@@ -610,7 +610,7 @@ object Pq {
     else {
       val t0 = System.nanoTime()
       compactStore(s, dir)
-      CompactionStats.record((System.nanoTime() - t0) / 1e9)
+      CompactionStats.record(dir, (System.nanoTime() - t0) / 1e9)
       true
     }
   }
@@ -633,18 +633,26 @@ object Pq {
     * rewrite records its wall seconds here, so measurement harnesses
     * (CompactionProbe's long-horizon pricing) can compare rewrite
     * cost against the trigger budget without instrumenting the
-    * engine inline. Drained (read-and-clear) by the reader; unread
-    * entries cost a few bytes each, nothing else.
+    * engine inline. Keyed by STORE DIR (round 13): two concurrent
+    * streaming ingests with auto-compaction in one JVM would
+    * otherwise interleave timings, and a probe's drain would
+    * attribute another query's rewrites to the probed store.
+    * Drained (read-and-clear per dir) by the reader; unread entries
+    * cost a few bytes each, nothing else.
     */
   object CompactionStats {
-    private val times =
-      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
-    private[search] def record(sec: Double): Unit =
-      times.add(java.lang.Double.valueOf(sec))
-    def drain(): Seq[Double] = {
+    private val times = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]]()
+    private[search] def record(dir: String, sec: Double): Unit =
+      times.computeIfAbsent(dir, _ =>
+        new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]())
+        .add(java.lang.Double.valueOf(sec))
+    def drain(dir: String): Seq[Double] = {
+      val q = times.get(dir)
+      if (q == null) return Seq.empty
       val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var x = times.poll()
-      while (x != null) { buf += x.doubleValue; x = times.poll() }
+      var x = q.poll()
+      while (x != null) { buf += x.doubleValue; x = q.poll() }
       buf.toSeq
     }
   }

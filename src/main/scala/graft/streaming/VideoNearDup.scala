@@ -104,14 +104,50 @@ object VideoNearDup {
     // join would start dropping the slower input's lagging events);
     // callers with mixed streaming workloads start this operator in
     // a dedicated session (SparkSession.newSession()) and build the
-    // source DataFrame there. Queries STARTED LATER in this session
-    // also inherit the confs — same remedy.
+    // source DataFrame there.
     require(spark.streams.active.isEmpty,
       "videoNearDupStream sets session-wide streaming confs " +
         "(multipleWatermarkPolicy=max, stateful-operator correctness " +
         "check off) and refuses to change them under other active " +
         "streaming queries; start it in a dedicated session " +
         "(SparkSession.newSession()) instead")
+    // The mutation is UNDONE when this operator's query terminates:
+    // a listener restores the prior values once the session has no
+    // other active stream, so queries started afterwards see the
+    // session they would have without this operator (both confs are
+    // latched per query at START — the policy into the offset-log
+    // metadata, the correctness check during initial planning — so
+    // restoring never touches a query already running). The one
+    // remaining caller obligation: start THIS query before starting
+    // other streaming queries in the same session (they would latch
+    // the mutated confs at start — the require above cannot see
+    // queries that don't exist yet); mixed-workload sessions should
+    // hand this operator a dedicated session instead.
+    val CorrectnessKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val PolicyKey = "spark.sql.streaming.multipleWatermarkPolicy"
+    val priorCorrectness = spark.conf.getOption(CorrectnessKey)
+    val priorPolicy = spark.conf.getOption(PolicyKey)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        // any-termination trigger (the listener cannot know which
+        // query the caller started from the returned DataFrame);
+        // restore only once the session is quiet so a restart of the
+        // video query under the confs it needs is unaffected
+        if (spark.streams.active.forall(_.runId.toString == e.runId.toString)) {
+          def restore(k: String, v: Option[String]): Unit = v match {
+            case Some(x) => spark.conf.set(k, x)
+            case None => spark.conf.unset(k)
+          }
+          restore(CorrectnessKey, priorCorrectness)
+          restore(PolicyKey, priorPolicy)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
     // Spark's global-watermark correctness check pattern-matches ANY
     // stateful operator downstream of flatMapGroupsWithState and
     // refuses to start, because a downstream watermark could classify

@@ -733,7 +733,54 @@ class StreamingSpec extends SparkSpec {
         .filter(_.operatorName.contains("flatMapGroupsWithState"))
         .map(_.numRowsRemoved).sum
       assert(removed > 0, "no state was evicted")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the terminate-listener restores these async; force-restore
+      // here so every later streaming test in this shared session
+      // runs under the default watermark policy and with the
+      // chained-stateful correctness check ON regardless
+      spark.conf.unset(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+    }
+  }
+
+  test("videoNearDupStream restores the session's watermark-policy " +
+      "and correctness-check confs once its query terminates") {
+    import graft.mm.VideoDedup
+    val ck =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val pk = "spark.sql.streaming.multipleWatermarkPolicy"
+    // a pre-existing explicit value must be restored VERBATIM (not
+    // just unset)
+    spark.conf.set(pk, "min")
+    try {
+      val input = MemoryStream[(Long, String, Array[Byte], Timestamp)](spark)
+      val q = streaming.VideoNearDup.videoNearDupStream(
+          input.toDF().toDF("doc_id", "mime", "media", "ts"),
+          horizon = "100 seconds")
+        .writeStream.format("memory").queryName("video_conf_restore_out")
+        .outputMode("append").start()
+      input.addData((1L, "video/x-graft",
+        VideoDedup.syntheticVideo(11L), ts(10)))
+      q.processAllAvailable()
+      assert(spark.conf.get(ck) == "false")
+      assert(spark.conf.get(pk) == "max")
+      q.stop()
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (spark.conf.getOption(pk).contains("max") &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      // getOption on a registered SQLConf returns its DEFAULT, so
+      // "restored" reads as the default value, not None
+      assert(spark.conf.get(ck) == "true",
+        "correctness check was not re-enabled after termination")
+      assert(spark.conf.getOption(pk).contains("min"),
+        "prior watermark policy was not restored verbatim")
+    } finally {
+      spark.conf.unset(ck)
+      spark.conf.unset(pk)
+    }
   }
 
   test("auto-compaction policy: a long ingest run stays within the " +

@@ -56,6 +56,55 @@ object VideoDedup {
     */
   val MinMatchFrac = 0.6
 
+  /** Frame-banding layout: (bands, bitsPerBand) for the LSH bucket
+    * keys every video path (q156 batch, q159 incremental, streaming
+    * VideoNearDup) derives from a frame's 64-bit dHash.
+    *
+    * Default (round 13): 3 bands × 21 bits. The r12 10× scale sweep
+    * attributed q156's above-linear wall growth (13.2× at 10.0× pair
+    * growth) to band-bucket collisions — 2^16 buckets/band saturate
+    * once the corpus ships a few hundred thousand frame rows, and
+    * every collision is a shuffled candidate row plus a Hamming
+    * verify. 2^21 buckets/band is 32× the key space for the same
+    * row count (3/4 of the banded rows, wider keys).
+    *
+    * The recall contract re-argued (pigeonhole): bands cover bits
+    * 0..62 disjointly, so a frame pair differing in ≤ 2 banded bits
+    * (bit 63 is unbanded — a diff there can never break a band)
+    * still agrees on ≥ 1 whole band and MUST collide — guaranteed
+    * candidate at Hamming ≤ 2, down from ≤ 3 under the legacy 4×16
+    * layout; coverage from there to [[MediaDedup.MaxHamming]] stays
+    * best-effort, exactly as before. Two structural cushions keep
+    * the measured recall flat: planted re-encode/rescale transforms
+    * sit at small per-frame distances (a trimmed copy's frames are
+    * byte-identical, Hamming 0), and the video-level
+    * [[MinMatchFrac]] bar tolerates a minority of per-frame misses
+    * per pair. Measured: planted-transform recall ≥ 0.8 holds at all
+    * three SFs (Gates q156/q159, VideoDedupSpec's every-transform
+    * pin) — SWEEP_r13's q156 entry carries the 10× wall point.
+    *
+    * `spark.graft.video.wideFrameBands=false` restores the legacy
+    * [[MediaDedup.Bands]]×16 layout (the image/audio single-hash
+    * paths, where corpus rows per band are ~8-16× fewer, keep it).
+    */
+  def frameBandLayout(spark: org.apache.spark.sql.SparkSession)
+      : (Int, Int) =
+    if (spark.conf.getOption("spark.graft.video.wideFrameBands")
+        .forall(_.toBoolean)) (3, 21)
+    else (MediaDedup.Bands, 64 / MediaDedup.Bands)
+
+  /** Explode `fhash` rows into (band, key) bucket rows under
+    * [[frameBandLayout]] — the ONE banding spelling shared by the
+    * batch, incremental, and streaming video paths.
+    */
+  private[graft] def withFrameBandKey(df: DataFrame): DataFrame = {
+    val (bands, bandBits) = frameBandLayout(df.sparkSession)
+    df.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("key",
+        expr(s"shiftrightunsigned(fhash, band * $bandBits)")
+          .bitwiseAND(lit((1L << bandBits) - 1)))
+  }
+
   // ---- GVID container: magic + count + length-prefixed frames ----
 
   private val Magic = Array[Byte]('G', 'V', 'I', 'D')
@@ -126,12 +175,8 @@ object VideoDedup {
     */
   def videoDupPairs(hashes: DataFrame,
       minMatchFrac: Double = MinMatchFrac): DataFrame = {
-    val bandBits = 64 / MediaDedup.Bands
-    val banded = hashes.select(col("video_id"), col("slot"), col("fhash"),
-        explode(sequence(lit(0), lit(MediaDedup.Bands - 1))).as("band"))
-      .withColumn("key",
-        expr(s"shiftrightunsigned(fhash, band * $bandBits)")
-          .bitwiseAND(lit((1L << bandBits) - 1)))
+    val banded = withFrameBandKey(
+      hashes.select(col("video_id"), col("slot"), col("fhash")))
     val a = banded.select(col("band"), col("key"),
       col("video_id").as("video_a"), col("slot").as("slot_a"),
       col("fhash").as("ha"))
@@ -269,13 +314,8 @@ object VideoDedup {
   def incrementalVideoDupPairs(corpusHashes: DataFrame,
       batchHashes: DataFrame,
       minMatchFrac: Double = MinMatchFrac): DataFrame = {
-    val bandBits = 64 / MediaDedup.Bands
-    def banded(df: DataFrame) =
-      df.select(col("video_id"), col("slot"), col("fhash"),
-          explode(sequence(lit(0), lit(MediaDedup.Bands - 1))).as("band"))
-        .withColumn("key",
-          expr(s"shiftrightunsigned(fhash, band * $bandBits)")
-            .bitwiseAND(lit((1L << bandBits) - 1)))
+    def banded(df: DataFrame) = withFrameBandKey(
+      df.select(col("video_id"), col("slot"), col("fhash")))
     val bNew = banded(batchHashes)
     val bAll = banded(corpusHashes).withColumn("is_new", lit(false))
       .unionByName(bNew.withColumn("is_new", lit(true)))

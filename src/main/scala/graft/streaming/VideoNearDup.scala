@@ -56,7 +56,8 @@ case class PairSlots(maskA: Long, maskB: Long, emitted: Boolean,
   *   1. frame stage — [[MediaNearDup]]'s shape verbatim: each
   *      arriving video is decoded and frame-hashed ONCE
   *      (stride-sampled ≤ 16 slots; rasters never enter state), each
-  *      sampled frame's 4 banded keys probe per-bucket rings of
+  *      sampled frame's banded keys ([[VideoDedup.frameBandLayout]],
+  *      3×21 bits default) probe per-bucket rings of
   *      recent frames, collisions verify with exact Hamming
   *      in-stream and emit [[FrameHit]]s. The video's own slot count
   *      rides on every row, so the pair stage needs no side lookup.
@@ -175,8 +176,6 @@ object VideoNearDup {
     // argument as above — a hit's ts is within one horizon of the
     // frame stream's max event time by construction.
     spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
-    val bands = MediaDedup.Bands
-    val bandBits = 64 / bands
     val horizonMs = NearDup.intervalMillis(horizon)
 
     val hashed = media.select(col("doc_id"), col("mime"), col("media"),
@@ -206,12 +205,10 @@ object VideoNearDup {
         }
       }.toDF("video_id", "slot", "nslots", "fhash", "ts")
 
-    val banded = hashed
-      .select(col("video_id"), col("slot"), col("nslots"), col("fhash"),
-        col("ts"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("key",
-        expr(s"shiftrightunsigned(fhash, band * $bandBits)")
-          .bitwiseAND(lit((1L << bandBits) - 1)))
+    // frame bucket keys under the shared [[VideoDedup.frameBandLayout]]
+    // (3×21 default — same collision-pressure argument as the batch
+    // path, and smaller per-bucket rings here)
+    val banded = VideoDedup.withFrameBandKey(hashed)
       .withWatermark("ts", horizon)
       .select(col("band"), col("key"), col("video_id").as("videoId"),
         col("slot"), col("nslots"), col("fhash"), col("ts"))

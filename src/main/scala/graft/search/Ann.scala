@@ -853,6 +853,13 @@ object Ann {
     * quadratic there: 25M pairs ≈ 5k vectors keeps the DuckDB side
     * in seconds (measured at sf0.1's 4M pairs — SWEEP_r12).
     * Override with `spark.graft.exactKnnPairLimit`.
+    *
+    * Kept at 25M after the round-13 one-pass-sort fix (the Spark
+    * materialized path is ~1.94× faster, which alone would afford
+    * ~50M): the bound prices the ORACLE's n² DuckDB join too, and
+    * that side gains nothing from a Spark plan fix — doubling the
+    * regime would double verify-time oracle cost at the boundary for
+    * no checked-surface gain (SWEEP_r13 knn_kernel_pricing).
     */
   def exactKnnPairLimit(s: SparkSession): Long =
     s.conf.getOption("spark.graft.exactKnnPairLimit")
@@ -919,6 +926,19 @@ object Ann {
     * 1.0 s after). Hashing on query_id also IS the window's required
     * distribution, so the per-query top-k sorts locally with no
     * second shuffle of the n² pair stream.
+    *
+    * Kernel pricing (round 13, KnnKernelProbe — the r12 "residual
+    * ~0.8 µs/pair" question, closed by measurement): a packed-
+    * BinaryType spelling ([[graft.functions.PackFloats]] +
+    * [[graft.functions.CosineSimilarityPacked]], bit-identical
+    * arithmetic) was built and measured at the SAME sort shape —
+    * 2.775 s vs this array spelling's 2.714 s over 4M pairs
+    * (kernel-only: array 0.16 vs packed 0.19 µs/pair). The array
+    * kernel KEEPS: UnsafeArrayData float access is already flat, and
+    * packing only adds a prep projection. What the probe DID find
+    * was the final orderBy executing the n² pipeline twice on every
+    * materialized run — fixed below; the operator's collect/write
+    * path is 1.94× faster round-over-round (5.37 → 2.71 s).
     */
   def exactKnnPairs(corpus: DataFrame, queries: DataFrame,
       k: Int = K): DataFrame = {
@@ -936,7 +956,13 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"), col("rank"))
-      .orderBy("query_id", "rank")
+      // Global (query_id, rank) order WITHOUT a range sort: orderBy
+      // samples its child to pick range bounds, which executes the
+      // whole n² join+window pipeline TWICE (measured ~2× on this
+      // operator — SWEEP_r13 knn_kernel_pricing). The top-k output
+      // is ≤ k·|queries| rows, so one single-partition shuffle +
+      // local sort delivers the same total order in one pass.
+      .repartition(1).sortWithinPartitions("query_id", "rank")
   }
 
   private def q134ExactOk(s: SparkSession, d: String): Boolean =

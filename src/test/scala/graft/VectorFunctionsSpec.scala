@@ -49,6 +49,30 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got.head.isNullAt(0))
   }
 
+  test("cosine_sim_packed over pack_floats is BIT-identical to " +
+      "cosine_sim, including zero-norm and length-mismatch semantics") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(100)((
+      Seq.fill(64)(rnd.nextFloat() * 10 - 5),
+      Seq.fill(64)(rnd.nextFloat() * 10 - 5))) ++ Seq(
+      (Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),  // zero norm -> 0.0
+      (Seq(1f, 2f, 3f, 4f), Seq(1f, 2f)))  // common prefix only
+    val got = cases.toDF("a", "b")
+      .select(cosine_sim($"a", $"b").as("plain"),
+        cosine_sim_packed(pack_floats($"a"), pack_floats($"b"))
+          .as("packed"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (p, k) =>
+      // same arithmetic order, so exact equality — not epsilon
+      assert(java.lang.Double.doubleToRawLongBits(p) ==
+        java.lang.Double.doubleToRawLongBits(k), s"$p != $k")
+    }
+    // pack_floats payload shape: 4 bytes per element, no header
+    val lens = Seq(Seq(1f, 2f, 3f)).toDF("a")
+      .select(length(pack_floats($"a"))).as[Int].collect()
+    assert(lens.head == 12)
+  }
+
   test("dot_product equals cosine on pre-normalized embedding vectors") {
     val df = Tables.embeddings(spark, sfTiny).limit(20)
     val norm = df.select(col("vec_id"),

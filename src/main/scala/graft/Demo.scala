@@ -254,6 +254,40 @@ object Demo {
       "in-horizon original")
     streamPairs.show()
     streamQ.stop()
+    // 5b. the VIDEO arm of the same stream tier (q156's frame
+    //     hashes; two chained stateful stages, per-pair state = two
+    //     Long slot bitmasks): a TRIMMED copy of a video upload —
+    //     byte-distinct container, first two frames cut — is caught
+    //     in-stream, and the max-fraction rule scores it 1.0 (all of
+    //     the shorter side's slots match). The operator sets two
+    //     session streaming confs while its query runs and restores
+    //     them at termination; the image query above is stopped, so
+    //     the session is quiet as required.
+    val vidUploads =
+      MemoryStream[(Long, String, Array[Byte], java.sql.Timestamp)](spark)
+    val vidQ = streaming.VideoNearDup.videoNearDupStream(
+        vidUploads.toDF().toDF("doc_id", "mime", "media", "ts"),
+        horizon = "10 minutes")
+      .writeStream.format("memory").queryName("demo_video_stream")
+      .outputMode("append").start()
+    val origVid = mm.VideoDedup.syntheticVideo(40L)
+    vidUploads.addData(
+      (400L, "video/x-graft", origVid, new java.sql.Timestamp(1000L * 60)),
+      (401L, "video/x-graft", mm.VideoDedup.syntheticVideo(41L),
+        new java.sql.Timestamp(1000L * 61)))
+    vidQ.processAllAvailable()
+    val trimmedVid = mm.VideoDedup.encodeVideo(
+      mm.VideoDedup.decodeVideoFrames(origVid).get.drop(2))
+    vidUploads.addData((402L, "video/x-graft", trimmedVid,
+      new java.sql.Timestamp(1000L * 120)))
+    vidQ.processAllAvailable()
+    println("video stream probe: the trimmed upload pairs with its " +
+      "in-horizon original (fewer slots, all matching -> " +
+      "match_frac 1.0); the unrelated video stays unpaired")
+    spark.table("demo_video_stream")
+      .select("video_a", "video_b", "matched_b", "slots_a", "slots_b",
+        "match_frac").show()
+    vidQ.stop()
     // 6. the decision surface: every pair source folds through
     //    hash-min connected components into cluster labels; the
     //    min-id member per cluster is the keeper (q155's pass) —

@@ -41,6 +41,15 @@ object VideoStreamProbe {
     val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
     val k = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The pair-state pressure dial (SWEEP_r13 video_stream_probe
+    // named it): the STREAM hit bar can sit tighter than the batch
+    // tier's MaxHamming — the match-frac bar tolerates a minority of
+    // per-frame misses, and every spurious frame hit that clears the
+    // bar opens a pair-state row that lives a full horizon. This env
+    // lets one probe run price the trade: pair-stage rows vs emitted
+    // pairs at a tighter bar.
+    val streamHamming = sys.env.get("SPARK_GRAFT_STREAM_HAMMING")
+      .map(_.toInt).getOrElse(MediaDedup.MaxHamming)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,7 +86,7 @@ object VideoStreamProbe {
       val name = s"video_stream_probe_$reps"
       val q = streaming.VideoNearDup.videoNearDupStream(
           input.toDF().toDF("doc_id", "mime", "media", "ts"),
-          horizon = "1 hour")
+          horizon = "1 hour", maxHamming = streamHamming)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
@@ -111,7 +120,7 @@ object VideoStreamProbe {
           if (warmVids == 0) 0.0 else warmVids / (warmNanos / 1e9)
         val rowsJson = maxRowsByOp.toSeq.sortBy(_._1)
           .map { case (kk, v) => s""""$kk":$v""" }.mkString("{", ",", "}")
-        println(f"""PROBE_JSON {"op":"stream_video_neardup","sf":"$sfDir","replicate":$reps,"videos":${vids.length},"batches":${groups.length},"warm_videos":$warmVids,"videos_per_sec":$vidsPerSec%.1f,"max_state_rows":$rowsJson,"max_state_bytes":$maxBytes,"emitted_pairs":$pairs}""")
+        println(f"""PROBE_JSON {"op":"stream_video_neardup","sf":"$sfDir","replicate":$reps,"videos":${vids.length},"batches":${groups.length},"max_hamming":$streamHamming,"warm_videos":$warmVids,"videos_per_sec":$vidsPerSec%.1f,"max_state_rows":$rowsJson,"max_state_bytes":$maxBytes,"emitted_pairs":$pairs}""")
       } finally q.stop()
     }
     spark.stop()

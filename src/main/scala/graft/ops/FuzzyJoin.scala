@@ -227,11 +227,25 @@ object FuzzyJoin {
     // sweep that "broadcast" is a >1 GB driver collect that aborts
     // the job (spark.driver.maxResultSize). The hint pins the
     // correct co-partitioned hash join on (block, vh).
-    val cand = variants
-      .join(variants.select(col("block"), col("vh"),
-        col("id").as("id_b")).hint("shuffle_hash"), Seq("block", "vh"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
+    //
+    // Both sides are Dataset ALIASES of the same `variants` plan, so
+    // the two shuffle exchanges are sameResult and ReuseExchange
+    // computes the explode + xxhash64 + shuffle-write ONCE — the
+    // prior spelling renamed id→id_b BELOW the exchange, which broke
+    // sameResult and ran the ~80× explode twice, once per join side
+    // (two ~equal 96-task CPU-bound map stages, ~75% of the query's
+    // task time — StageProbe r13). Two rejected alternatives from
+    // the same probe session: localCheckpoint between explode and
+    // join (trades recompute for a serial materialize+rescan, no
+    // wall win at 1×), and collect_set + intra-group pair-gen (one
+    // pass at 1×, but ObjectHashAggregate's sort-based fallback
+    // fires at 128 distinct keys, and sorting the 48M-row variant
+    // stream measured 240 s at the 10× sweep vs the join's 27.5).
+    val cand = variants.as("a")
+      .join(variants.as("b").hint("shuffle_hash"),
+        col("a.block") === col("b.block") && col("a.vh") === col("b.vh"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
       .join(s.select(col("id").as("id_a"), col("str").as("str_a"),

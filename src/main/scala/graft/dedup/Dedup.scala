@@ -292,21 +292,27 @@ object Dedup {
     //    prefix, discarding the mid-similarity bulk before the exact
     //    verify join.
     // Token sets re-attach by key only for surviving candidates.
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-      col("pref").as("pref_a"), col("bh").as("bh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-      col("pref").as("pref_b"), col("bh").as("bh_b"))
+    //
+    // Dataset ALIASES of the one banded plan, so the two bucket-key
+    // exchanges are sameResult and ReuseExchange computes the
+    // tokenize → minhash → band pipeline and its shuffle-write ONCE;
+    // renaming doc_id→doc_a/doc_b BELOW the exchange (the prior
+    // spelling) breaks sameResult and runs the signature pass twice,
+    // once per join side (the q124 lesson, applied to the family's
+    // most expensive upstream).
     val estJaccard =
-      sig_matches(col("pref_a"), col("pref_b")).cast("double") / prefLen
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(least(col("sz_a"), col("sz_b")) >=
-        greatest(col("sz_a"), col("sz_b")) * threshold)
-      .filter(first_equal_band(col("bh_a"), col("bh_b"), bands) === col("band"))
+      sig_matches(col("p.pref"), col("q.pref")).cast("double") / prefLen
+    banded.as("p")
+      .join(banded.as("q"),
+        col("p.band") === col("q.band") &&
+          col("p.band_hash") === col("q.band_hash"))
+      .filter(col("p.doc_id") < col("q.doc_id"))
+      .filter(least(col("p.sz"), col("q.sz")) >=
+        greatest(col("p.sz"), col("q.sz")) * threshold)
+      .filter(first_equal_band(col("p.bh"), col("q.bh"), bands)
+        === col("p.band"))
       .filter(estJaccard >= threshold - 0.25)
-      .select("doc_a", "doc_b")
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
   }
 
   /** Incremental near-dup: verified pairs TOUCHING A NEW BATCH —
@@ -407,22 +413,23 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "band_val")))
-    val a = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
+    // aliases of the one banded plan → ReuseExchange computes the
+    // tokenize+simhash pass once (the q124/candidatePairs lesson)
+    banded.as("p")
+      .join(banded.as("q"),
+        col("p.band") === col("q.band") &&
+          col("p.band_val") === col("q.band_val"))
+      .filter(col("p.doc_id") < col("q.doc_id"))
       // first-match-band dedup (q31's trick, packed-signature form):
       // a pair colliding in m bands survives only in its first shared
       // band, so the `distinct` over the pair blowup — and the extra
       // shuffle it cost — disappears; dedup pipelines inside the join
       // stage itself.
-      .filter(first_equal_packed_band(col("sig_a"), col("sig_b"),
-        bands = 4, bandBits = 16) === col("band"))
-      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(first_equal_packed_band(col("p.sig"), col("q.sig"),
+        bands = 4, bandBits = 16) === col("p.band"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+        hamming64(col("p.sig"), col("q.sig")).as("hamming"))
       .filter(col("hamming") <= 8)
-      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -585,13 +592,16 @@ object Dedup {
             .bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "band_val")))
     val keep =
-      if (symmetric) col("id_a") =!= col("id_b")
-      else col("id_a") < col("id_b")
-    banded.select(col("band"), col("band_val"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("band_val"),
-        col("id").as("id_b")), Seq("band", "band_val"))
+      if (symmetric) col("p.id") =!= col("q.id")
+      else col("p.id") < col("q.id")
+    // aliases of the one banded plan → ReuseExchange computes the
+    // hyperplane signatures once, not once per join side (q124)
+    banded.as("p")
+      .join(banded.as("q"), col("p.band") === col("q.band") &&
+        col("p.band_val") === col("q.band_val"))
       .filter(keep)
-      .select("id_a", "id_b").distinct()
+      .select(col("p.id").as("id_a"), col("q.id").as("id_b"))
+      .distinct()
   }
 
   /** [[lshCosinePairs]] with banding taken from the session conf

@@ -93,20 +93,19 @@ object SetSimJoin {
           // integers (never shorter than the rational bound requires)
           (size(col("ord")) - ceilT(size(col("ord"))) + 1)
             .cast("int"))).as("tok"))
-    val a = pref.select(col("tok"), col("doc_id").as("doc_a"),
-      col("sz").as("sa"))
-    val b = pref.select(col("tok"), col("doc_id").as("doc_b"),
-      col("sz").as("sb"))
     // candidates: share a prefix token + length bound derived from t
     // (J >= t forces min >= t*max, since J <= min/max for sets) in
     // scaled integers: sb*den >= sa*num is implied by sb >= sa*t;
     // distinct before the verify join so a pair sharing k prefix
-    // tokens verifies once
-    a.join(b, "tok")
-      .filter(col("doc_a") < col("doc_b") &&
-        col("sb").cast("long") * den >= col("sa").cast("long") * num &&
-        col("sa").cast("long") * den >= col("sb").cast("long") * num)
-      .select("doc_a", "doc_b").distinct()
+    // tokens verifies once. Dataset ALIASES of the one pref plan →
+    // ReuseExchange computes the df-sort + prefix pipeline once, not
+    // once per join side (the q124 lesson).
+    pref.as("p").join(pref.as("q"), col("p.tok") === col("q.tok"))
+      .filter(col("p.doc_id") < col("q.doc_id") &&
+        col("q.sz").cast("long") * den >= col("p.sz").cast("long") * num &&
+        col("p.sz").cast("long") * den >= col("q.sz").cast("long") * num)
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** All pairs (doc_a < doc_b) with word-set Jaccard ≥ `t` over

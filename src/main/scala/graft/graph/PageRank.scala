@@ -1,6 +1,6 @@
 package graft.graph
 
-import graft.{QueryDef, Tables}
+import graft.QueryDef
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -134,15 +134,8 @@ object PageRank {
         " SELECT node, rank FROM r3 ORDER BY node")
         .stripMargin.replaceAll("\n", "")
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_linenumber", "l_partkey")
-      val l2 = li.select(col("l_orderkey"),
-        col("l_linenumber").as("ln2"), col("l_partkey").as("dst"))
-      val edges = li
-        .join(l2, li("l_orderkey") === l2("l_orderkey") &&
-          l2("ln2") === li("l_linenumber") + 1)
-        .groupBy(li("l_partkey").as("src"), col("dst"))
-        .agg(count(lit(1)).as("w"))
+      val edges = Triangles.adjacentPartPairs(s, d)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       pageRank(edges).orderBy("node")
     }
   }
@@ -208,15 +201,8 @@ object PageRank {
         " SELECT node, rank FROM r3 ORDER BY node")
         .stripMargin.replaceAll("\n", "")
     ) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_linenumber", "l_partkey")
-      val l2 = li.select(col("l_orderkey"),
-        col("l_linenumber").as("ln2"), col("l_partkey").as("dst"))
-      val edges = li
-        .join(l2, li("l_orderkey") === l2("l_orderkey") &&
-          l2("ln2") === li("l_linenumber") + 1)
-        .groupBy(li("l_partkey").as("src"), col("dst"))
-        .agg(count(lit(1)).as("w"))
+      val edges = Triangles.adjacentPartPairs(s, d)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       trustRank(edges).orderBy("node")
     }
   }

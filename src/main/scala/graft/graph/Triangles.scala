@@ -53,13 +53,17 @@ object Triangles {
       .localCheckpoint()
     // wedges at each center: unordered out-neighbor pairs, emitted
     // canonically (va < vb by id) so the closure join hits the
-    // canonical edge table directly
-    val d1 = oriented.select(col("src"), col("dst").as("v1"))
-    val d2 = oriented.select(col("src"), col("dst").as("v2"))
-    val wedges = d1.join(d2, "src").filter(col("v1") =!= col("v2"))
-      .select(col("src"),
-        least(col("v1"), col("v2")).as("va"),
-        greatest(col("v1"), col("v2")).as("vb"))
+    // canonical edge table directly. Dataset ALIASES of the one
+    // oriented plan, so the two src-keyed exchanges are sameResult
+    // and ReuseExchange shuffles the edge stream once (renaming dst
+    // below the exchange — the prior spelling — breaks the reuse;
+    // the q124 lesson applied here)
+    val wedges = oriented.as("p")
+      .join(oriented.as("q"), col("p.src") === col("q.src"))
+      .filter(col("p.dst") =!= col("q.dst"))
+      .select(col("p.src").as("src"),
+        least(col("p.dst"), col("q.dst")).as("va"),
+        greatest(col("p.dst"), col("q.dst")).as("vb"))
       // each unordered pair appears twice out of the self-join
       .distinct()
     val tris = wedges.join(e,
@@ -78,6 +82,38 @@ object Triangles {
           .otherwise(lit(0.0d)).as("clustering"))
   }
 
+  /** Directed adjacent-part pairs (src, dst) — parts on CONSECUTIVE
+    * line numbers of one order, the edge derivation every
+    * co-purchase graph query starts from (q81/q122/q126/q146/q148).
+    *
+    * One lineitem scan + ONE shuffle, not two: both join sides are
+    * Dataset aliases of the same projection, and the adjacency
+    * condition is spelled `(y.ln − x.ln) = 1` — an equality whose
+    * left side references BOTH join sides, so ExtractEquiJoinKeys
+    * cannot lift it into the hash keys (spelled `y.ln = x.ln + 1` it
+    * becomes a key and the two exchanges hash DIFFERENT expressions,
+    * breaking sameResult). With the key pinned to l_orderkey alone
+    * the exchanges are identical and ReuseExchange scans + shuffles
+    * lineitem once; the adjacency check runs as the join filter over
+    * each order's ≤ 7×7 line combos — bounded fanout, no pair
+    * materialization.
+    *
+    * NOT a window `lead`: this testdata's (l_orderkey, l_linenumber)
+    * is NOT unique (~12k duplicate keys at sf0.01), and the +1 join
+    * pairs every duplicate cross-wise where lead chains one path —
+    * measured as 5 hash-red graph queries before reverting.
+    */
+  def adjacentPartPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    li.as("x")
+      .join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("y.l_linenumber") - col("x.l_linenumber") === 1)
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+  }
+
   /** q122 — triangle census of the co-purchase graph (same edge
     * derivation as q81's PageRank: parts adjacent on an order's line
     * sequence), undirected and de-duplicated. The oracle spells the
@@ -89,19 +125,12 @@ object Triangles {
     * of q81's PageRank edge list. Shared by q122 and q126.
     */
   def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_linenumber", "l_partkey")
-    val l2 = li.select(col("l_orderkey"),
-      col("l_linenumber").as("ln2"), col("l_partkey").as("pb"))
-    li.join(l2, li("l_orderkey") === l2("l_orderkey") &&
-        l2("ln2") === li("l_linenumber") + 1)
-      .select(li("l_partkey").as("pa"), col("pb"))
-      .filter(col("pa") =!= col("pb"))
-      .select(least(col("pa"), col("pb")).as("a"),
-        greatest(col("pa"), col("pb")).as("b"))
+      d: String): DataFrame =
+    adjacentPartPairs(s, d)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
       .distinct()
-  }
 
   val trianglesQ: QueryDef = QueryDef.sql(
     "q122_triangles",

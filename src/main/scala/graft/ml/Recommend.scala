@@ -331,11 +331,14 @@ object Recommend {
     // both directions come out of ONE join pass (`=!=`, not `<` +
     // re-symmetrizing union: a union's branches each re-evaluate the
     // shared pair pipeline) — 2× pair rows through one shuffle beats
-    // the whole upstream computed twice
-    val pairs = up.select(col("user_id"), col("p").as("pa"))
-      .join(up.select(col("user_id"), col("p").as("pb")), "user_id")
-      .filter(col("pa") =!= col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+    // the whole upstream computed twice. Dataset ALIASES of the one
+    // up plan → ReuseExchange computes the whale-cap window once,
+    // not once per join side (the q124 lesson).
+    val pairs = up.as("l")
+      .join(up.as("r"), col("l.user_id") === col("r.user_id"))
+      .filter(col("l.p") =!= col("r.p"))
+      .groupBy(col("l.p").as("pa"), col("r.p").as("pb"))
+      .agg(count(lit(1)).as("cab"))
     val sims = pairs
       .join(broadcast(cnt.select(col("p").as("pa"), col("c").as("ca"))),
         "pa")

@@ -145,12 +145,16 @@ object MediaDedup {
       .withColumn("key",
         expr(s"shiftrightunsigned(phash, band * $bandBits)")
           .bitwiseAND(lit((1L << bandBits) - 1)))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("phash").as("ha"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("phash").as("hb"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
+    // aliases of the one banded plan → ReuseExchange bands and
+    // shuffles the hash table once, not once per join side (the
+    // q124 lesson; the hash table is usually served from cache, so
+    // the saved work here is the duplicate explode + shuffle-write)
+    banded.as("p")
+      .join(banded.as("q"), col("p.band") === col("q.band") &&
+        col("p.key") === col("q.key"))
+      .filter(col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+        col("p.phash").as("ha"), col("q.phash").as("hb"))
       // multi-band collisions dedup at candidate cardinality
       .groupBy("doc_a", "doc_b").agg(first("ha").as("ha"),
         first("hb").as("hb"))

@@ -177,14 +177,15 @@ object VideoDedup {
       minMatchFrac: Double = MinMatchFrac): DataFrame = {
     val banded = withFrameBandKey(
       hashes.select(col("video_id"), col("slot"), col("fhash")))
-    val a = banded.select(col("band"), col("key"),
-      col("video_id").as("video_a"), col("slot").as("slot_a"),
-      col("fhash").as("ha"))
-    val b = banded.select(col("band"), col("key"),
-      col("video_id").as("video_b"), col("slot").as("slot_b"),
-      col("fhash").as("hb"))
-    val framePairs = a.join(b, Seq("band", "key"))
-      .filter(col("video_a") < col("video_b"))
+    // aliases of the one banded plan → ReuseExchange bands and
+    // shuffles the frame table once, not once per join side
+    val framePairs = banded.as("p")
+      .join(banded.as("q"), col("p.band") === col("q.band") &&
+        col("p.key") === col("q.key"))
+      .filter(col("p.video_id") < col("q.video_id"))
+      .select(col("p.video_id").as("video_a"), col("p.slot").as("slot_a"),
+        col("q.video_id").as("video_b"), col("q.slot").as("slot_b"),
+        col("p.fhash").as("ha"), col("q.fhash").as("hb"))
       // multi-band collisions dedup at candidate cardinality
       .groupBy("video_a", "slot_a", "video_b", "slot_b")
       .agg(first("ha").as("ha"), first("hb").as("hb"))

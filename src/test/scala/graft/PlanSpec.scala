@@ -557,6 +557,33 @@ class PlanSpec extends SparkSpec {
       "embedding column crosses an exchange:\n" + p)
   }
 
+  test("graph edge derivation: the lineitem self-join reuses one " +
+      "scan+shuffle for both sides (the q124 ReuseExchange lesson)") {
+    // the adjacency condition is spelled (y.ln - x.ln) = 1 so it
+    // stays a join FILTER: as an extractable equi key the two
+    // exchanges would hash different expressions (ln vs ln+1) and
+    // lose sameResult. At spec scale the planner rightly BROADCASTS
+    // one side (no duplicated shuffle exists on that plan) — the pin
+    // targets the AT-SCALE plan, so force the shuffle join and
+    // assert the reuse. Reuse is a RUNTIME fact under AQE — collect
+    // first, then read the final adaptive plan.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prior = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val e = graph.Triangles.adjacentPartPairs(spark, sfSmall)
+      e.collect()
+      val p = plan(e)
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        "both self-join sides planned their own lineitem scan+shuffle:\n"
+          + p)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q148: the per-round LPA join consumes the cached edge table " +
       "in place — no re-exchange of (src, dst, w)") {
     // one round over the edge table exactly as labelPropagation

@@ -37,25 +37,18 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   * can be audited at other dirs by passing the dir).
   */
 object PlanAudit {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // static plans: AdaptiveSparkPlanExec hides the sort/exchange
-      // tree behind unevaluated query stages until execution
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** (query, severity) per global SortExec across every registered
+    * query's static plan. Requires a session with AQE OFF (the
+    * adaptive wrapper hides the sort/exchange tree behind
+    * unevaluated query stages until execution); the main below
+    * builds one, and PlanAuditSpec toggles the shared spec session.
+    */
+  def globalSortFindings(spark: SparkSession, sfDir: String)
+      : Seq[(String, String)] = {
     def hasShuffleBelow(p: SparkPlan): Boolean =
       p.exists { case _: ShuffleExchangeLike => true; case _ => false }
-
-    val findings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val sorts =
           try {
@@ -78,6 +71,24 @@ object PlanAudit {
           (name, sev)
         }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // static plans: AdaptiveSparkPlanExec hides the sort/exchange
+      // tree behind unevaluated query stages until execution
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val findings = globalSortFindings(spark, sfDir)
     val bad = findings.filter(_._2 == "reexecutes_all")
     val mild = findings.filter(_._2 == "reexecutes_last_stage")
     def arr(xs: Seq[(String, String)]): String =

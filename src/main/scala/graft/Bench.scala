@@ -20,8 +20,10 @@ object Bench {
     // judge time went to re-deriving "driver run was 1.38x a quiet
     // run = host load, not regression" by hand. The artifact now
     // carries its own calibration token: the wall seconds of a FIXED
-    // single-core integer loop (LCG, 1.5e9 iterations — ~1.3 s on
-    // this host idle), measured before and after the query sweep,
+    // single-core integer loop (LCG, 1.5e9 iterations — ~1.9 s on
+    // the round-13 host at loadavg 0; the figure is host-specific,
+    // which is the point: compare calibrations, not an absolute),
+    // measured before and after the query sweep,
     // plus /proc/loadavg at both points. A loaded host inflates the
     // calibration time by roughly the same factor it inflates the
     // query times, so two artifacts are comparable after dividing by

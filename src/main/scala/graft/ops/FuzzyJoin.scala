@@ -240,7 +240,9 @@ object FuzzyJoin {
     // wall win at 1×), and collect_set + intra-group pair-gen (one
     // pass at 1×, but ObjectHashAggregate's sort-based fallback
     // fires at 128 distinct keys, and sorting the 48M-row variant
-    // stream measured 240 s at the 10× sweep vs the join's 27.5).
+    // stream measured 240 s at the 10× sweep vs ~35 s for the join
+    // on the SAME loaded host session — the quiet-host join figure
+    // was 27.5 s, not comparable across sessions; SWEEP_r13).
     val cand = variants.as("a")
       .join(variants.as("b").hint("shuffle_hash"),
         col("a.block") === col("b.block") && col("a.vh") === col("b.vh"))

@@ -45,6 +45,32 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unknown" }
+    // Per-query-slot provenance (round-13 verdict item 1): the
+    // start/end calibration pair has a MID-RUN blind spot — the r13
+    // driver run read calibration ~1.05× while a load spike that
+    // arrived and left between the two tokens inflated q110–q114 by
+    // 5–22×, and attribution cost a judge session. Every query slot
+    // now records the 1-minute loadavg and a ~100 ms calibration tick
+    // (same LCG loop, 1/20 the iterations) taken just before its
+    // reps, so a spike is attributable to the exact slots it touched
+    // from the artifact alone. ~0.1 s × 159 slots ≈ 16 s of wall
+    // overhead, none of it billed to any query.
+    def tick(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 75000000L) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.print("")
+      sec
+    }
+    def load1(): String = loadavg().split(" ").head match {
+      case "unknown" => "null"
+      case v => v
+    }
     val calibStart = calibrate()
     val loadStart = loadavg()
     val SpreadBound = 4.0
@@ -120,6 +146,8 @@ object Bench {
     // otherwise absorbs JVM/codegen warmup for a random victim).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => wanted(q._1)).map { case (name, fn) =>
+      val slotLoad1 = load1()
+      val slotTick = tick()
       val warm = isWarm(name)
       if (warm)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -145,27 +173,33 @@ object Bench {
       if (warmReps.max > SpreadFloorSec &&
           warmReps.max / math.max(warmReps.min, 1e-9) > SpreadBound)
         times = times ++ (1 to ExtraRepBudget).map(_ => once(fn))
-      name -> (times, warm, times.size - n)
+      name -> ((times, warm, times.size - n, slotLoad1, slotTick))
     }
     // Locale.ROOT keeps the artifact valid JSON on comma-decimal
     // default locales.
     def f(d: Double): String = String.format(java.util.Locale.ROOT,
       "%.4f", java.lang.Double.valueOf(d))
-    val qs = results.map { case (k, (ts, _, _)) => s"\"$k\":${f(ts.min)}" }
-      .mkString("{", ",", "}")
-    val runs = results.map { case (k, (ts, warm, extra)) =>
+    val qs = results.map { case (k, (ts, _, _, _, _)) =>
+      s"\"$k\":${f(ts.min)}"
+    }.mkString("{", ",", "}")
+    val runs = results.map { case (k, (ts, warm, extra, sl1, stick)) =>
       val wr = if (warm || ts.size == 1) ts else ts.tail
       val spread = wr.max / math.max(wr.min, 1e-9)
       // cold = plan/codegen-compilation rep; warm-family queries
       // paid that in the untimed warmup, so they have no cold rep
       val cold = if (warm) "null" else f(ts.head)
+      // load1_slot/calib_tick_sec: host state sampled at THIS slot's
+      // start — a mid-run load spike shows up as elevated values on
+      // exactly the slots it inflated (README "bench protocol")
       s"""\"$k\":{"cold":$cold,"min":${f(ts.min)},""" +
         s""""median":${f(median(ts))},"max":${f(ts.max)},""" +
         s""""warm_spread":${f(spread)},"n":${ts.size},""" +
-        s""""extra_reps":$extra,"warmed":$warm}"""
+        s""""extra_reps":$extra,"warmed":$warm,""" +
+        s""""load1_slot":$sl1,"calib_tick_sec":${f(stick)}}"""
     }.mkString("{", ",", "}")
-    val totalMin = results.map { case (_, (ts, _, _)) => ts.min }.sum
-    val totalMedian = results.map { case (_, (ts, _, _)) => median(ts) }.sum
+    val totalMin = results.map { case (_, (ts, _, _, _, _)) => ts.min }.sum
+    val totalMedian =
+      results.map { case (_, (ts, _, _, _, _)) => median(ts) }.sum
     val calibEnd = calibrate()
     val loadEnd = loadavg()
     val calibration =

@@ -57,8 +57,36 @@ def connect(sf_dir):
     return con
 
 
+def _preflight_map_count(sf_dir):
+    # Round-13 round-close flake: on a 124-GB-free host the sf0.1
+    # check died with kilobyte-block "bad allocation" until
+    # vm.max_map_count was raised 65530 -> 1048576 — DuckDB's
+    # allocator fragments the address space on q127-scale oracle
+    # joins and every later mmap ENOMEMs at the default map cap,
+    # regardless of free RAM. Warn up front when the sysctl is at
+    # default and the scale dir is big enough to hit it, so the
+    # failure is pre-attributed instead of read as an oracle bug.
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            cap = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    if cap > 65530:
+        return
+    total = sum(os.path.getsize(p)
+                for p in glob.glob(f"{sf_dir}/*.parquet"))
+    if total >= 100 * 1024 * 1024:  # ~sf0.1 and up
+        print(f"WARNING: vm.max_map_count={cap} (default) with a "
+              f"{total >> 20} MB scale dir - DuckDB can fail with "
+              f"'bad allocation' on kilobyte blocks despite free RAM "
+              f"(address-space map exhaustion). If this run fails that "
+              f"way, raise it: sysctl -w vm.max_map_count=1048576",
+              file=sys.stderr)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    _preflight_map_count(sf_dir)
     con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []

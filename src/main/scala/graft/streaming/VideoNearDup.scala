@@ -90,6 +90,21 @@ object VideoNearDup {
     * lineage; consumers dedup on the pair for exactly-once).
     * Non-video mimes and malformed containers drop out at the hash
     * stage.
+    *
+    * `maxHamming` is the pair-state pressure dial, and its curve is
+    * measured (SWEEP_r13 `stream_hamming_dial`, VideoStreamProbe at
+    * 1×/10×): the bar gates which frame hits OPEN pair state (the
+    * match-frac bar still gates emission), so tightening it prices
+    * state, not output — until it starts missing real frames. At the
+    * 10× corpus: bar 10 (default = the batch tier's
+    * [[MediaDedup.MaxHamming]], preserving the emits-what-batch-emits
+    * contract on arbitrary corpora) held 171,620 pair-state rows;
+    * **bar 6 halved that (87,023) at pair-for-pair emission parity**
+    * (4,999 = the batch ScaleSweep count, both scales); bar 4 cut
+    * 3.3× but dropped 2 of 4,999 planted pairs (some upscale/
+    * re-encode transforms exceed per-frame distance 4 on enough
+    * slots to miss the frac bar). A deployment seeing pair-state
+    * pressure should reach for 6 first.
     */
   def videoNearDupStream(media: DataFrame, horizon: String = "1 hour",
       bucketCap: Int = 64,

@@ -126,8 +126,7 @@ object Communities {
         " SELECT node, label AS community FROM l3 ORDER BY node")
         .stripMargin.replaceAll("\n", "")
     ) { (s, d) =>
-      val edges = Triangles.adjacentPartPairs(s, d)
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = Triangles.cachedWeightedEdges(s, d)
       labelPropagation(edges).orderBy("node")
     }
   }

@@ -144,7 +144,7 @@ object KCore {
     * a local reference peeler on seeded random graphs.
     */
   val kCoreQ: QueryDef = QueryDef.sql("q126_kcore", peelOracleSql) { (s, d) =>
-    val edges = Triangles.coPurchaseEdges(s, d).localCheckpoint()
+    val edges = Triangles.cachedUndirectedEdges(s, d)
     // SPARK_GRAFT_KCORE_VERBOSE=1 prints per-round weak/edge counts
     // and wall — the sweep's round-count instrumentation
     kCore(edges, adaptiveK(edges),

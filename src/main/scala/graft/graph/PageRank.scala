@@ -134,8 +134,7 @@ object PageRank {
         " SELECT node, rank FROM r3 ORDER BY node")
         .stripMargin.replaceAll("\n", "")
     ) { (s, d) =>
-      val edges = Triangles.adjacentPartPairs(s, d)
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = Triangles.cachedWeightedEdges(s, d)
       pageRank(edges).orderBy("node")
     }
   }
@@ -201,8 +200,7 @@ object PageRank {
         " SELECT node, rank FROM r3 ORDER BY node")
         .stripMargin.replaceAll("\n", "")
     ) { (s, d) =>
-      val edges = Triangles.adjacentPartPairs(s, d)
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = Triangles.cachedWeightedEdges(s, d)
       trustRank(edges).orderBy("node")
     }
   }

@@ -207,4 +207,26 @@ class GraphSpec extends SparkSpec {
     val c = communities(Seq((1L, 2L, 10L), (2L, 3L, 1L)), 1)
     assert(c == Map(1L -> 2L, 2L -> 1L, 3L -> 2L), c.toString)
   }
+
+  test("cached edge tables: built once per (session, dir), " +
+      "row-identical to the direct derivation") {
+    import graft.graph.Triangles
+    // same INSTANCE on repeat call — the five graph queries share
+    // one build (the r14 materialize-once discipline)
+    val w1 = Triangles.cachedWeightedEdges(spark, sfTiny)
+    val w2 = Triangles.cachedWeightedEdges(spark, sfTiny)
+    assert(w1 eq w2, "cachedWeightedEdges rebuilt on second call")
+    val u1 = Triangles.cachedUndirectedEdges(spark, sfTiny)
+    assert(u1 eq Triangles.cachedUndirectedEdges(spark, sfTiny),
+      "cachedUndirectedEdges rebuilt on second call")
+    // content parity with the uncached spelling (multiset equality
+    // via two-sided EXCEPT ALL)
+    val wd = Triangles.adjacentPartPairs(spark, sfTiny)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    assert(w1.exceptAll(wd).isEmpty && wd.exceptAll(w1).isEmpty,
+      "weighted cache diverges from direct derivation")
+    val ud = Triangles.coPurchaseEdges(spark, sfTiny)
+    assert(u1.exceptAll(ud).isEmpty && ud.exceptAll(u1).isEmpty,
+      "undirected cache diverges from direct derivation")
+  }
 }

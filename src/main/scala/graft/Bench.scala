@@ -153,11 +153,14 @@ object Bench {
     // otherwise absorbs JVM/codegen warmup for a random victim).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => wanted(q._1)).map { case (name, fn) =>
-      val slotLoad1 = load1()
-      val slotTick = tick()
       val warm = isWarm(name)
       if (warm)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // slot provenance AFTER the warm-family warmup (which can run
+      // many seconds), so the sample describes the host right as the
+      // MEASURED reps start
+      val slotLoad1 = load1()
+      val slotTick = tick()
       val n = if (warm) reps.max(5) else reps
       val base = (1 to n).map(_ => once(fn))
       // Rep 1 of a NON-warm query pays that query's plan/codegen

@@ -2,7 +2,7 @@
 """Attribute bench deltas between two bench.json artifacts.
 
 Usage: python3 tools/compare_bench.py <old_bench.json> <new_bench.json>
-       [--ratio 1.25] [--abs 0.05]
+       [--ratio=1.25] [--abs=0.05]
 
 For every query whose min moved by more than --ratio AND --abs in
 either direction, classify the move from the artifact's own

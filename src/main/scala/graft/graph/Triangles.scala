@@ -137,7 +137,10 @@ object Triangles {
   // testing artifact, not the production shape — at cluster scale
   // the edge table is MATERIALIZED once per corpus snapshot and
   // every graph job reads it (the cachedQuarterPairs / cachedIndex
-  // discipline, r14). Two derived views are cached per (session,
+  // discipline, r14). Cluster spelling: a WRITTEN table (or reliable
+  // checkpoint dir), not localCheckpoint — local checkpoint blocks
+  // die with their executors; the single-JVM local mode has no such
+  // failure domain, which is why the cheap spelling is correct here. Two derived views are cached per (session,
   // dir): weighted directed (src, dst, w) for the rank/propagation
   // family and canonical undirected (a, b) for the census/core
   // family. Both are aggregate outputs (unique part pairs — ~edge

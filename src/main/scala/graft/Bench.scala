@@ -71,8 +71,19 @@ object Bench {
       case "unknown" => "null"
       case v => v
     }
+    // tick() is a SEPARATE method from calibrate(), so its loop JITs
+    // independently — without this untimed warmup the first slots'
+    // ticks absorb interpreter/OSR cost and read host-suspect on an
+    // idle box (r14 ADVICE). One throwaway call pays it.
+    tick()
     val calibStart = calibrate()
     val loadStart = loadavg()
+    // Absolute tick floor: the tick loop is 1/20 of calibrate's, so
+    // calibStart/20 is what a tick SHOULD cost on this host at this
+    // run's starting load — recorded so compare_bench has a floor
+    // that survives a uniformly-loaded run (where the run's own min
+    // tick is itself inflated and everything reads idle).
+    val tickExpected = calibStart / 20.0
     val SpreadBound = 4.0
     val ExtraRepBudget = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "4").toInt
     // Sub-100ms queries live in scheduler-jitter territory where a
@@ -183,16 +194,24 @@ object Bench {
       if (warmReps.max > SpreadFloorSec &&
           warmReps.max / math.max(warmReps.min, 1e-9) > SpreadBound)
         times = times ++ (1 to ExtraRepBudget).map(_ => once(fn))
-      name -> ((times, warm, times.size - n, slotLoad1, slotTick))
+      // post-slot tick: a burst SHORTER than a slot lags both the
+      // 1-min loadavg and the pre-rep tick (r14's q01/q03/q98 cost
+      // manual re-measures); a tick on each side of the reps brackets
+      // the slot, and the per-rep walls below expose which reps a
+      // mid-slot burst actually hit
+      val slotTickEnd = tick()
+      name -> ((times, warm, times.size - n, slotLoad1, slotTick,
+        slotTickEnd))
     }
     // Locale.ROOT keeps the artifact valid JSON on comma-decimal
     // default locales.
     def f(d: Double): String = String.format(java.util.Locale.ROOT,
       "%.4f", java.lang.Double.valueOf(d))
-    val qs = results.map { case (k, (ts, _, _, _, _)) =>
+    val qs = results.map { case (k, (ts, _, _, _, _, _)) =>
       s"\"$k\":${f(ts.min)}"
     }.mkString("{", ",", "}")
-    val runs = results.map { case (k, (ts, warm, extra, sl1, stick)) =>
+    val runs = results.map {
+      case (k, (ts, warm, extra, sl1, stick, stickEnd)) =>
       val wr = if (warm || ts.size == 1) ts else ts.tail
       val spread = wr.max / math.max(wr.min, 1e-9)
       // cold = plan/codegen-compilation rep; warm-family queries
@@ -200,21 +219,28 @@ object Bench {
       val cold = if (warm) "null" else f(ts.head)
       // load1_slot/calib_tick_sec: host state sampled at THIS slot's
       // start — a mid-run load spike shows up as elevated values on
-      // exactly the slots it inflated (README "bench protocol")
+      // exactly the slots it inflated (README "bench protocol").
+      // reps_sec (every rep's wall, in run order) + calib_tick_end_sec
+      // let compare_bench flag a mover whose OWN reps disagree ≥2× as
+      // burst-suspect instead of code-suspect (r14 item 2).
       s"""\"$k\":{"cold":$cold,"min":${f(ts.min)},""" +
         s""""median":${f(median(ts))},"max":${f(ts.max)},""" +
         s""""warm_spread":${f(spread)},"n":${ts.size},""" +
         s""""extra_reps":$extra,"warmed":$warm,""" +
-        s""""load1_slot":$sl1,"calib_tick_sec":${f(stick)}}"""
+        s""""reps_sec":[${ts.map(f).mkString(",")}],""" +
+        s""""load1_slot":$sl1,"calib_tick_sec":${f(stick)},""" +
+        s""""calib_tick_end_sec":${f(stickEnd)}}"""
     }.mkString("{", ",", "}")
-    val totalMin = results.map { case (_, (ts, _, _, _, _)) => ts.min }.sum
+    val totalMin =
+      results.map { case (_, (ts, _, _, _, _, _)) => ts.min }.sum
     val totalMedian =
-      results.map { case (_, (ts, _, _, _, _)) => median(ts) }.sum
+      results.map { case (_, (ts, _, _, _, _, _)) => median(ts) }.sum
     val calibEnd = calibrate()
     val loadEnd = loadavg()
     val calibration =
       s""""calibration":{"single_core_sec_start":${f(calibStart)},""" +
         s""""single_core_sec_end":${f(calibEnd)},""" +
+        s""""calib_tick_expected_sec":${f(tickExpected)},""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     val json =
       s"""{"metric":"total","value":${f(totalMin)},"unit":"sec",""" +

@@ -87,17 +87,32 @@ object EdgeSpellProbe {
 
     val walls = scala.collection.mutable.Map[(String, String),
       Vector[Double]]().withDefaultValue(Vector.empty)
+    // q126's consumer localCheckpoints a fresh edge table every run;
+    // without a reclaim the checkpoint blocks accumulate across reps
+    // × 2 spellings and pressure storage memory, skewing late
+    // interleaved reps (r14 ADVICE). Unpersist whatever RDDs a run
+    // newly marked persistent once its count() completes.
+    def runOnce(mk: (SparkSession, String) => DataFrame,
+        body: DataFrame => DataFrame): Double = {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      body(mk(spark, sfDir)).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+      }
+      sec
+    }
     // one untimed warmup of each (consumer, spelling) so codegen /
     // scan caches are paid before the interleaved measured reps
     for ((cname, body) <- consumers; (sname, mk) <- spellings) {
-      body(mk(spark, sfDir)).count()
+      runOnce(mk, body)
       ()
     }
     for (_ <- 1 to reps; (cname, body) <- consumers;
          (sname, mk) <- spellings) {
-      val t0 = System.nanoTime()
-      body(mk(spark, sfDir)).count()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = runOnce(mk, body)
       walls((cname, sname)) = walls((cname, sname)) :+ sec
     }
     val loadEnd = load1()

@@ -216,7 +216,69 @@ object ScaleSweep {
     }
     val qs = results.map { case (n, t) => f""""$n":$t%.4f""" }
       .mkString("{", ",", "}")
-    println(s"""SWEEP_JSON {"replicate":$k,"reps":$reps,"queries":$qs}""")
+    // Streaming-tier entry (r14 verdict item 5): the batch and
+    // incremental media tiers have sweep points; the streaming video
+    // near-dup had probe curves (VideoStreamProbe) but no STANDING
+    // sweep entry, so a regression there was invisible to the
+    // round-close net. Same corpus generator as the probe (id-seeded
+    // originals + planted transformed copies, replica ids in the
+    // high bits so cross-replica content is unrelated and true pairs
+    // grow k×), driven through videoNearDupStream as MemoryStream
+    // micro-batches in a DEDICATED session (the operator mutates
+    // session streaming confs). Records warm-batch ingest throughput
+    // (batch 0 pays plan/codegen, excluded) and emitted pairs — the
+    // pair count is itself a correctness pin: it must equal the batch
+    // tier's planted-pair count at this scale.
+    val streamJson = if (!wanted("stream_video_neardup")) "null" else {
+      import java.sql.Timestamp
+      import graft.mm.{MediaDedup, VideoDedup}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
+      val baseIds = spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .filter((id: Long) => id % 10 == 0).collect().sorted
+      val ids = for (rep <- 0 until k; id <- baseIds)
+        yield id + rep * ReplicaOffset
+      val vids = spark.sparkContext.parallelize(ids, 64).flatMap { vid =>
+        val v = VideoDedup.syntheticVideo(vid)
+        Seq((vid, v),
+          (vid + MediaDedup.CopyIdOffset,
+            VideoDedup.transformedVideo(vid, v)))
+      }.collect()
+      val ss = spark.newSession()
+      import ss.implicits._
+      val input = MemoryStream[(Long, String, Array[Byte], Timestamp)](ss)
+      val qname = s"sweep_video_stream_$k"
+      val q = graft.streaming.VideoNearDup.videoNearDupStream(
+          input.toDF().toDF("doc_id", "mime", "media", "ts"),
+          horizon = "1 hour")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, vids.length / batches)
+        val groups = vids.grouped(per).toSeq
+        var warmNanos = 0L
+        var warmVids = 0L
+        groups.zipWithIndex.foreach { case (g, i) =>
+          val t0 = System.nanoTime()
+          input.addData(g.map { case (id, bytes) =>
+            (id, "video/x-graft", bytes,
+              new Timestamp(1700000000000L + i * 1000L))
+          })
+          q.processAllAvailable()
+          val dt = System.nanoTime() - t0
+          if (i > 0) { warmNanos += dt; warmVids += g.length }
+        }
+        val pairs = ss.table(qname).count()
+        val vps = if (warmVids == 0) 0.0 else warmVids / (warmNanos / 1e9)
+        println(f"SWEEP stream_video_neardup    ${k}x  " +
+          f"$vps%7.1f videos/s  pairs=$pairs")
+        f"""{"videos":${vids.length},"batches":${groups.length},""" +
+          f""""videos_per_sec":$vps%.1f,"emitted_pairs":$pairs}"""
+      } finally q.stop()
+    }
+    println(s"""SWEEP_JSON {"replicate":$k,"reps":$reps,""" +
+      s""""queries":$qs,"stream_video_neardup":$streamJson}""")
     spark.stop()
   }
 }

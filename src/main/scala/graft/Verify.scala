@@ -43,6 +43,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // q109 replay side output (r14 verdict item 3): BPE is iterative
+    // and can never get a DuckDB oracle, but greedy BPE is a pure
+    // function of the corpus — drop the learned merge table next to
+    // the parquet (non-parquet files in a Spark output dir are
+    // routine — _SUCCESS lives there) so tools/check.py can replay
+    // learning + tokenization in independent Python and compare
+    // every cell. The merges come from the query run's cache — no
+    // extra learning jobs.
+    if (wanted("q109_bpe_tokens") &&
+        new java.io.File(s"$outDir/q109_bpe_tokens").isDirectory)
+      try {
+        val ms = graft.text.Bpe.mergesFor(spark, sfDir)
+        val body = ms.map(m => s"""{"rank":${m.rank},"left":${q(m.left)}""" +
+          s""","right":${q(m.right)}}""").mkString(",")
+        Files.writeString(
+          Paths.get(s"$outDir/q109_bpe_tokens/_merges.json"),
+          s"""{"requested":${graft.text.Bpe.effMerges(spark)},""" +
+            s""""merges":[$body]}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] q109 merges dump failed: " +
+          e.getMessage)
+      }
     // Cutover-aware oracle dump: a query that ran its approximate
     // branch (LSH regime above spark.graft.exactPairLimit) must get a
     // rows-only check, not a doomed exact-hash compare. The queries

@@ -145,13 +145,51 @@ object Triangles {
   // family and canonical undirected (a, b) for the census/core
   // family. Both are aggregate outputs (unique part pairs — ~edge
   // count, not lineitem count), so the persisted footprint is small.
-  // Keyed per session; purged with stopped sessions.
+  //
+  // Residency policy (r15): keys are (session, CANONICAL dir, kind) —
+  // canonicalized so trailing-slash/symlink aliases of one dir share
+  // one build — purged with stopped sessions, and CAPPED at
+  // MaxEntries (insertion-order eviction; 16 = 8 dirs × 2 kinds,
+  // far above any real session's dir churn). Eviction drops the map
+  // reference; the checkpoint blocks are then unreferenced and the
+  // ContextCleaner reclaims them on its GC hook — the local-mode
+  // analogue of dropping a materialized snapshot table. Each build
+  // logs its row/partition footprint so residency is observable.
+  private final class EdgeHolder(build: () => DataFrame) {
+    // lazy, so the Spark job the build runs executes OUTSIDE the
+    // CHM bin lock (computeIfAbsent holds it for the mapping
+    // function's duration, which would serialize unrelated keys
+    // hashing to the same bin behind a multi-second job)
+    lazy val df: DataFrame = build()
+  }
+  private val MaxEntries = 16
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, String), DataFrame]()
+    (org.apache.spark.sql.SparkSession, String, String), EdgeHolder]()
+  private val edgeOrder = new java.util.concurrent.ConcurrentLinkedQueue[
+    (org.apache.spark.sql.SparkSession, String, String)]()
+
+  private def canonicalDir(d: String): String =
+    try new java.io.File(d).getCanonicalPath
+    catch { case _: java.io.IOException => d }
+
+  /** (dir, kind) keys currently resident for `s` — test/diagnostic
+    * visibility for the residency policy.
+    */
+  private[graft] def edgeCacheKeys(s: org.apache.spark.sql.SparkSession)
+      : Set[(String, String)] = {
+    val it = edgeCache.keySet().iterator()
+    val b = Set.newBuilder[(String, String)]
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 eq s) b += ((k._2, k._3))
+    }
+    b.result()
+  }
 
   private def cachedEdges(s: org.apache.spark.sql.SparkSession,
       d: String, kind: String)(build: => DataFrame): DataFrame = {
     graft.Scale.purgeStopped(edgeCache)
+    val key = (s, canonicalDir(d), kind)
     // localCheckpoint, NOT persist: persist snapshots the PRE-adaptive
     // plan, so the stored relation keeps the static shuffle partition
     // count (32) where direct execution AQE-coalesces the small edge
@@ -161,8 +199,26 @@ object Triangles {
     // localCheckpoint executes with AQE and stores the coalesced
     // result blocks with lineage cut — the same artifact the
     // consumers used to build privately, now shared per (session,
-    // dir) for the session's lifetime.
-    edgeCache.computeIfAbsent((s, d, kind), _ => build.localCheckpoint())
+    // dir) for the session's lifetime (or until evicted by the cap).
+    val holder = edgeCache.computeIfAbsent(key, k => {
+      edgeOrder.add(k)
+      new EdgeHolder(() => {
+        val df = build.localCheckpoint()
+        System.err.println(s"[graph] edge cache built kind=$kind " +
+          s"dir=${key._2} rows=${df.count()} " +
+          s"partitions=${df.rdd.getNumPartitions} " +
+          s"entries=${edgeCache.size}")
+        df
+      })
+    })
+    val df = holder.df
+    while (edgeCache.size > MaxEntries) {
+      val oldest = edgeOrder.poll()
+      if (oldest == null) return df
+      // stale queue entries (session-purged keys) no-op here
+      edgeCache.remove(oldest)
+    }
+    df
   }
 
   /** [[adjacentPartPairs]] aggregated to weighted directed edges

@@ -229,4 +229,22 @@ class GraphSpec extends SparkSpec {
     assert(u1.exceptAll(ud).isEmpty && ud.exceptAll(u1).isEmpty,
       "undirected cache diverges from direct derivation")
   }
+
+  test("cached edge tables: residency holds exactly the touched " +
+      "(dir, kind) keys, and dir aliases canonicalize to one entry") {
+    import graft.graph.Triangles
+    // fresh session = a clean keyspace (cache keys are session-scoped)
+    val s = spark.newSession()
+    val canon = new java.io.File(sfTiny).getCanonicalPath
+    Triangles.cachedWeightedEdges(s, sfTiny)
+    // trailing-slash alias of the same dir must NOT build a second
+    // checkpoint (the r15 canonicalization)
+    val viaAlias = Triangles.cachedWeightedEdges(s, sfTiny + "/")
+    assert(viaAlias eq Triangles.cachedWeightedEdges(s, sfTiny),
+      "dir alias built a duplicate edge checkpoint")
+    Triangles.cachedUndirectedEdges(s, sfTiny)
+    assert(Triangles.edgeCacheKeys(s) ==
+      Set((canon, "weighted"), (canon, "undirected")),
+      Triangles.edgeCacheKeys(s).toString)
+  }
 }

@@ -73,8 +73,13 @@ def _preflight_map_count(sf_dir):
         return
     if cap > 65530:
         return
+    # recursive: a scale dir holding Spark-written table DIRECTORIES
+    # (table/part-*.parquet) would otherwise size as 0 and silently
+    # never warn (r14 ADVICE)
     total = sum(os.path.getsize(p)
-                for p in glob.glob(f"{sf_dir}/*.parquet"))
+                for p in glob.glob(f"{sf_dir}/**/*.parquet",
+                                   recursive=True)
+                if os.path.isfile(p))
     if total >= 100 * 1024 * 1024:  # ~sf0.1 and up
         print(f"WARNING: vm.max_map_count={cap} (default) with a "
               f"{total >> 20} MB scale dir - DuckDB can fail with "
@@ -82,6 +87,122 @@ def _preflight_map_count(sf_dir):
               f"(address-space map exhaustion). If this run fails that "
               f"way, raise it: sysctl -w vm.max_map_count=1048576",
               file=sys.stderr)
+
+
+# --- q109 BPE replay oracle ------------------------------------------
+# BPE learning is iterative and not ANSI-expressible, so q109 can't
+# get a DuckDB oracle — but greedy BPE is a pure function of the
+# corpus, so this INDEPENDENT Python reimplementation (learning AND
+# tokenization, sharing no code with the Scala engine) replays the
+# whole query and compares exactly: the learned merge list against
+# the _merges.json side output Verify drops into the result dir, and
+# every output row cell-for-cell (r14 verdict item 3).
+
+def _merge_pair(syms, l, r):
+    # simultaneous left-to-right replacement of every adjacent (l, r)
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_learn(word_freq, num_merges):
+    vocab = [(list(w), f) for w, f in word_freq.items() if len(w) > 1]
+    merges = []
+    for rank in range(num_merges):
+        counts = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # argmax: count DESC, pair ASC — Spark compares strings as
+        # UTF8String (unsigned byte-wise), so tie-break on UTF-8 bytes
+        (l, r), _ = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0].encode("utf-8"),
+                                        kv[0][1].encode("utf-8")))
+        merges.append({"rank": rank, "left": l, "right": r})
+        vocab = [(_merge_pair(syms, l, r), f) for syms, f in vocab
+                 if len(syms) > 1]
+    return merges
+
+
+def _bpe_encode_len(word, ranks):
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_l, best_r = None, None, None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_l, best_r = rk, syms[i], syms[i + 1]
+        if best_rank is None:
+            break
+        syms = _merge_pair(syms, best_l, best_r)
+    return len(syms)
+
+
+def replay_bpe(con, sf_dir, res_dir):
+    """Full q109 replay. Returns None on success, an error string on
+    mismatch, or a skip reason prefixed 'skip:'."""
+    merges_path = f"{res_dir}/_merges.json"
+    if not os.path.exists(merges_path):
+        return "skip: no _merges.json side output"
+    side = json.load(open(merges_path))
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    # the Scala engine symbol-splits on UTF-16 code units; this replay
+    # splits on code points — identical for BMP text, divergent past
+    # it, so refuse rather than mis-verify
+    if any(ord(c) > 0xFFFF for _, t in docs for c in t):
+        return "skip: corpus has non-BMP chars (UTF-16 split divergence)"
+    word_freq = {}
+    doc_words = []
+    for doc_id, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        doc_words.append((doc_id, ws))
+        for w in ws:
+            word_freq[w] = word_freq.get(w, 0) + 1
+    merges = _bpe_learn(word_freq, side["requested"])
+    got_merges = [{"rank": m["rank"], "left": m["left"],
+                   "right": m["right"]} for m in side["merges"]]
+    if merges != got_merges:
+        for a, b in zip(merges, got_merges):
+            if a != b:
+                return f"merge lists diverge at rank {a['rank']}: " \
+                       f"replay {a} vs engine {b}"
+        return f"merge list lengths differ: replay {len(merges)} " \
+               f"vs engine {len(got_merges)}"
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    tok_len = {w: _bpe_encode_len(w, ranks) for w in word_freq}
+    expected = {}
+    for doc_id, ws in doc_words:
+        n_bpe = sum(tok_len[w] for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        expected[doc_id] = (n_bpe, len(ws), n_chars, n_chars / n_bpe)
+    rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+    cols = [d[0] for d in rel.description]
+    idx = {c: cols.index(c) for c in
+           ("doc_id", "n_bpe_tokens", "n_words", "n_chars",
+            "chars_per_token")}
+    got = rel.fetchall()
+    if len(got) != len(expected):
+        return f"rows: engine {len(got)} vs replay {len(expected)}"
+    for row in got:
+        d = row[idx["doc_id"]]
+        exp = expected.get(d)
+        act = (row[idx["n_bpe_tokens"]], row[idx["n_words"]],
+               row[idx["n_chars"]], row[idx["chars_per_token"]])
+        if exp is None or act != exp:
+            return f"doc {d}: engine {act} vs replay {exp}"
+    return None
 
 
 def main():
@@ -159,12 +280,23 @@ def main():
             failures.append((name, f"{bad}/{len(got)} rows differ; first: row {first[0]} col {first[1]}: {first[2]!r} vs {first[3]!r}"))
         else:
             print(f"OK    {name} ({len(got)} rows)")
-    # queries with no oracle: rows-only check
+    # queries with no oracle: rows-only check — except q109, whose
+    # deterministic semantics get a full independent Python replay
     for res in sorted(glob.glob(f"{out_dir}/*/")):
         name = res.rstrip("/").split("/")[-1]
         if name in oracles:
             continue
         n = con.sql(f"SELECT count(*) FROM '{res}/*.parquet'").fetchone()[0]
+        if name == "q109_bpe_tokens" and n > 0:
+            err = replay_bpe(con, sf_dir, res.rstrip("/"))
+            if err is None:
+                print(f"OK(replay) {name} ({n} rows, merges + every "
+                      f"cell match the independent Python BPE)")
+            elif err.startswith("skip:"):
+                print(f"OK(rows)  {name} ({n} rows; replay {err})")
+            else:
+                failures.append((name, f"BPE replay mismatch: {err}"))
+            continue
         status = "OK(rows)" if n > 0 else "EMPTY"
         print(f"{status:9s} {name} ({n} rows)")
         if n == 0:

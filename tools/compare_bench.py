@@ -5,24 +5,41 @@ Usage: python3 tools/compare_bench.py <old_bench.json> <new_bench.json>
        [--ratio=1.25] [--abs=0.05]
 
 For every query whose min moved by more than --ratio AND --abs in
-either direction, classify the move from the artifact's own
-provenance (round 14 on, each runs{} entry carries `load1_slot` and
-`calib_tick_sec` sampled at the query's slot start):
+either direction, classify the move from the SLOWER artifact's own
+provenance — for a regression that is the NEW run, for a win it is
+the OLD run (r14 ADVICE: classifying the faster side made a win
+caused by a load spike in the old run print "[slot idle]" and look
+credible). Each runs{} entry carries, r14 on, `load1_slot` and
+`calib_tick_sec` sampled at the slot's start, and, r15 on,
+`calib_tick_end_sec` (post-reps) and `reps_sec` (every rep's wall in
+run order):
 
-  host-suspect  - the slower artifact's slot shows elevated load
+  host-suspect  - the slower side's slot shows elevated load
                   (load1_slot >= 3) or a stretched calibration tick
-                  (calib_tick_sec >= 1.15x the idle floor, taken as
-                  the run's own minimum tick), OR the faster side has
-                  no provenance fields (pre-r14 artifact).
-  code-suspect  - the slower side's slot reads idle on both signals;
-                  nothing in the artifact explains the move.
+                  on EITHER side of the reps (>= 1.15x the floor:
+                  min over the run's ticks, and the run's own
+                  calibrate-derived expected tick when present — the
+                  absolute floor a uniformly loaded run can't fake),
+                  OR the slower side has no provenance fields
+                  (pre-r14 artifact).
+  burst-suspect - the slot's signals read idle but its own reps
+                  disagree >= 2x (a sub-slot burst hit some reps and
+                  lagged both the 1-min loadavg and the bracketing
+                  ticks — r14's q01/q03/q98 pattern). The min may
+                  still be clean; re-measure before believing it.
+  code-suspect  - the slower side's slot reads idle on every signal
+                  and its reps agree; nothing in the artifact
+                  explains the move.
 
-The classification is a triage, not a verdict: the 1-minute loadavg
-lags short spikes and the tick precedes the reps, so a burst landing
-mid-rep can still read idle (r14 measured exactly this on q01 - the
-committed 1.71x did not reproduce in 5 quiet reps). code-suspect
-means "re-measure with a scoped SPARK_GRAFT_ONLY run", never "revert
-the round". Exits 0 always; this is a report, not a gate.
+Movers whose warm-family membership CHANGED between the artifacts
+are additionally annotated [warm-family changed] and never counted
+code-suspect: joining the warm family moves one-time build cost out
+of the measured reps, so the delta is accounting, not kernel
+(README bench protocol).
+
+The classification is a triage, not a verdict: code-suspect means
+"re-measure with a scoped SPARK_GRAFT_ONLY run", never "revert the
+round". Exits 0 always; this is a report, not a gate.
 """
 import json
 import sys
@@ -34,25 +51,51 @@ def load(path):
 
 
 def idle_tick(bench):
-    ticks = [r.get("calib_tick_sec") for r in bench.get("runs", {}).values()
-             if isinstance(r, dict) and r.get("calib_tick_sec")]
+    ticks = [r.get(k) for r in bench.get("runs", {}).values()
+             if isinstance(r, dict)
+             for k in ("calib_tick_sec", "calib_tick_end_sec")
+             if r.get(k)]
+    expected = bench.get("calibration", {}).get("calib_tick_expected_sec")
+    if expected:
+        ticks.append(expected)
     return min(ticks) if ticks else None
 
 
 def classify(run, floor):
-    """(suspect_host: bool, why: str) for one runs{} entry."""
+    """(kind: 'host'|'burst'|'code', why: str) for one runs{} entry."""
     if not isinstance(run, dict):
-        return True, "no runs entry"
+        return "host", "no runs entry"
     load = run.get("load1_slot")
     tick = run.get("calib_tick_sec")
+    tick_end = run.get("calib_tick_end_sec")
     if load is None and tick is None:
-        return True, "no slot provenance (pre-r14 artifact)"
+        return "host", "no slot provenance (pre-r14 artifact)"
     why = []
     if load is not None and load >= 3:
         why.append(f"load1_slot {load}")
-    if tick is not None and floor and tick >= 1.15 * floor:
-        why.append(f"tick {tick} vs floor {floor:.3f}")
-    return (bool(why), ", ".join(why) if why else "slot idle")
+    for label, t in (("tick", tick), ("tick_end", tick_end)):
+        if t is not None and floor and t >= 1.15 * floor:
+            why.append(f"{label} {t} vs floor {floor:.3f}")
+    if why:
+        return "host", ", ".join(why)
+    reps = run.get("reps_sec")
+    if reps and len(reps) >= 2 and min(reps) > 0:
+        # skip the cold rep of non-warm queries: plan/codegen cost
+        # makes rep 1 legitimately slower than the steady state
+        warm = reps if run.get("warmed") else reps[1:]
+        if len(warm) >= 2 and max(warm) >= 2 * min(warm) \
+                and max(warm) >= 0.1:
+            return "burst", (f"reps disagree {max(warm)/min(warm):.1f}x "
+                             f"({min(warm):.2f}-{max(warm):.2f}s), "
+                             f"slot signals idle")
+    return "code", "slot idle"
+
+
+def warm_changed(old_run, new_run):
+    if not isinstance(old_run, dict) or not isinstance(new_run, dict):
+        return False
+    ow, nw = old_run.get("warmed"), new_run.get("warmed")
+    return ow is not None and nw is not None and ow != nw
 
 
 def main():
@@ -80,20 +123,32 @@ def main():
           f"({len(regressions)} up, {len(wins)} down at "
           f">= {ratio}x and >= {min_abs}s)")
     for r, name, ov, nv in sorted(regressions, reverse=True):
-        run = new.get("runs", {}).get(name)
-        host, why = classify(run, floor_new)
-        tag = "host-suspect" if host else "CODE-suspect"
-        if not host:
+        # the slower side of a regression is the NEW artifact
+        kind, why = classify(new.get("runs", {}).get(name), floor_new)
+        wflag = warm_changed(old.get("runs", {}).get(name),
+                             new.get("runs", {}).get(name))
+        tag = {"host": "host-suspect", "burst": "burst-suspect",
+               "code": "CODE-suspect"}[kind]
+        if wflag:
+            tag = "accounting"
+            why = "warm-family membership changed; " + why
+        elif kind == "code":
             code_suspects.append(name)
         print(f"  UP   {name:32s} {ov:7.3f} -> {nv:7.3f} ({r:5.2f}x)  "
               f"{tag}: {why}")
     for r, name, ov, nv in sorted(wins):
-        # a win on an idle slot is credible as-is; one on a loaded
-        # slot is a floor that survived noise - report load anyway
-        run = new.get("runs", {}).get(name)
-        _, why = classify(run, floor_new)
+        # the slower side of a WIN is the OLD artifact: a win caused
+        # by a load spike in the old run must not print "[slot idle]"
+        kind, why = classify(old.get("runs", {}).get(name), floor_old)
+        wflag = warm_changed(old.get("runs", {}).get(name),
+                             new.get("runs", {}).get(name))
+        cred = {"host": "old-run-loaded, win NOT credible",
+                "burst": "old-run-burst, win NOT credible",
+                "code": "old slot idle, win credible"}[kind]
+        if wflag:
+            cred = "warm-family membership changed, win is accounting"
         print(f"  DOWN {name:32s} {ov:7.3f} -> {nv:7.3f} ({r:5.2f}x)  "
-              f"[{why}]")
+              f"[{cred}: {why}]")
     if code_suspects:
         only = ",".join(q.split("_")[0] for q in code_suspects)
         print(f"\nre-measure code-suspects scoped and quiet:\n"

@@ -277,8 +277,66 @@ object ScaleSweep {
           f""""videos_per_sec":$vps%.1f,"emitted_pairs":$pairs}"""
       } finally q.stop()
     }
+    // Second streaming entry: the TEXT near-dup stream over the
+    // REPLICATED documents table (the sweep dir built above), the
+    // streaming analogue of the q31 batch path. No dedicated session
+    // needed — nearDupCandidatesStream mutates no session confs.
+    // Signals: warm-batch docs/s (regression watch) and max state
+    // rows (must track ~one horizon of banded documents — docs ×
+    // bands — not stream length: the bound that lets it run forever
+    // at ingest scale). The CANDIDATE count is NOT a correctness pin
+    // on this corpus: the sweep's doc-unique salts depress true-pair
+    // Jaccard below the 0.65 default bar (a 0.9 base pair lands
+    // ~0.56; an exact-dup cross-replica pair ~0.625), so emissions
+    // here are borderline estimate-tail pairs — measured 0 at 1×,
+    // 266 at 10×. Streaming-vs-batch emission parity is the VIDEO
+    // entry's pin (unsalted id-seeded media); StreamingSpec pins the
+    // text path's semantics on unsalted fixtures.
+    val textStreamJson = if (!wanted("stream_text_neardup")) "null" else {
+      import java.sql.Timestamp
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      import spark.implicits._
+      val input = MemoryStream[(Long, String, Timestamp)](spark)
+      val qname = s"sweep_text_stream_$k"
+      val q = graft.streaming.NearDup.nearDupCandidatesStream(
+          input.toDF().toDF("doc_id", "text", "ts"),
+          horizon = "1 hour")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, docs.length / batches)
+        val groups = docs.grouped(per).toSeq
+        var warmNanos = 0L
+        var warmDocs = 0L
+        var maxState = 0L
+        groups.zipWithIndex.foreach { case (g, i) =>
+          val t0 = System.nanoTime()
+          input.addData(g.map { case (id, text) =>
+            (id, text, new Timestamp(1700000000000L + i * 1000L))
+          })
+          q.processAllAvailable()
+          val dt = System.nanoTime() - t0
+          if (i > 0) { warmNanos += dt; warmDocs += g.length }
+          maxState = math.max(maxState,
+            Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+              .map(_.numRowsTotal).sum)
+        }
+        val cands = spark.table(qname).count()
+        val dps = if (warmDocs == 0) 0.0 else warmDocs / (warmNanos / 1e9)
+        println(f"SWEEP stream_text_neardup     ${k}x  " +
+          f"$dps%7.1f docs/s  state_rows=$maxState  candidates=$cands")
+        f"""{"docs":${docs.length},"batches":${groups.length},""" +
+          f""""docs_per_sec":$dps%.1f,"max_state_rows":$maxState,""" +
+          f""""candidates":$cands}"""
+      } finally q.stop()
+    }
     println(s"""SWEEP_JSON {"replicate":$k,"reps":$reps,""" +
-      s""""queries":$qs,"stream_video_neardup":$streamJson}""")
+      s""""queries":$qs,"stream_video_neardup":$streamJson,""" +
+      s""""stream_text_neardup":$textStreamJson}""")
     spark.stop()
   }
 }

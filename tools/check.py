@@ -89,6 +89,335 @@ def _preflight_map_count(sf_dir):
               file=sys.stderr)
 
 
+# --- xxHash64 (Spark-compatible, pure Python + numpy) ----------------
+# Port of the reference xxHash64 (Collet), the algorithm behind
+# Spark's `xxhash64` SQL function and catalyst XXH64.hashLong - the
+# primitive every LSH replay below needs. Shares no code with the
+# engine; validated end-to-end by the replays matching every row.
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix(h):
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_long(v, seed):
+    """XXH64.hashLong: one 8-byte word, Spark's minhash/band primitive."""
+    h = (seed + _P5 + 8) & _M
+    k = ((v & _M) * _P2) & _M
+    k = (_rotl(k, 31) * _P1) & _M
+    h ^= k
+    h = (_rotl(h, 27) * _P1 + _P4) & _M
+    return _fmix(h)
+
+
+def _xxh64_bytes(data, seed=42):
+    """XXH64 over bytes - Spark's xxhash64(string) on the UTF-8 form."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            v1 = (_rotl((v1 + int.from_bytes(data[i:i + 8], "little")
+                         * _P2) & _M, 31) * _P1) & _M
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8:i + 16], "little")
+                         * _P2) & _M, 31) * _P1) & _M
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16:i + 24], "little")
+                         * _P2) & _M, 31) * _P1) & _M
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24:i + 32], "little")
+                         * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            k = (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = ((h ^ k) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i:i + 8], "little") * _P2) & _M,
+                   31) * _P1) & _M
+        h ^= k
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    return _fmix(h)
+
+
+def _np_hash_long(v, seed):
+    """Vectorized _xxh64_long over a uint64 numpy array."""
+    import numpy as np
+    u = np.uint64
+    h0 = u((seed + _P5 + 8) & _M)
+    with np.errstate(over="ignore"):
+        k = v * u(_P2)
+        k = ((k << u(31)) | (k >> u(33))) * u(_P1)
+        h = h0 ^ k
+        h = ((h << u(27)) | (h >> u(37))) * u(_P1) + u(_P4)
+        h ^= h >> u(33)
+        h *= u(_P2)
+        h ^= h >> u(29)
+        h *= u(_P3)
+        h ^= h >> u(32)
+    return h
+
+
+_TOKEN_HASH_CACHE = {}
+
+
+def _token_hash(t):
+    h = _TOKEN_HASH_CACHE.get(t)
+    if h is None:
+        h = _xxh64_bytes(t.encode("utf-8"), 42)
+        _TOKEN_HASH_CACHE[t] = h
+    return h
+
+
+def _round_half_up4(x):
+    # Spark's round(col, 4): BigDecimal(double) + HALF_UP - Decimal
+    # from a float is the same exact binary expansion
+    from decimal import Decimal, ROUND_HALF_UP
+    return float(Decimal(x).quantize(Decimal("0.0001"),
+                                     rounding=ROUND_HALF_UP))
+
+
+def _fetch_docs(con, sf_dir):
+    return con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+
+def _minhash_sigs(token_sets, k=64):
+    """doc -> k signed minhashes (min over XXH64.hashLong(tok, j+1),
+    SIGNED comparison like Java long), vectorized over all docs."""
+    import numpy as np
+    ids = sorted(token_sets)
+    offsets = []
+    flat = []
+    for d in ids:
+        offsets.append(len(flat))
+        flat.extend(token_sets[d])
+    arr = np.array(flat, dtype=np.uint64)
+    offs = np.array(offsets, dtype=np.int64)
+    sigs = {d: [0] * k for d in ids}
+    for j in range(k):
+        hj = _np_hash_long(arr, j + 1).view(np.int64)
+        mins = np.minimum.reduceat(hj, offs)
+        for di, d in enumerate(ids):
+            sigs[d][j] = int(mins[di])
+    return sigs
+
+
+def _band_hashes(sig, bands=8):
+    """xxhash64(mh[b*r] ... mh[b*r+r-1]): Spark chains hashLong with
+    the running hash as seed, starting at 42."""
+    rows = len(sig) // bands
+    out = []
+    for b in range(bands):
+        h = 42
+        for r in range(rows):
+            h = _xxh64_long(sig[b * rows + r], h)
+        out.append(h)
+    return out
+
+
+def _lsh_verified_pairs(token_sets, threshold=0.9):
+    """candidatePairs + exact verify over one token-set table -
+    exactly the engine's filters: band-bucket collision, size ratio,
+    32-hash prefix estimate >= threshold - 0.25, exact Jaccard >=
+    threshold. Returns {(a, b): jaccard} with a < b."""
+    sigs = _minhash_sigs(token_sets)
+    bh = {d: _band_hashes(s) for d, s in sigs.items()}
+    buckets = {}
+    for d in sorted(token_sets):
+        for band, h in enumerate(bh[d]):
+            buckets.setdefault((band, h), []).append(d)
+    cands = set()
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if a > b:
+                    a, b = b, a
+                cands.add((a, b))
+    est_floor = threshold - 0.25
+    out = {}
+    for a, b in cands:
+        sa, sb = len(token_sets[a]), len(token_sets[b])
+        if min(sa, sb) < max(sa, sb) * threshold:
+            continue
+        matches = sum(1 for x, y in zip(sigs[a][:32], sigs[b][:32])
+                      if x == y)
+        if matches / 32.0 < est_floor:
+            continue
+        inter = len(token_sets[a] & token_sets[b])
+        j = inter / (sa + sb - inter)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+def _compare_pairs(res_dir, con, expected, what):
+    """expected: {(a, b): jaccard}; engine rows (doc_a, doc_b,
+    jaccard) must match exactly."""
+    rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+    cols = [d[0] for d in rel.description]
+    ia, ib = cols.index("doc_a"), cols.index("doc_b")
+    ij = cols.index(what)
+    got = {(r[ia], r[ib]): r[ij] for r in rel.fetchall()}
+    if len(got) != len(expected):
+        only_g = sorted(set(got) - set(expected))[:3]
+        only_e = sorted(set(expected) - set(got))[:3]
+        return (f"pair sets differ: engine {len(got)} vs replay "
+                f"{len(expected)}; engine-only {only_g}, "
+                f"replay-only {only_e}")
+    for k, v in expected.items():
+        if k not in got:
+            return f"replay pair {k} missing from engine output"
+        if got[k] != v:
+            return f"pair {k}: engine {what} {got[k]!r} vs replay {v!r}"
+    return None
+
+
+def replay_minhash_lsh(con, sf_dir, res_dir):
+    """q31: exact-dup collapse -> LSH over representatives -> exact
+    verify >= 0.9 -> clique expansion -> round(j, 4)."""
+    docs = _fetch_docs(con, sf_dir)
+    if len(docs) > 20000:
+        return "skip: corpus too large for the Python replay bound"
+    tok = {d: frozenset(_token_hash(t) for t in set(text.split(" ")))
+           for d, text in docs}
+    # collapseGroups: identical token sets share one representative
+    # (the engine groups on a 128-bit double-xxhash key; identical
+    # sets <=> identical key up to a ~1e-20 collision bound)
+    groups = {}
+    for d in sorted(tok):
+        groups.setdefault(tok[d], []).append(d)
+    rep_sets = {min(ms): set(s) for s, ms in groups.items()}
+    rep_pairs = _lsh_verified_pairs(rep_sets)
+    expected = {}
+    for s, ms in groups.items():
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                expected[(ms[i], ms[j])] = 1.0
+    members = {min(ms): ms for ms in groups.values()}
+    for (ra, rb), jac in rep_pairs.items():
+        jr = _round_half_up4(jac)
+        for ma in members[ra]:
+            for mb in members[rb]:
+                a, b = (ma, mb) if ma < mb else (mb, ma)
+                expected[(a, b)] = jr
+    return _compare_pairs(res_dir, con, expected, "jaccard")
+
+
+def replay_incremental_neardup(con, sf_dir, res_dir):
+    """q75: q31's machinery restricted to pairs touching the mod-7
+    batch - NO exact-dup collapse, batch-oriented candidate join."""
+    docs = _fetch_docs(con, sf_dir)
+    if len(docs) > 20000:
+        return "skip: corpus too large for the Python replay bound"
+    tok = {d: frozenset(_token_hash(t) for t in set(text.split(" ")))
+           for d, text in docs}
+    new_ids = {d for d in tok if d % 7 == 0}
+    sigs = _minhash_sigs(tok)
+    bh = {d: _band_hashes(s) for d, s in sigs.items()}
+    buckets = {}
+    for d in sorted(tok):
+        for band, h in enumerate(bh[d]):
+            buckets.setdefault((band, h), []).append(d)
+    cands = set()
+    for members in buckets.values():
+        news = [d for d in members if d in new_ids]
+        for a in news:
+            for b in members:
+                if a == b:
+                    continue
+                if b in new_ids and not (a < b):
+                    continue
+                cands.add((a, b))
+    threshold = 0.9
+    expected = {}
+    for a, b in cands:
+        sa, sb = len(tok[a]), len(tok[b])
+        if min(sa, sb) < max(sa, sb) * threshold:
+            continue
+        matches = sum(1 for x, y in zip(sigs[a][:32], sigs[b][:32])
+                      if x == y)
+        if matches / 32.0 < threshold - 0.25:
+            continue
+        inter = len(tok[a] & tok[b])
+        j = inter / (sa + sb - inter)
+        if j >= threshold:
+            lo, hi = (a, b) if a < b else (b, a)
+            expected[(lo, hi)] = _round_half_up4(j)
+    return _compare_pairs(res_dir, con, expected, "jaccard")
+
+
+def replay_simhash(con, sf_dir, res_dir):
+    """q32: 64-bit SimHash over distinct tokens, 4x16-bit band
+    blocking, Hamming <= 8."""
+    docs = _fetch_docs(con, sf_dir)
+    if len(docs) > 20000:
+        return "skip: corpus too large for the Python replay bound"
+    sig = {}
+    for d, text in docs:
+        counters = [0] * 64
+        for t in set(text.split(" ")):
+            h = _token_hash(t)
+            for j in range(64):
+                counters[j] += 1 if (h >> j) & 1 else -1
+        s = 0
+        for j in range(64):
+            if counters[j] >= 0:
+                s |= 1 << j
+        sig[d] = s
+    buckets = {}
+    for d in sorted(sig):
+        for band in range(4):
+            buckets.setdefault(
+                (band, (sig[d] >> (band * 16)) & 0xFFFF), []).append(d)
+    cands = set()
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if a > b:
+                    a, b = b, a
+                cands.add((a, b))
+    expected = {}
+    for a, b in cands:
+        hd = bin(sig[a] ^ sig[b]).count("1")
+        if hd <= 8:
+            expected[(a, b)] = hd
+    return _compare_pairs(res_dir, con, expected, "hamming")
+
+
 # --- q109 BPE replay oracle ------------------------------------------
 # BPE learning is iterative and not ANSI-expressible, so q109 can't
 # get a DuckDB oracle — but greedy BPE is a pure function of the
@@ -280,22 +609,32 @@ def main():
             failures.append((name, f"{bad}/{len(got)} rows differ; first: row {first[0]} col {first[1]}: {first[2]!r} vs {first[3]!r}"))
         else:
             print(f"OK    {name} ({len(got)} rows)")
-    # queries with no oracle: rows-only check — except q109, whose
-    # deterministic semantics get a full independent Python replay
+    # queries with no oracle: rows-only check — except the replayable
+    # family, whose deterministic semantics get a full independent
+    # Python reimplementation (learning/hashing/banding/verify),
+    # compared cell-for-cell
+    replays = {
+        "q109_bpe_tokens": ("BPE", replay_bpe),
+        "q31_dedup_minhash_lsh": ("minhash-LSH", replay_minhash_lsh),
+        "q32_dedup_simhash": ("simhash", replay_simhash),
+        "q75_incremental_neardup":
+            ("incremental near-dup", replay_incremental_neardup),
+    }
     for res in sorted(glob.glob(f"{out_dir}/*/")):
         name = res.rstrip("/").split("/")[-1]
         if name in oracles:
             continue
         n = con.sql(f"SELECT count(*) FROM '{res}/*.parquet'").fetchone()[0]
-        if name == "q109_bpe_tokens" and n > 0:
-            err = replay_bpe(con, sf_dir, res.rstrip("/"))
+        if name in replays and n > 0:
+            label, fn = replays[name]
+            err = fn(con, sf_dir, res.rstrip("/"))
             if err is None:
-                print(f"OK(replay) {name} ({n} rows, merges + every "
-                      f"cell match the independent Python BPE)")
+                print(f"OK(replay) {name} ({n} rows, every cell matches "
+                      f"the independent Python {label})")
             elif err.startswith("skip:"):
                 print(f"OK(rows)  {name} ({n} rows; replay {err})")
             else:
-                failures.append((name, f"BPE replay mismatch: {err}"))
+                failures.append((name, f"{label} replay mismatch: {err}"))
             continue
         status = "OK(rows)" if n > 0 else "EMPTY"
         print(f"{status:9s} {name} ({n} rows)")

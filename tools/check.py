@@ -418,6 +418,123 @@ def replay_simhash(con, sf_dir, res_dir):
     return _compare_pairs(res_dir, con, expected, "hamming")
 
 
+def _cosine_seq(a, b, n=None):
+    """Sequential double accumulation - bit-identical to the engine's
+    CosineSimilarity (floats widened element-wise, one left-to-right
+    pass; numpy's pairwise-summed dot would NOT be)."""
+    if n is None:
+        n = min(len(a), len(b))
+    dot = na = nb = 0.0
+    for i in range(n):
+        xi = a[i]
+        yi = b[i]
+        dot += xi * yi
+        na += xi * xi
+        nb += yi * yi
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _fetch_embeddings(con, sf_dir):
+    return {i: v for i, v in con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()}
+
+
+def _ann_topk(vecs, qid, cands, k=5, dim=None):
+    """(sim, id) top-k by (sim DESC, id ASC) - the engine's window."""
+    scored = sorted(((_cosine_seq(vecs[qid], vecs[n], dim), n)
+                     for n in cands), key=lambda t: (-t[0], t[1]))
+    return scored[:k]
+
+
+_ANN_K = 5
+_ANN_QUERIES = 10
+
+
+def replay_ann_lsh(con, sf_dir, res_dir):
+    """q36: 24-bit hyperplane LSH (3-bit x 8 bands), exact cosine on
+    band-colliding candidates, top-5 per query."""
+    vecs = _fetch_embeddings(con, sf_dir)
+    if len(vecs) > 60000:
+        return "skip: corpus too large for the Python replay bound"
+    nbits, bands, bandbits = 24, 8, 3
+    dim = max(len(v) for v in vecs.values())
+    signs = [[1.0 if _xxh64_long(j * 65536 + k, 42) & 1 else -1.0
+              for k in range(dim)] for j in range(nbits)]
+
+    def hyper_sig(v):
+        s = 0
+        for j in range(nbits):
+            acc = 0.0
+            sj = signs[j]
+            for k in range(len(v)):
+                acc += v[k] * sj[k]
+            if acc >= 0.0:
+                s |= 1 << j
+        return s
+
+    sigs = {i: hyper_sig(v) for i, v in vecs.items()}
+    buckets = {}
+    for i in sorted(sigs):
+        s = sigs[i]
+        for b in range(bands):
+            buckets.setdefault(
+                (b, (s >> (b * bandbits)) & ((1 << bandbits) - 1)),
+                []).append(i)
+    expected = []
+    for q in sorted(i for i in vecs if i < _ANN_QUERIES):
+        sq = sigs[q]
+        cands = set()
+        for b in range(bands):
+            for n in buckets.get(
+                    (b, (sq >> (b * bandbits)) & ((1 << bandbits) - 1)),
+                    []):
+                if n != q:
+                    cands.add(n)
+        for rank, (sim, n) in enumerate(_ann_topk(vecs, q, cands), 1):
+            expected.append((q, n, _round_half_up4(sim), rank))
+    rel = con.sql(f"SELECT query_id, neighbor_id, sim, rank "
+                  f"FROM '{res_dir}/*.parquet' ORDER BY query_id, rank")
+    got = [tuple(r) for r in rel.fetchall()]
+    if got != expected:
+        for g, e in zip(got, expected):
+            if g != e:
+                return f"row diverges: engine {g} vs replay {e}"
+        return f"row counts: engine {len(got)} vs replay {len(expected)}"
+    return None
+
+
+def replay_dim_recall(con, sf_dir, res_dir):
+    """q119: exact top-5 recall of prefix-dim cosine vs full 64-d."""
+    vecs = _fetch_embeddings(con, sf_dir)
+    if len(vecs) > 60000:
+        return "skip: corpus too large for the Python replay bound"
+    queries = sorted(i for i in vecs if i < _ANN_QUERIES)
+    all_ids = sorted(vecs)
+    full = set()
+    for q in queries:
+        cands = [n for n in all_ids if n != q]
+        for _, n in _ann_topk(vecs, q, cands):
+            full.add((q, n))
+    expected = []
+    for dim in (8, 16, 32, 64):
+        hits = 0
+        for q in queries:
+            cands = [n for n in all_ids if n != q]
+            for _, n in _ann_topk(vecs, q, cands, dim=dim):
+                if (q, n) in full:
+                    hits += 1
+        expected.append((dim, hits / len(full)))
+    rel = con.sql(f"SELECT dim, recall_at_5 FROM '{res_dir}/*.parquet' "
+                  f"ORDER BY dim")
+    got = [tuple(r) for r in rel.fetchall()]
+    if got != expected:
+        return f"engine {got} vs replay {expected}"
+    return None
+
+
 # --- q109 BPE replay oracle ------------------------------------------
 # BPE learning is iterative and not ANSI-expressible, so q109 can't
 # get a DuckDB oracle — but greedy BPE is a pure function of the
@@ -619,6 +736,8 @@ def main():
         "q32_dedup_simhash": ("simhash", replay_simhash),
         "q75_incremental_neardup":
             ("incremental near-dup", replay_incremental_neardup),
+        "q36_ann_lsh": ("hyperplane-LSH ANN", replay_ann_lsh),
+        "q119_dim_recall": ("dim-ablation recall", replay_dim_recall),
     }
     for res in sorted(glob.glob(f"{out_dir}/*/")):
         name = res.rstrip("/").split("/")[-1]

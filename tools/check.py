@@ -746,7 +746,11 @@ def main():
         n = con.sql(f"SELECT count(*) FROM '{res}/*.parquet'").fetchone()[0]
         if name in replays and n > 0:
             label, fn = replays[name]
-            err = fn(con, sf_dir, res.rstrip("/"))
+            try:
+                err = fn(con, sf_dir, res.rstrip("/"))
+            except ImportError as e:
+                # numpy-less host: degrade to rows-only, don't fail
+                err = f"skip: {e}"
             if err is None:
                 print(f"OK(replay) {name} ({n} rows, every cell matches "
                       f"the independent Python {label})")

@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Cache-backed queries share train-once/index-once state (the
+  // production "build once, serve many" shape): their first run pays
+  // one-time fits/index builds every later run reuses. Shared with
+  // ScaleSweep (r15) so BOTH measurement surfaces report steady-state
+  // numbers for them — membership documented per query in the long
+  // comment at the use site in main() below.
+  val warmFamily = Set("q20", "q21", "q22", "q23", "q24", "q31",
+    "q45", "q48", "q49", "q63", "q66", "q77", "q81", "q84", "q109",
+    "q110", "q121", "q122", "q126", "q127", "q134", "q136", "q139",
+    "q141", "q146", "q148", "q152", "q154", "q155", "q156", "q157",
+    "q158", "q159")
+  def isWarm(name: String): Boolean =
+    warmFamily.exists(t => name == t || name.startsWith(t + "_"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -147,13 +161,8 @@ object Bench {
     // table is materialized once per corpus snapshot, and five
     // queries re-deriving the lineitem self-join each was a local
     // testing artifact).
-    val warmFamily = Set("q20", "q21", "q22", "q23", "q24", "q31",
-      "q45", "q48", "q49", "q63", "q66", "q77", "q81", "q84", "q109",
-      "q110", "q121", "q122", "q126", "q127", "q134", "q136", "q139",
-      "q141", "q146", "q148", "q152", "q154", "q155", "q156", "q157",
-      "q158", "q159")
-    def isWarm(name: String): Boolean =
-      warmFamily.exists(t => name == t || name.startsWith(t + "_"))
+    // (the membership list itself lives on the object — shared with
+    // ScaleSweep so both surfaces use one accounting)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()

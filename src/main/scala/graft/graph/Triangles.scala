@@ -146,27 +146,62 @@ object Triangles {
   // family. Both are aggregate outputs (unique part pairs — ~edge
   // count, not lineitem count), so the persisted footprint is small.
   //
-  // Residency policy (r15): keys are (session, CANONICAL dir, kind) —
-  // canonicalized so trailing-slash/symlink aliases of one dir share
-  // one build — purged with stopped sessions, and CAPPED at
-  // MaxEntries (insertion-order eviction; 16 = 8 dirs × 2 kinds,
-  // far above any real session's dir churn). Eviction drops the map
-  // reference; the checkpoint blocks are then unreferenced and the
-  // ContextCleaner reclaims them on its GC hook — the local-mode
-  // analogue of dropping a materialized snapshot table. Each build
-  // logs its row/partition footprint so residency is observable.
+  // Residency policy (r15, lifecycle tightened r16 per ADVICE): keys
+  // are (session, CANONICAL dir, kind) — canonicalized so trailing-
+  // slash/symlink aliases of one dir share one build — purged with
+  // stopped sessions (queue AND map — a stale queue node would pin a
+  // stopped session indefinitely), and CAPPED PER SESSION at
+  // MaxEntriesPerSession (insertion-order eviction within the
+  // session; 16 = 8 dirs × 2 kinds, far above any real session's dir
+  // churn). A global cap was wrong here: with many concurrently live
+  // sessions it evicted OTHER sessions' live entries and every call
+  // rebuilt the checkpoint — thrash exactly when most loaded.
+  // Eviction unpersists the checkpoint blocks promptly (blocking=
+  // false) instead of waiting for the ContextCleaner's periodic-GC
+  // hook (default 30 min) — the local-mode analogue of dropping a
+  // materialized snapshot table. Contract: consumers re-fetch via
+  // cachedEdges per query and never hold an evicted frame across
+  // calls. Each build logs its partition footprint so residency is
+  // observable (row count only behind spark.graft.edgeCacheLogRows —
+  // an always-on count() billed an extra job to whichever consumer
+  // triggered the cold build and inflated EdgeCacheBuildProbe's
+  // build_sec).
   private final class EdgeHolder(build: () => DataFrame) {
+    @volatile private var materialized: DataFrame = null
     // lazy, so the Spark job the build runs executes OUTSIDE the
-    // CHM bin lock (computeIfAbsent holds it for the mapping
-    // function's duration, which would serialize unrelated keys
-    // hashing to the same bin behind a multi-second job)
-    lazy val df: DataFrame = build()
+    // CHM bin lock and the bookkeeping lock (computeIfAbsent holds
+    // its bin for the mapping function's duration, which would
+    // serialize unrelated keys hashing to the same bin behind a
+    // multi-second job)
+    lazy val df: DataFrame = { val d = build(); materialized = d; d }
+    /** Free the localCheckpoint blocks if the build ever ran; a
+      * mid-build eviction leaves them to the ContextCleaner (bounded
+      * by spark.cleaner.periodicGC.interval).
+      */
+    def unpersistIfBuilt(): Unit = {
+      val d = materialized
+      if (d != null)
+        try d.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        } catch { case _: Throwable => () }
+    }
   }
-  private val MaxEntries = 16
+  /** Resident (dir, kind) entries allowed per session — conf dial
+    * `spark.graft.edgeCacheMaxEntries` (default 16 = 8 dirs × 2
+    * kinds, far above any real session's dir churn).
+    */
+  private def maxEntriesPerSession(
+      s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.edgeCacheMaxEntries")
+      .map(_.toInt).getOrElse(16)
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String), EdgeHolder]()
   private val edgeOrder = new java.util.concurrent.ConcurrentLinkedQueue[
     (org.apache.spark.sql.SparkSession, String, String)]()
+  // guards the map+queue BOOKKEEPING only (cheap); builds run outside
+  private val edgeLock = new Object
 
   private def canonicalDir(d: String): String =
     try new java.io.File(d).getCanonicalPath
@@ -188,7 +223,6 @@ object Triangles {
 
   private def cachedEdges(s: org.apache.spark.sql.SparkSession,
       d: String, kind: String)(build: => DataFrame): DataFrame = {
-    graft.Scale.purgeStopped(edgeCache)
     val key = (s, canonicalDir(d), kind)
     // localCheckpoint, NOT persist: persist snapshots the PRE-adaptive
     // plan, so the stored relation keeps the static shuffle partition
@@ -200,25 +234,49 @@ object Triangles {
     // result blocks with lineage cut — the same artifact the
     // consumers used to build privately, now shared per (session,
     // dir) for the session's lifetime (or until evicted by the cap).
-    val holder = edgeCache.computeIfAbsent(key, k => {
-      edgeOrder.add(k)
-      new EdgeHolder(() => {
-        val df = build.localCheckpoint()
-        System.err.println(s"[graph] edge cache built kind=$kind " +
-          s"dir=${key._2} rows=${df.count()} " +
-          s"partitions=${df.rdd.getNumPartitions} " +
-          s"entries=${edgeCache.size}")
-        df
+    val holder = edgeLock.synchronized {
+      graft.Scale.purgeStopped(edgeCache)
+      // drain queue nodes whose key is gone (session purge above, or
+      // a prior eviction) so stopped sessions are not pinned by the
+      // queue and the queue stays O(resident entries)
+      edgeOrder.removeIf(k => !edgeCache.containsKey(k))
+      val h = edgeCache.computeIfAbsent(key, k => {
+        edgeOrder.add(k)
+        new EdgeHolder(() => {
+          val df = build.localCheckpoint()
+          val rows =
+            if (s.conf.getOption("spark.graft.edgeCacheLogRows")
+                .exists(_.toBoolean)) s"rows=${df.count()} "
+            else ""
+          System.err.println(s"[graph] edge cache built kind=$kind " +
+            s"dir=${key._2} $rows" +
+            s"partitions=${df.rdd.getNumPartitions} " +
+            s"entries=${edgeCache.size}")
+          df
+        })
       })
-    })
-    val df = holder.df
-    while (edgeCache.size > MaxEntries) {
-      val oldest = edgeOrder.poll()
-      if (oldest == null) return df
-      // stale queue entries (session-purged keys) no-op here
-      edgeCache.remove(oldest)
+      // per-session cap: evict THIS session's oldest entries only —
+      // never another live session's (ADVICE r15)
+      def sessionKeys =
+        java.util.Collections.list(edgeCache.keys()).iterator()
+      var mine = 0
+      sessionKeys.forEachRemaining(k => if (k._1 eq s) mine += 1)
+      val cap = maxEntriesPerSession(s)
+      if (mine > cap) {
+        val it = edgeOrder.iterator()
+        while (mine > cap && it.hasNext) {
+          val k = it.next()
+          if ((k._1 eq s) && k != key) {
+            val evicted = edgeCache.remove(k)
+            it.remove()
+            if (evicted != null) evicted.unpersistIfBuilt()
+            mine -= 1
+          }
+        }
+      }
+      h
     }
-    df
+    holder.df
   }
 
   /** [[adjacentPartPairs]] aggregated to weighted directed edges

@@ -247,4 +247,35 @@ class GraphSpec extends SparkSpec {
       Set((canon, "weighted"), (canon, "undirected")),
       Triangles.edgeCacheKeys(s).toString)
   }
+
+  test("edge cache: per-session cap evicts only this session's " +
+      "oldest entry and unpersists its checkpoint blocks") {
+    import graft.graph.Triangles
+    val sfSmall = "/root/testdata/sf0.01"
+    val canonTiny = new java.io.File(sfTiny).getCanonicalPath
+    val canonSmall = new java.io.File(sfSmall).getCanonicalPath
+    val other = spark.newSession() // bystander session, same key dirs
+    Triangles.cachedWeightedEdges(other, sfTiny)
+    val s = spark.newSession()
+    s.conf.set("spark.graft.edgeCacheMaxEntries", "2")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Triangles.cachedWeightedEdges(s, sfTiny) // s's oldest
+    val afterBuild = spark.sparkContext.getPersistentRDDs.keySet
+    val builtIds = afterBuild -- before
+    assert(builtIds.nonEmpty, "localCheckpoint left no persistent RDD")
+    Triangles.cachedUndirectedEdges(s, sfTiny)
+    Triangles.cachedWeightedEdges(s, sfSmall) // 3rd entry: over cap=2
+    assert(Triangles.edgeCacheKeys(s) ==
+      Set((canonTiny, "undirected"), (canonSmall, "weighted")),
+      s"expected s's oldest evicted: ${Triangles.edgeCacheKeys(s)}")
+    // the bystander's entry survived — a global cap would have
+    // evicted it (r15 ADVICE thrash finding)
+    assert(Triangles.edgeCacheKeys(other) == Set((canonTiny, "weighted")),
+      Triangles.edgeCacheKeys(other).toString)
+    // eviction unpersisted the checkpoint blocks promptly (not
+    // waiting on the ContextCleaner's periodic GC)
+    val afterEvict = spark.sparkContext.getPersistentRDDs.keySet
+    assert(builtIds.exists(id => !afterEvict.contains(id)),
+      "evicted entry's checkpoint RDD is still persisted")
+  }
 }

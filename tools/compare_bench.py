@@ -19,9 +19,10 @@ run order):
                   on EITHER side of the reps (>= 1.15x the floor:
                   min over the run's ticks, and the run's own
                   calibrate-derived expected tick when present — the
-                  absolute floor a uniformly loaded run can't fake),
-                  OR the slower side has no provenance fields
-                  (pre-r14 artifact).
+                  absolute floor a uniformly loaded run can't fake).
+  unprovenanced - the slower side has no slot fields (pre-r14
+                  artifact): missing data, not measured load —
+                  credibility unknown, not discredited (r15 ADVICE).
   burst-suspect - the slot's signals read idle but its own reps
                   disagree >= 2x (a sub-slot burst hit some reps and
                   lagged both the 1-min loadavg and the bracketing
@@ -62,14 +63,17 @@ def idle_tick(bench):
 
 
 def classify(run, floor):
-    """(kind: 'host'|'burst'|'code', why: str) for one runs{} entry."""
+    """(kind: 'host'|'burst'|'code'|'noprov', why: str) for one runs{}
+    entry. 'noprov' is missing data, NOT measured load (r15 ADVICE):
+    a pre-r14 artifact without slot fields must print 'credibility
+    unknown', never 'loaded' — mislabeling absence as measurement."""
     if not isinstance(run, dict):
-        return "host", "no runs entry"
+        return "noprov", "no runs entry"
     load = run.get("load1_slot")
     tick = run.get("calib_tick_sec")
     tick_end = run.get("calib_tick_end_sec")
     if load is None and tick is None:
-        return "host", "no slot provenance (pre-r14 artifact)"
+        return "noprov", "no slot provenance (pre-r14 artifact)"
     why = []
     if load is not None and load >= 3:
         why.append(f"load1_slot {load}")
@@ -128,7 +132,8 @@ def main():
         wflag = warm_changed(old.get("runs", {}).get(name),
                              new.get("runs", {}).get(name))
         tag = {"host": "host-suspect", "burst": "burst-suspect",
-               "code": "CODE-suspect"}[kind]
+               "code": "CODE-suspect",
+               "noprov": "unprovenanced (new side lacks slot fields)"}[kind]
         if wflag:
             tag = "accounting"
             why = "warm-family membership changed; " + why
@@ -144,7 +149,8 @@ def main():
                              new.get("runs", {}).get(name))
         cred = {"host": "old-run-loaded, win NOT credible",
                 "burst": "old-run-burst, win NOT credible",
-                "code": "old slot idle, win credible"}[kind]
+                "code": "old slot idle, win credible",
+                "noprov": "old run unprovenanced, credibility unknown"}[kind]
         if wflag:
             cred = "warm-family membership changed, win is accounting"
         print(f"  DOWN {name:32s} {ov:7.3f} -> {nv:7.3f} ({r:5.2f}x)  "

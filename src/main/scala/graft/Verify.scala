@@ -65,6 +65,49 @@ object Verify {
         System.err.println(s"[verify] q109 merges dump failed: " +
           e.getMessage)
       }
+    // Media replay side outputs (r15 verdict item 1): decode needs
+    // JVM codecs (and the corpus generators), so the decode half of
+    // the media family stays spec/gate-verified — but everything
+    // after the raster/PCM (banding, Hamming verify, slot
+    // aggregation, clustering) is a pure function of the 64-bit
+    // fingerprints. Dump each modality's fingerprint table next to
+    // its parquet so tools/check.py can replay the post-decode
+    // pipeline in independent Python for q152/q154/q156 and their
+    // compositions (q155, q157–q159). The frames come from the query
+    // run's per-session hash caches — no extra decode jobs — and
+    // each dump carries its banding constants so the replay reads
+    // the contract instead of assuming it.
+    def dumpFingerprints(name: String, file: String, header: String)(
+        rows: => Iterator[String]): Unit =
+      if (wanted(name) && new java.io.File(s"$outDir/$name").isDirectory)
+        try Files.writeString(Paths.get(s"$outDir/$name/$file"),
+          s"{$header,\"rows\":[" + rows.mkString(",") + "]}")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name fingerprint dump " +
+            s"failed: ${e.getMessage}")
+        }
+    {
+      import graft.mm.{MediaDedup, VideoDedup}
+      val phashHeader =
+        s""""bands":${MediaDedup.Bands},""" +
+          s""""band_bits":${64 / MediaDedup.Bands},""" +
+          s""""max_hamming":${MediaDedup.MaxHamming}"""
+      dumpFingerprints("q152_media_perceptual_dedup", "_phashes.json",
+        phashHeader)(
+        MediaDedup.imageHashes(spark, sfDir).collect().iterator
+          .map(r => s"[${r.getLong(0)},${r.getLong(1)}]"))
+      dumpFingerprints("q154_audio_perceptual_dedup", "_phashes.json",
+        phashHeader)(
+        MediaDedup.audioHashes(spark, sfDir).collect().iterator
+          .map(r => s"[${r.getLong(0)},${r.getLong(1)}]"))
+      val (vBands, vBits) = VideoDedup.frameBandLayout(spark)
+      dumpFingerprints("q156_video_frame_dedup", "_fhashes.json",
+        s""""bands":$vBands,"band_bits":$vBits,""" +
+          s""""max_hamming":${MediaDedup.MaxHamming},""" +
+          s""""min_match_frac":${VideoDedup.MinMatchFrac}""")(
+        VideoDedup.videoHashes(spark, sfDir).collect().iterator
+          .map(r => s"[${r.getLong(0)},${r.getInt(1)},${r.getLong(2)}]"))
+    }
     // Cutover-aware oracle dump: a query that ran its approximate
     // branch (LSH regime above spark.graft.exactPairLimit) must get a
     // rows-only check, not a doomed exact-hash compare. The queries

@@ -535,6 +535,262 @@ def replay_dim_recall(con, sf_dir, res_dir):
     return None
 
 
+# --- media perceptual-dedup replay oracles (r15 verdict item 1) ------
+# Decode stays JVM-side (codecs + corpus generators), so the decode
+# half of the media family keeps its recall gates — but banding,
+# Hamming verify, slot aggregation, and min-id clustering are pure
+# functions of the 64-bit fingerprints. graft.Verify dumps each
+# modality's fingerprint table (from the query run's own hash caches)
+# as a _phashes.json/_fhashes.json side output carrying its banding
+# constants; these replays re-derive candidate generation and
+# verification from scratch in Python and compare cell-for-cell.
+
+# q155's namespace offsets (MediaDedup.AudioNsOffset/VideoNsOffset):
+# structural id-space bookkeeping, asserted here so a drift in the
+# engine's namespaces fails the replay loudly.
+_AUDIO_NS = 1 << 41
+_VIDEO_NS = 1 << 42
+
+
+def _load_side(path):
+    return json.load(open(path)) if os.path.exists(path) else None
+
+
+def _sibling_side(res_dir, sibling, fname):
+    base = os.path.dirname(res_dir.rstrip("/"))
+    return _load_side(f"{base}/{sibling}/{fname}")
+
+
+def _phash_pairs(side):
+    """{(a, b): hamming} with a < b - 64-bit LSH banding, within-
+    bucket distinct pairs, exact Hamming verify (MediaDedup
+    .nearDupPairs' shape, re-derived)."""
+    hashes = {r[0]: r[1] for r in side["rows"]}
+    bands, bits = side["bands"], side["band_bits"]
+    mask = (1 << bits) - 1
+    buckets = {}
+    for i in sorted(hashes):
+        h = hashes[i] & _M
+        for b in range(bands):
+            buckets.setdefault((b, (h >> (b * bits)) & mask), []).append(i)
+    cands = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                if a > b:
+                    a, b = b, a
+                if a != b:
+                    cands.add((a, b))
+    out = {}
+    for a, b in cands:
+        hd = bin((hashes[a] ^ hashes[b]) & _M).count("1")
+        if hd <= side["max_hamming"]:
+            out[(a, b)] = hd
+    return out
+
+
+def _video_pairs(side):
+    """{(va, vb): (matched_a, matched_b, slots_a, slots_b,
+    match_frac)} - VideoDedup.videoDupPairs' shape re-derived: banded
+    frame candidates, per-(va,sa,vb,sb) dedup, Hamming verify,
+    distinct-slot counts, match_frac = max of the two slot
+    fractions."""
+    rows = side["rows"]
+    bands, bits = side["bands"], side["band_bits"]
+    mask = (1 << bits) - 1
+    buckets = {}
+    for vid, slot, fh in rows:
+        h = fh & _M
+        for b in range(bands):
+            buckets.setdefault((b, (h >> (b * bits)) & mask),
+                               []).append((vid, slot, fh))
+    frame_pairs = {}
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                va, sa, ha = members[x]
+                vb, sb, hb = members[y]
+                if va == vb:
+                    continue
+                if va > vb:
+                    va, sa, ha, vb, sb, hb = vb, sb, hb, va, sa, ha
+                frame_pairs[(va, sa, vb, sb)] = (ha, hb)
+    matched = {}
+    for (va, sa, vb, sb), (ha, hb) in frame_pairs.items():
+        if bin((ha ^ hb) & _M).count("1") <= side["max_hamming"]:
+            ma, mb = matched.setdefault((va, vb), (set(), set()))
+            ma.add(sa)
+            mb.add(sb)
+    slots = {}
+    for vid, _, _ in rows:
+        slots[vid] = slots.get(vid, 0) + 1
+    out = {}
+    for (va, vb), (ma, mb) in matched.items():
+        frac = max(len(ma) / slots[va], len(mb) / slots[vb])
+        if frac >= side["min_match_frac"]:
+            out[(va, vb)] = (len(ma), len(mb), slots[va], slots[vb], frac)
+    return out
+
+
+def _compare_video(res_dir, con, expected):
+    rel = con.sql(f"SELECT video_a, video_b, matched_a, matched_b, "
+                  f"slots_a, slots_b, match_frac "
+                  f"FROM '{res_dir}/*.parquet'")
+    got = {(r[0], r[1]): tuple(r[2:]) for r in rel.fetchall()}
+    if len(got) != len(expected):
+        only_g = sorted(set(got) - set(expected))[:3]
+        only_e = sorted(set(expected) - set(got))[:3]
+        return (f"pair sets differ: engine {len(got)} vs replay "
+                f"{len(expected)}; engine-only {only_g}, "
+                f"replay-only {only_e}")
+    for k, v in expected.items():
+        g = got.get(k)
+        if g is None:
+            return f"replay pair {k} missing from engine output"
+        if g != v:
+            return f"pair {k}: engine {g} vs replay {v}"
+    return None
+
+
+_MEDIA_REPLAY_BOUND = 500000
+
+
+def _replay_phash_dedup(con, res_dir):
+    side = _load_side(f"{res_dir}/_phashes.json")
+    if side is None:
+        return "skip: no _phashes.json side output"
+    if len(side["rows"]) > _MEDIA_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    return _compare_pairs(res_dir, con, _phash_pairs(side), "hamming")
+
+
+def replay_media_dedup(con, sf_dir, res_dir):
+    """q152: banded dHash candidates + Hamming <= 10 verify."""
+    return _replay_phash_dedup(con, res_dir)
+
+
+def replay_audio_dedup(con, sf_dir, res_dir):
+    """q154: q152's machinery over the audio contour fingerprints."""
+    return _replay_phash_dedup(con, res_dir)
+
+
+def _replay_incremental_phash(con, res_dir, sibling):
+    """q157/q158: banding is deterministic, so the incremental pass
+    equals the full pass restricted to pairs touching the mod-7
+    batch - the same identity the engine's gate pins at diff zero,
+    here re-derived from the fingerprints."""
+    side = _sibling_side(res_dir, sibling, "_phashes.json")
+    if side is None:
+        return f"skip: no {sibling}/_phashes.json side output"
+    if len(side["rows"]) > _MEDIA_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    expected = {p: h for p, h in _phash_pairs(side).items()
+                if p[0] % 7 == 0 or p[1] % 7 == 0}
+    return _compare_pairs(res_dir, con, expected, "hamming")
+
+
+def replay_incremental_media(con, sf_dir, res_dir):
+    return _replay_incremental_phash(
+        con, res_dir, "q152_media_perceptual_dedup")
+
+
+def replay_incremental_audio(con, sf_dir, res_dir):
+    return _replay_incremental_phash(
+        con, res_dir, "q154_audio_perceptual_dedup")
+
+
+def replay_video_dedup(con, sf_dir, res_dir):
+    """q156: banded per-frame candidates, slot aggregation,
+    match_frac >= 0.6."""
+    side = _load_side(f"{res_dir}/_fhashes.json")
+    if side is None:
+        return "skip: no _fhashes.json side output"
+    if len(side["rows"]) > _MEDIA_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    return _compare_video(res_dir, con, _video_pairs(side))
+
+
+def replay_incremental_video(con, sf_dir, res_dir):
+    """q159: q156 restricted to video pairs touching the mod-7 batch
+    (same restriction identity as q157's)."""
+    side = _sibling_side(res_dir, "q156_video_frame_dedup",
+                         "_fhashes.json")
+    if side is None:
+        return "skip: no q156_video_frame_dedup/_fhashes.json " \
+               "side output"
+    if len(side["rows"]) > _MEDIA_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    expected = {p: v for p, v in _video_pairs(side).items()
+                if p[0] % 7 == 0 or p[1] % 7 == 0}
+    return _compare_video(res_dir, con, expected)
+
+
+def replay_media_clusters(con, sf_dir, res_dir):
+    """q155: all three modalities' pairs (image/audio/video, ids
+    namespaced) through min-id connected components; keeper = the
+    component minimum; singletons keep themselves."""
+    img = _sibling_side(res_dir, "q152_media_perceptual_dedup",
+                        "_phashes.json")
+    aud = _sibling_side(res_dir, "q154_audio_perceptual_dedup",
+                        "_phashes.json")
+    vid = _sibling_side(res_dir, "q156_video_frame_dedup",
+                        "_fhashes.json")
+    if img is None or aud is None or vid is None:
+        return "skip: missing sibling fingerprint side outputs"
+    if (len(img["rows"]) + len(aud["rows"]) + len(vid["rows"])
+            > _MEDIA_REPLAY_BOUND):
+        return "skip: corpus too large for the Python replay bound"
+    pairs = list(_phash_pairs(img))
+    pairs += [(a + _AUDIO_NS, b + _AUDIO_NS)
+              for a, b in _phash_pairs(aud)]
+    pairs += [(a + _VIDEO_NS, b + _VIDEO_NS)
+              for a, b in _video_pairs(vid)]
+    nodes = {r[0] for r in img["rows"]}
+    nodes |= {r[0] + _AUDIO_NS for r in aud["rows"]}
+    nodes |= {r[0] + _VIDEO_NS for r in vid["rows"]}
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent.get(r, r)
+        c = x
+        while parent.get(c, c) != c:
+            parent[c], c = r, parent[c]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    expected = {}
+    for n in sorted(nodes):
+        lbl = find(n)
+        mod = ("video" if n >= _VIDEO_NS
+               else "audio" if n >= _AUDIO_NS else "image")
+        expected[(mod, n % _AUDIO_NS)] = (lbl % _AUDIO_NS, n == lbl)
+    rel = con.sql(f"SELECT modality, doc_id, cluster_id, is_keeper "
+                  f"FROM '{res_dir}/*.parquet'")
+    got = {(r[0], r[1]): (r[2], r[3]) for r in rel.fetchall()}
+    if len(got) != len(expected):
+        only_g = sorted(set(got) - set(expected))[:3]
+        only_e = sorted(set(expected) - set(got))[:3]
+        return (f"node sets differ: engine {len(got)} vs replay "
+                f"{len(expected)}; engine-only {only_g}, "
+                f"replay-only {only_e}")
+    for k, v in expected.items():
+        g = got.get(k)
+        if g is None:
+            return f"replay node {k} missing from engine output"
+        if g != v:
+            return f"node {k}: engine {g} vs replay {v}"
+    return None
+
+
 # --- q109 BPE replay oracle ------------------------------------------
 # BPE learning is iterative and not ANSI-expressible, so q109 can't
 # get a DuckDB oracle — but greedy BPE is a pure function of the
@@ -738,6 +994,20 @@ def main():
             ("incremental near-dup", replay_incremental_neardup),
         "q36_ann_lsh": ("hyperplane-LSH ANN", replay_ann_lsh),
         "q119_dim_recall": ("dim-ablation recall", replay_dim_recall),
+        "q152_media_perceptual_dedup":
+            ("image perceptual-dedup", replay_media_dedup),
+        "q154_audio_perceptual_dedup":
+            ("audio perceptual-dedup", replay_audio_dedup),
+        "q155_media_dup_clusters":
+            ("media dup-cluster", replay_media_clusters),
+        "q156_video_frame_dedup":
+            ("video frame-dedup", replay_video_dedup),
+        "q157_incremental_media_dedup":
+            ("incremental media-dedup", replay_incremental_media),
+        "q158_incremental_audio_dedup":
+            ("incremental audio-dedup", replay_incremental_audio),
+        "q159_incremental_video_dedup":
+            ("incremental video-dedup", replay_incremental_video),
     }
     for res in sorted(glob.glob(f"{out_dir}/*/")):
         name = res.rstrip("/").split("/")[-1]

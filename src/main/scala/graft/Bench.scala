@@ -203,6 +203,26 @@ object Bench {
       if (warmReps.max > SpreadFloorSec &&
           warmReps.max / math.max(warmReps.min, 1e-9) > SpreadBound)
         times = times ++ (1 to ExtraRepBudget).map(_ => once(fn))
+      // Adaptive reps for sub-second slots (r15 verdict item 4): two
+      // quiet identical-code runs recorded 14 false movers at
+      // ≥1.25×/≥0.05 s, all on sub-second queries — bursts shorter
+      // than the tick bracket are invisible to slot provenance, so
+      // the remaining instrument-side lever is more samples where
+      // samples are cheap. Each slot whose median is under SubSecond
+      // may spend up to ExtraWallPerSlot of additional wall on extra
+      // reps (capped at MaxReps total): a 30 ms query gets the full
+      // min-of-9, a 300 ms query one extra rep, a 600 ms query none.
+      // Measured on the r15 artifact: ≈15 s across the 123 sub-0.5 s
+      // slots, none of it billed to any query.
+      val MaxReps = 9
+      val SubSecond = 0.5
+      val ExtraWallPerSlot = 0.35
+      val med0 = median(times)
+      if (med0 < SubSecond && times.size < MaxReps) {
+        val extra = math.min(MaxReps - times.size,
+          (ExtraWallPerSlot / math.max(med0, 1e-3)).toInt)
+        times = times ++ (1 to extra).map(_ => once(fn))
+      }
       // post-slot tick: a burst SHORTER than a slot lags both the
       // 1-min loadavg and the pre-rep tick (r14's q01/q03/q98 cost
       // manual re-measures); a tick on each side of the reps brackets

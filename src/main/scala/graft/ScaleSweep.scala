@@ -39,17 +39,34 @@ object ScaleSweep {
   /** 7·10^10: divisible by 10 and 7 (the engine's id-routing moduli),
     * and 15 replicas stay under [[graft.mm.MediaDedup.CopyIdOffset]]
     * (2^40) so media copy/namespace ids keep their headroom.
+    *
+    * The 15× media ceiling is this offset, not the engine (r15
+    * verdict item 6): the binding constraint is k·offset ≤ 2^40 ≈
+    * 1.1e12, so the DEFAULT offset caps k at 15 while any offset
+    * that (a) is divisible by 70 (id-routing moduli) and (b) exceeds
+    * every base id at the source SF (sf0.1 maxima: l_orderkey 6e5,
+    * doc/vec ids ≤ 1e4) lifts it — e.g. `SPARK_GRAFT_REPLICA_OFFSET=
+    * 7000000000` (7e9) allows k ≤ 157. The override builds into its
+    * own sweep dir (ids differ), so the default-offset 10× artifacts
+    * stay comparable round over round.
     */
   val ReplicaOffset = 70000000000L
 
   def main(args: Array[String]): Unit = {
     val k = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "10").toInt
-    require(k.toLong * ReplicaOffset <= graft.mm.MediaDedup.CopyIdOffset,
+    val off0 = sys.env.get("SPARK_GRAFT_REPLICA_OFFSET").map(_.toLong)
+      .getOrElse(ReplicaOffset)
+    require(off0 % 70 == 0 && off0 >= 7000000L,
+      s"replica offset $off0 must be divisible by 70 (the id-routing " +
+        "moduli) and exceed every base id")
+    require(k.toLong * off0 <= graft.mm.MediaDedup.CopyIdOffset,
       s"replicate=$k overflows the media id headroom " +
-        s"(k * $ReplicaOffset must stay <= 2^40); max 15")
+        s"(k * $off0 must stay <= 2^40); " +
+        s"max ${graft.mm.MediaDedup.CopyIdOffset / off0}")
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out =
-      sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR", s"/tmp/graft_sfx${k}v3")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR",
+      s"/tmp/graft_sfx${k}v3" +
+        (if (off0 != ReplicaOffset) s"_o$off0" else ""))
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -66,7 +83,7 @@ object ScaleSweep {
     if (!new java.io.File(s"$out/part.parquet").exists()) {
       def reps10(df: DataFrame): DataFrame =
         df.crossJoin(spark.range(k).select(col("id").as("rep")))
-      val off = lit(ReplicaOffset)
+      val off = lit(off0)
       reps10(spark.read.parquet(s"$src/documents.parquet"))
         .withColumn("doc_id", col("doc_id") + col("rep") * off)
         .withColumn("text", concat_ws(" ", col("text"),
@@ -255,7 +272,7 @@ object ScaleSweep {
         .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
         .filter((id: Long) => id % 10 == 0).collect().sorted
       val ids = for (rep <- 0 until k; id <- baseIds)
-        yield id + rep * ReplicaOffset
+        yield id + rep * off0
       val vids = spark.sparkContext.parallelize(ids, 64).flatMap { vid =>
         val v = VideoDedup.syntheticVideo(vid)
         Seq((vid, v),
@@ -301,21 +318,50 @@ object ScaleSweep {
     // Signals: warm-batch docs/s (regression watch) and max state
     // rows (must track ~one horizon of banded documents — docs ×
     // bands — not stream length: the bound that lets it run forever
-    // at ingest scale). The CANDIDATE count is NOT a correctness pin
-    // on this corpus: the sweep's doc-unique salts depress true-pair
-    // Jaccard below the 0.65 default bar (a 0.9 base pair lands
-    // ~0.56; an exact-dup cross-replica pair ~0.625), so emissions
-    // here are borderline estimate-tail pairs — measured 0 at 1×,
-    // 266 at 10×. Streaming-vs-batch emission parity is the VIDEO
-    // entry's pin (unsalted id-seeded media); StreamingSpec pins the
-    // text path's semantics on unsalted fixtures.
+    // at ingest scale).
+    //
+    // Emission pin (r15 verdict item 3): the replicated corpus's own
+    // pairs can't pin emissions — its doc-unique salts depress
+    // true-pair Jaccard below the 0.65 bar (a 0.9 base pair lands
+    // ~0.56), so corpus emissions are borderline estimate-tail pairs
+    // (0 at 1×, 266 at 10× in r15) and a silent no-emission
+    // regression was invisible at 1×. The stream now also carries
+    // PLANTED pairs: per (replica, every-10th base doc), two fresh
+    // ids sharing one text = the base doc + a pair-shared salt block
+    // 1.5× the doc's token count. Within a pair the texts are
+    // identical (est Jaccard 1.0 — emission guaranteed: identical
+    // signatures share every band bucket and the pair is adjacent in
+    // the stream), while the heavy pair-unique salts push every
+    // cross-pair Jaccard far below the bar (same base, other replica
+    // ≈ 0.25; vs the corpus copy ≈ 0.36 — collision × estimate-tail
+    // odds < 1e-6 per pair), so distinct planted-id pairs must equal
+    // k × plantedBase EXACTLY at every scale — the nonzero,
+    // parity-style pin the video entry already has. Planted docs ride
+    // the tail of the stream and are counted in docs/s (disclosed:
+    // docs grows ~1.2× vs the r15 entry — accounting, not kernel).
     val textStreamJson = if (!wanted("stream_text_neardup")) "null" else {
       import java.sql.Timestamp
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
-      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val corpus = spark.read.parquet(s"$out/documents.parquet")
         .select("doc_id", "text").collect()
         .map(r => (r.getLong(0), r.getString(1)))
+      val plantBase = 1L << 50 // above any replicated id (~1e12)
+      val baseDocs = spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .filter(_._1 % 10 == 0).sortBy(_._1)
+      val planted = for {
+        rep <- 0 until k
+        ((id, text), idx) <- baseDocs.zipWithIndex
+        saltN = math.ceil(text.split(" ").length * 1.5).toInt
+        salted = text + " " + (1 to saltN)
+          .map(i => s"p${rep}d${id}s$i").mkString(" ")
+        a = plantBase + (rep.toLong * baseDocs.length + idx) * 2
+        m <- Seq((a, salted), (a + 1, salted))
+      } yield m
+      val expectedPlanted = k.toLong * baseDocs.length
+      val docs = corpus ++ planted
       import spark.implicits._
       val input = MemoryStream[(Long, String, Timestamp)](spark)
       val qname = s"sweep_text_stream_$k"
@@ -343,12 +389,21 @@ object ScaleSweep {
               .map(_.numRowsTotal).sum)
         }
         val cands = spark.table(qname).count()
+        val plantedPairs = spark.table(qname)
+          .filter(col("doc_a") >= plantBase && col("doc_b") >= plantBase)
+          .select("doc_a", "doc_b").distinct().count()
+        val pinOk = plantedPairs == expectedPlanted
         val dps = if (warmDocs == 0) 0.0 else warmDocs / (warmNanos / 1e9)
         println(f"SWEEP stream_text_neardup     ${k}x  " +
-          f"$dps%7.1f docs/s  state_rows=$maxState  candidates=$cands")
+          f"$dps%7.1f docs/s  state_rows=$maxState  candidates=$cands  " +
+          f"planted=$plantedPairs/$expectedPlanted " +
+          (if (pinOk) "PIN-OK" else "PIN-FAIL"))
         f"""{"docs":${docs.length},"batches":${groups.length},""" +
           f""""docs_per_sec":$dps%.1f,"max_state_rows":$maxState,""" +
-          f""""candidates":$cands}"""
+          f""""candidates":$cands,""" +
+          f""""planted_pairs_expected":$expectedPlanted,""" +
+          f""""planted_pairs_observed":$plantedPairs,""" +
+          f""""planted_pin_ok":$pinOk}"""
       } finally q.stop()
     }
     println(s"""SWEEP_JSON {"replicate":$k,"reps":$reps,""" +

@@ -77,6 +77,16 @@ object ScaleSweep {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Sweep-experiment conf passthrough: SPARK_GRAFT_SESSION_CONFS=
+    // "k=v;k2=v2" sets session confs before any query builds — how a
+    // sweep measures a conf dial (e.g. the r16 widePhashBands 30×
+    // recovery point) without code edits.
+    sys.env.get("SPARK_GRAFT_SESSION_CONFS").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(ck, cv) = kv.split("=", 2)
+        spark.conf.set(ck, cv)
+        println(s"SWEEP conf $ck=$cv")
+      })
 
     // keyed on the NEWEST table so a sweep dir built by an older
     // version of this tool (without part.parquet) rebuilds

@@ -88,9 +88,9 @@ object Verify {
         }
     {
       import graft.mm.{MediaDedup, VideoDedup}
+      val (pBands, pBits) = MediaDedup.phashBandLayout(spark)
       val phashHeader =
-        s""""bands":${MediaDedup.Bands},""" +
-          s""""band_bits":${64 / MediaDedup.Bands},""" +
+        s""""bands":$pBands,"band_bits":$pBits,""" +
           s""""max_hamming":${MediaDedup.MaxHamming}"""
       dumpFingerprints("q152_media_perceptual_dedup", "_phashes.json",
         phashHeader)(

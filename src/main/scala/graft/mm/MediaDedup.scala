@@ -47,6 +47,30 @@ object MediaDedup {
   /** LSH bands over the 64-bit hash: 4 bands × 16 bits. */
   val Bands = 4
 
+  /** Band layout for the single-hash (image/audio) candidate paths:
+    * default 4×16. The r16 30× media sweep measured the 4×16
+    * layout's bucket saturation directly — 2^16 buckets/band over
+    * ~465k banded rows put q152 at 41 s for 3× the 10× corpus (19×
+    * the wall: every collision is a shuffled candidate row plus a
+    * Hamming verify, the r12 q156 lesson at the image tier's scale).
+    * `spark.graft.media.widePhashBands=true` switches to the video
+    * path's 3×21 layout (32× the key space on 3/4 the rows): the
+    * pigeonhole guarantee tightens from Hamming ≤ 3 to ≤ 2 banded
+    * bits, which still covers every planted transform (each measures
+    * ≤ 2 bits — MediaDedupSpec pins recall under BOTH layouts), and
+    * the exact Hamming ≤ [[MaxHamming]] verify is unchanged.
+    * Default stays 4×16 so bench/oracle-scale results are stable;
+    * the dial is the 100 TB spelling (at crawl scale you'd set it —
+    * measured 30× recovery in SWEEP_r16 media_30x_point). The replay
+    * oracle reads the active layout from the Verify side output, so
+    * either setting replays cell-for-cell.
+    */
+  def phashBandLayout(spark: org.apache.spark.sql.SparkSession)
+      : (Int, Int) =
+    if (spark.conf.getOption("spark.graft.media.widePhashBands")
+        .exists(_.toBoolean)) (3, 21)
+    else (Bands, 64 / Bands)
+
   /** Candidate pairs at Hamming distance ≤ MaxHamming are duplicates.
     * Measured on the planted transforms (MediaDedupSpec): JPEG
     * re-encode ≤ 2 bits, 2× upscale ≤ 2, brightness +16 ≤ 2 — while
@@ -139,9 +163,9 @@ object MediaDedup {
     */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = MaxHamming)
       : DataFrame = {
-    val bandBits = 64 / Bands
+    val (bands, bandBits) = phashBandLayout(hashes.sparkSession)
     val banded = hashes.select(col("doc_id"), col("phash"),
-        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("key",
         expr(s"shiftrightunsigned(phash, band * $bandBits)")
           .bitwiseAND(lit((1L << bandBits) - 1)))
@@ -179,10 +203,10 @@ object MediaDedup {
     */
   def incrementalNearDupPairs(corpusHashes: DataFrame,
       batchHashes: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
-    val bandBits = 64 / Bands
+    val (bands, bandBits) = phashBandLayout(corpusHashes.sparkSession)
     def banded(df: DataFrame) =
       df.select(col("doc_id"), col("phash"),
-          explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
         .withColumn("key",
           expr(s"shiftrightunsigned(phash, band * $bandBits)")
             .bitwiseAND(lit((1L << bandBits) - 1)))

@@ -222,4 +222,42 @@ class MediaDedupSpec extends SparkSpec {
     assert(incr.filter(col("doc_a") % 7 =!= 0 &&
       col("doc_b") % 7 =!= 0).count() == 0)
   }
+
+  test("wide 3x21 phash banding (the crawl-scale dial) keeps planted " +
+      "recall >= 0.8 for both modalities and the incremental identity") {
+    // every planted transform measures <= 2 Hamming bits, and 3
+    // disjoint 21-bit bands guarantee a candidate at <= 2 banded
+    // bits - so the pigeonhole recall argument survives the r16
+    // saturation fix (see MediaDedup.phashBandLayout)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.media.widePhashBands", "true")
+    try {
+      for (query <- Seq(MediaDedup.mediaDedup, MediaDedup.audioDedup)) {
+        val out = query.fn(s2, sfTiny).cache()
+        val planted = Tables.documents(s2, sfTiny)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + MediaDedup.CopyIdOffset).as("doc_b"))
+        val nPlanted = planted.count()
+        val found = planted.join(out, Seq("doc_a", "doc_b"), "left_semi")
+          .count()
+        info(s"${query.name} wide-band planted recall: $found/$nPlanted")
+        assert(found.toDouble / nPlanted >= 0.8, query.name)
+        assert(out.filter(col("hamming") > MediaDedup.MaxHamming)
+          .count() == 0)
+        out.unpersist()
+      }
+      // the q157 restriction identity is layout-independent
+      val hashes = MediaDedup.imageHashes(s2, sfTiny)
+      val incr = MediaDedup.incrementalNearDupPairs(
+        hashes.filter(col("doc_id") % 7 =!= 0),
+        hashes.filter(col("doc_id") % 7 === 0))
+        .select("doc_a", "doc_b", "hamming")
+      val full = MediaDedup.nearDupPairs(hashes)
+        .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+        .select("doc_a", "doc_b", "hamming")
+      assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+        "wide-band incremental pass diverged from the restricted full")
+    } finally s2.conf.unset("spark.graft.media.widePhashBands")
+  }
 }

@@ -38,6 +38,7 @@ object Doctor {
     "spark.graft.cooccur.userCap" -> "(uncapped)",
     "spark.graft.rangeJoin.bucketWidth" -> "(per-plan opt-in)",
     "spark.graft.video.wideFrameBands" -> "true",
+    "spark.graft.media.widePhashBands" -> "false",
     "spark.graft.edgeCacheMaxEntries" -> "16",
     "spark.graft.edgeCacheLogRows" -> "false")
 

@@ -40,6 +40,7 @@ object Doctor {
     "spark.graft.video.wideFrameBands" -> "true",
     "spark.graft.media.widePhashBands" -> "false",
     "spark.graft.edgeCacheMaxEntries" -> "16",
+    "spark.graft.edgeCacheGlobalMaxEntries" -> "64",
     "spark.graft.edgeCacheLogRows" -> "false")
 
   /** One representative query per tier — cheap at sf0.001, together
@@ -72,10 +73,15 @@ object Doctor {
     spark.sparkContext.setLogLevel("ERROR")
     println(s"graft doctor — spark ${spark.version}, " +
       s"master local[$cpus], sfDir $sfDir")
-    println("\nconf dials (resolved -> value; '(default)' = unset):")
+    // note: the right-hand values for unset dials are the DOCUMENTED
+    // defaults (README "Conf dials"), snapshotted here — a retuned
+    // code default must update both tables (they are review-linked),
+    // while a SET conf always prints its live session value
+    println("\nconf dials (set -> live value; unset -> documented " +
+      "default):")
     dials.foreach { case (k, d) =>
       val v = spark.conf.getOption(k)
-        .map(x => s"$x").getOrElse(s"(default) $d")
+        .map(x => s"$x").getOrElse(s"(unset; doc default) $d")
       println(f"  $k%-42s $v")
     }
     println("\ntestdata:")

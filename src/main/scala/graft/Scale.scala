@@ -106,4 +106,18 @@ object Scale {
       case _ => ()
     }
   }
+
+  /** Apply `SPARK_GRAFT_SESSION_CONFS` ("k=v;k2=v2") to the session —
+    * the experiment passthrough shared by the Verify and ScaleSweep
+    * mains, so a dialed configuration (e.g. widePhashBands) can run
+    * either surface without code edits. One parser, one contract
+    * (r16 review: two copies drift); empty keys are rejected.
+    */
+  def applyEnvConfs(s: SparkSession, log: String => Unit): Unit =
+    sys.env.get("SPARK_GRAFT_SESSION_CONFS").foreach(_.split(";")
+      .map(_.trim).filter(_.indexOf('=') > 0).foreach { kv =>
+        val Array(ck, cv) = kv.split("=", 2)
+        s.conf.set(ck, cv)
+        log(s"conf $ck=$cv")
+      })
 }

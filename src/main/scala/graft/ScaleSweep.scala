@@ -77,20 +77,29 @@ object ScaleSweep {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Sweep-experiment conf passthrough: SPARK_GRAFT_SESSION_CONFS=
-    // "k=v;k2=v2" sets session confs before any query builds — how a
-    // sweep measures a conf dial (e.g. the r16 widePhashBands 30×
-    // recovery point) without code edits.
-    sys.env.get("SPARK_GRAFT_SESSION_CONFS").foreach(_.split(";")
-      .map(_.trim).filter(_.contains("=")).foreach { kv =>
-        val Array(ck, cv) = kv.split("=", 2)
-        spark.conf.set(ck, cv)
-        println(s"SWEEP conf $ck=$cv")
-      })
+    // Sweep-experiment conf passthrough (shared parser, graft.Scale):
+    // SPARK_GRAFT_SESSION_CONFS="k=v;k2=v2" sets session confs before
+    // any query builds — how a sweep measures a conf dial (e.g. the
+    // r16 widePhashBands 30× recovery point) without code edits.
+    Scale.applyEnvConfs(spark, m => println(s"SWEEP $m"))
 
     // keyed on the NEWEST table so a sweep dir built by an older
     // version of this tool (without part.parquet) rebuilds
     if (!new java.io.File(s"$out/part.parquet").exists()) {
+      // the offset must clear every ACTUAL base id or replica id
+      // spaces overlap and rows silently collapse (r16 review: the
+      // static 7e6 floor only encoded sf0.1's maxima; the source dir
+      // is an argument, so check the real tables once per build)
+      val maxBase = Seq(
+        ("documents", "doc_id"), ("embeddings", "vec_id"),
+        ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+        ("part", "p_partkey")).map { case (t, c) =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .agg(max(col(c)).cast("long")).head.getLong(0)
+      }.max
+      require(off0 > maxBase,
+        s"replica offset $off0 must exceed the max base id $maxBase " +
+          s"of $src or replica id spaces overlap")
       def reps10(df: DataFrame): DataFrame =
         df.crossJoin(spark.range(k).select(col("id").as("rep")))
       val off = lit(off0)

@@ -15,16 +15,11 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Conf-dial passthrough (same contract as ScaleSweep's): lets a
+    // Conf-dial passthrough (shared parser, graft.Scale): lets a
     // dialed configuration run the FULL correctness surface — e.g.
     // widePhashBands=true re-verified by the replay oracle, which
     // reads the active layout from the fingerprint side outputs.
-    sys.env.get("SPARK_GRAFT_SESSION_CONFS").foreach(_.split(";")
-      .map(_.trim).filter(_.contains("=")).foreach { kv =>
-        val Array(ck, cv) = kv.split("=", 2)
-        spark.conf.set(ck, cv)
-        System.err.println(s"[verify] conf $ck=$cv")
-      })
+    Scale.applyEnvConfs(spark, m => System.err.println(s"[verify] $m"))
     new java.io.File(outDir).mkdirs()
     // Dev-loop subset: SPARK_GRAFT_ONLY=q79,q83 dumps only matching
     // queries. Unset (the driver's invocation) = all. Matching is

@@ -196,6 +196,20 @@ object Triangles {
       s: org.apache.spark.sql.SparkSession): Int =
     s.conf.getOption("spark.graft.edgeCacheMaxEntries")
       .map(_.toInt).getOrElse(16)
+
+  /** Global backstop across ALL sessions — conf dial
+    * `spark.graft.edgeCacheGlobalMaxEntries` (default 64). The
+    * per-session cap cannot bound `newSession()` churn on a live
+    * context: purgeStopped keys on CONTEXT stop, so a discarded
+    * session object (probe loops, notebook re-runs) pins its ≤ cap
+    * entries until then. The backstop evicts the globally oldest
+    * entries of OTHER sessions once the total exceeds it, so churn
+    * residue is bounded however many sessions come and go.
+    */
+  private def globalMaxEntries(
+      s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.edgeCacheGlobalMaxEntries")
+      .map(_.toInt).getOrElse(64)
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, String), EdgeHolder]()
   private val edgeOrder = new java.util.concurrent.ConcurrentLinkedQueue[
@@ -256,7 +270,12 @@ object Triangles {
         })
       })
       // per-session cap: evict THIS session's oldest entries only —
-      // never another live session's (ADVICE r15)
+      // never another live session's (ADVICE r15). Reference drop
+      // WITHOUT unpersist: a concurrent query in this session may be
+      // mid-job on the evicted frame, and a localCheckpoint cannot
+      // recompute (lineage cut) — prompt unpersist here would abort
+      // that job (r16 review). The ContextCleaner reclaims the
+      // blocks once the last consumer's RDD reference is GC'd.
       def sessionKeys =
         java.util.Collections.list(edgeCache.keys()).iterator()
       var mine = 0
@@ -267,10 +286,30 @@ object Triangles {
         while (mine > cap && it.hasNext) {
           val k = it.next()
           if ((k._1 eq s) && k != key) {
+            edgeCache.remove(k)
+            it.remove()
+            mine -= 1
+          }
+        }
+      }
+      // global backstop: bound TOTAL residency against newSession()
+      // churn the session cap can't see. Evicts only OTHER sessions'
+      // entries, oldest first, unpersisting promptly — by the time
+      // the backstop (default 64) is reached those entries are churn
+      // residue; a still-live session that loses one simply rebuilds
+      // on its next cachedEdges call. (The narrow hazard — another
+      // LIVE session mid-job on the globally-oldest entry while 64+
+      // entries exist — trades against unbounded block-manager
+      // growth, and the dial raises the bound where that matters.)
+      val gCap = globalMaxEntries(s)
+      if (edgeCache.size > gCap) {
+        val it = edgeOrder.iterator()
+        while (edgeCache.size > gCap && it.hasNext) {
+          val k = it.next()
+          if (!(k._1 eq s) && k != key) {
             val evicted = edgeCache.remove(k)
             it.remove()
             if (evicted != null) evicted.unpersistIfBuilt()
-            mine -= 1
           }
         }
       }

@@ -152,14 +152,16 @@ object MediaDedup {
     * ANY 64-bit perceptual hash column (dHash, audio contour, video
     * slot hashes).
     *
-    * Recall contract (pigeonhole): with [[Bands]] bands a pair
-    * differing in ≤ [[Bands]]−1 = 3 bits ALWAYS shares an untouched
-    * band, so recall at Hamming ≤ 3 is guaranteed 1.0. Between 4 and
-    * `maxHamming` bits a pair surfaces only if some band happens to
-    * be unhit — best-effort, not guaranteed (measured ≥ 0.98 on the
-    * planted transforms, which concentrate damage in few cells). The
-    * verify filter is still exact: no reported pair ever exceeds
-    * `maxHamming`.
+    * Recall contract (pigeonhole, layout-dependent — the layout
+    * comes from [[phashBandLayout]]): with B disjoint bands a pair
+    * differing in ≤ B−1 BANDED bits always shares an untouched band,
+    * so guaranteed recall is Hamming ≤ 3 under the default 4×16 and
+    * ≤ 2 under the wide 3×21 dial (bit 63 unbanded there, as in the
+    * video layout). From there to `maxHamming` a pair surfaces only
+    * if some band happens to be unhit — best-effort, not guaranteed
+    * (measured ≥ 0.98 on the planted transforms under both layouts,
+    * MediaDedupSpec). The verify filter is still exact: no reported
+    * pair ever exceeds `maxHamming`.
     */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = MaxHamming)
       : DataFrame = {

@@ -71,8 +71,12 @@ object MediaNearDup {
       maxHamming: Int = MediaDedup.MaxHamming): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val bands = MediaDedup.Bands
-    val bandBits = 64 / bands
+    // the ONE band-layout decision shared with the batch/incremental
+    // paths (spark.graft.media.widePhashBands) — streaming and batch
+    // must mine the same candidate space or a dialed deployment's
+    // stream misses pairs its backfill finds (r16 review finding;
+    // the video family's withFrameBandKey discipline applied here)
+    val (bands, bandBits) = MediaDedup.phashBandLayout(spark)
     val horizonMs = NearDup.intervalMillis(horizon)
 
     val hashed = media.select(col("doc_id"), col("mime"), col("media"),

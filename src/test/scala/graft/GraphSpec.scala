@@ -249,33 +249,48 @@ class GraphSpec extends SparkSpec {
   }
 
   test("edge cache: per-session cap evicts only this session's " +
-      "oldest entry and unpersists its checkpoint blocks") {
+      "oldest (reference drop, no unpersist); the global backstop " +
+      "bounds session churn and unpersists promptly") {
     import graft.graph.Triangles
     val sfSmall = "/root/testdata/sf0.01"
     val canonTiny = new java.io.File(sfTiny).getCanonicalPath
     val canonSmall = new java.io.File(sfSmall).getCanonicalPath
     val other = spark.newSession() // bystander session, same key dirs
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Triangles.cachedWeightedEdges(other, sfTiny)
+    val otherIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(otherIds.nonEmpty, "localCheckpoint left no persistent RDD")
     val s = spark.newSession()
     s.conf.set("spark.graft.edgeCacheMaxEntries", "2")
-    val before = spark.sparkContext.getPersistentRDDs.keySet
     Triangles.cachedWeightedEdges(s, sfTiny) // s's oldest
-    val afterBuild = spark.sparkContext.getPersistentRDDs.keySet
-    val builtIds = afterBuild -- before
-    assert(builtIds.nonEmpty, "localCheckpoint left no persistent RDD")
     Triangles.cachedUndirectedEdges(s, sfTiny)
     Triangles.cachedWeightedEdges(s, sfSmall) // 3rd entry: over cap=2
     assert(Triangles.edgeCacheKeys(s) ==
       Set((canonTiny, "undirected"), (canonSmall, "weighted")),
       s"expected s's oldest evicted: ${Triangles.edgeCacheKeys(s)}")
-    // the bystander's entry survived — a global cap would have
+    // the bystander's entry survived — a global cap alone would have
     // evicted it (r15 ADVICE thrash finding)
     assert(Triangles.edgeCacheKeys(other) == Set((canonTiny, "weighted")),
       Triangles.edgeCacheKeys(other).toString)
-    // eviction unpersisted the checkpoint blocks promptly (not
-    // waiting on the ContextCleaner's periodic GC)
-    val afterEvict = spark.sparkContext.getPersistentRDDs.keySet
-    assert(builtIds.exists(id => !afterEvict.contains(id)),
-      "evicted entry's checkpoint RDD is still persisted")
+    // per-session eviction must NOT unpersist (an in-flight job in s
+    // could hold the frame; lineage is cut) — the bystander's blocks
+    // are certainly untouched
+    assert(otherIds.forall(
+      spark.sparkContext.getPersistentRDDs.keySet.contains),
+      "per-session eviction touched another session's blocks")
+    // global backstop: a third session with a tiny global cap forces
+    // total-residency eviction of OTHER sessions' oldest entries,
+    // unpersisting promptly (the newSession()-churn bound)
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.edgeCacheGlobalMaxEntries", "2")
+    Triangles.cachedUndirectedEdges(s3, sfSmall)
+    assert(Triangles.edgeCacheKeys(s3) == Set((canonSmall, "undirected")),
+      Triangles.edgeCacheKeys(s3).toString)
+    assert(Triangles.edgeCacheKeys(other).isEmpty,
+      s"backstop left the oldest other-session entry: " +
+        s"${Triangles.edgeCacheKeys(other)}")
+    assert(otherIds.exists(id =>
+      !spark.sparkContext.getPersistentRDDs.keySet.contains(id)),
+      "backstop eviction did not unpersist the churned blocks")
   }
 }

@@ -637,6 +637,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media near-dup honors the wide phash band dial: " +
+      "a transformed copy still pairs with its original under 3x21") {
+    // batch/stream parity under spark.graft.media.widePhashBands
+    // (r16): the stream derives its layout from the same
+    // phashBandLayout decision, so a dialed deployment mines the
+    // same candidate space in both paths
+    import graft.mm.MediaDedup
+    val ss = spark.newSession()
+    ss.conf.set("spark.graft.media.widePhashBands", "true")
+    import ss.implicits._
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)](ss)
+    val orig = MediaDedup.syntheticPhoto(40L)
+    val q = streaming.MediaNearDup.mediaNearDupStream(
+        input.toDF().toDF("doc_id", "mime", "media", "ts"),
+        horizon = "100 seconds")
+      .writeStream.format("memory").queryName("media_neardup_wide")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "image/png", orig, ts(10)),
+        (3L, "image/png", MediaDedup.syntheticPhoto(88L), ts(10)))
+      q.processAllAvailable()
+      input.addData(
+        (2L, "image/png", MediaDedup.transformedCopy(40L, orig), ts(20)))
+      q.processAllAvailable()
+      val pairs = ss.table("media_neardup_wide")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), pairs.toString)
+    } finally q.stop()
+  }
+
   test("streaming media near-dup serves audio through the same " +
       "topology: a transformed tone pairs with its original, tagged " +
       "by modality, and never pairs across modalities") {

@@ -111,11 +111,18 @@ object Scale {
     * the experiment passthrough shared by the Verify and ScaleSweep
     * mains, so a dialed configuration (e.g. widePhashBands) can run
     * either surface without code edits. One parser, one contract
-    * (r16 review: two copies drift); empty keys are rejected.
+    * (r16 review: two copies drift). A non-empty segment without
+    * '=' (a typo'd dial, a stray token after ';') FAILS LOUDLY
+    * instead of being dropped — this is an experiment-config
+    * surface, and a silently-missing dial records misattributed
+    * results (r16 ADVICE). Empty segments (trailing ';') are fine.
     */
   def applyEnvConfs(s: SparkSession, log: String => Unit): Unit =
     sys.env.get("SPARK_GRAFT_SESSION_CONFS").foreach(_.split(";")
-      .map(_.trim).filter(_.indexOf('=') > 0).foreach { kv =>
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        require(kv.indexOf('=') > 0,
+          s"SPARK_GRAFT_SESSION_CONFS segment '$kv' has no '=' — " +
+            "refusing to run with a silently-dropped dial")
         val Array(ck, cv) = kv.split("=", 2)
         s.conf.set(ck, cv)
         log(s"conf $ck=$cv")

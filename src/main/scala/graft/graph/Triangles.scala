@@ -153,13 +153,18 @@ object Triangles {
   // stopped session indefinitely), and CAPPED PER SESSION at
   // MaxEntriesPerSession (insertion-order eviction within the
   // session; 16 = 8 dirs × 2 kinds, far above any real session's dir
-  // churn). A global cap was wrong here: with many concurrently live
-  // sessions it evicted OTHER sessions' live entries and every call
-  // rebuilt the checkpoint — thrash exactly when most loaded.
-  // Eviction unpersists the checkpoint blocks promptly (blocking=
-  // false) instead of waiting for the ContextCleaner's periodic-GC
-  // hook (default 30 min) — the local-mode analogue of dropping a
-  // materialized snapshot table. Contract: consumers re-fetch via
+  // churn). A global cap ALONE was wrong here: with many concurrently
+  // live sessions it evicted OTHER sessions' live entries and every
+  // call rebuilt the checkpoint — thrash exactly when most loaded; a
+  // global BACKSTOP (default 64, well above cap × live sessions)
+  // remains to bound newSession() churn. EVERY eviction — per-session
+  // cap and global backstop alike (r17, per ADVICE) — is a reference
+  // drop, never a prompt unpersist: an in-flight job may hold the
+  // frame and a localCheckpoint cannot recompute (lineage cut), so
+  // unpersist would abort it with missing blocks. Dropped holders
+  // become unreachable immediately, and the ContextCleaner reclaims
+  // the blocks on the next GC (bounded by
+  // spark.cleaner.periodicGC.interval). Contract: consumers re-fetch via
   // cachedEdges per query and never hold an evicted frame across
   // calls. Each build logs its partition footprint so residency is
   // observable (row count only behind spark.graft.edgeCacheLogRows —
@@ -167,26 +172,12 @@ object Triangles {
   // triggered the cold build and inflated EdgeCacheBuildProbe's
   // build_sec).
   private final class EdgeHolder(build: () => DataFrame) {
-    @volatile private var materialized: DataFrame = null
     // lazy, so the Spark job the build runs executes OUTSIDE the
     // CHM bin lock and the bookkeeping lock (computeIfAbsent holds
     // its bin for the mapping function's duration, which would
     // serialize unrelated keys hashing to the same bin behind a
     // multi-second job)
-    lazy val df: DataFrame = { val d = build(); materialized = d; d }
-    /** Free the localCheckpoint blocks if the build ever ran; a
-      * mid-build eviction leaves them to the ContextCleaner (bounded
-      * by spark.cleaner.periodicGC.interval).
-      */
-    def unpersistIfBuilt(): Unit = {
-      val d = materialized
-      if (d != null)
-        try d.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-          case _ => ()
-        } catch { case _: Throwable => () }
-    }
+    lazy val df: DataFrame = build()
   }
   /** Resident (dir, kind) entries allowed per session — conf dial
     * `spark.graft.edgeCacheMaxEntries` (default 16 = 8 dirs × 2
@@ -202,9 +193,11 @@ object Triangles {
     * per-session cap cannot bound `newSession()` churn on a live
     * context: purgeStopped keys on CONTEXT stop, so a discarded
     * session object (probe loops, notebook re-runs) pins its ≤ cap
-    * entries until then. The backstop evicts the globally oldest
-    * entries of OTHER sessions once the total exceeds it, so churn
-    * residue is bounded however many sessions come and go.
+    * entries until then. The backstop drops the globally oldest
+    * entries of OTHER sessions once the total exceeds it (reference
+    * drop only — see the eviction policy above), so the bookkeeping
+    * map stays bounded however many sessions come and go, and the
+    * dropped frames' blocks are GC-reclaimed via the ContextCleaner.
     */
   private def globalMaxEntries(
       s: org.apache.spark.sql.SparkSession): Int =
@@ -292,24 +285,30 @@ object Triangles {
           }
         }
       }
-      // global backstop: bound TOTAL residency against newSession()
-      // churn the session cap can't see. Evicts only OTHER sessions'
-      // entries, oldest first, unpersisting promptly — by the time
-      // the backstop (default 64) is reached those entries are churn
-      // residue; a still-live session that loses one simply rebuilds
-      // on its next cachedEdges call. (The narrow hazard — another
-      // LIVE session mid-job on the globally-oldest entry while 64+
-      // entries exist — trades against unbounded block-manager
-      // growth, and the dial raises the bound where that matters.)
+      // global backstop: bound TOTAL map residency against
+      // newSession() churn the session cap can't see. Evicts only
+      // OTHER sessions' entries, oldest first, by REFERENCE DROP —
+      // never a prompt unpersist (r16 ADVICE): "oldest" is insertion
+      // order, so the victim can be another LIVE session's hottest
+      // frame with a job mid-flight on it, and a localCheckpoint
+      // cannot recompute (lineage cut) — unpersisting here would
+      // abort that job with missing blocks. Dropping the reference
+      // instead makes eviction always safe: a live session that
+      // loses an entry rebuilds on its next cachedEdges call, and
+      // the blocks of genuinely-churned sessions become unreachable
+      // the moment the holder is dropped, so the ContextCleaner
+      // reclaims them on the next GC (bounded by
+      // spark.cleaner.periodicGC.interval) — the same reclaim path
+      // the per-session eviction above already relies on. The cap's
+      // job is purely bounding the bookkeeping map.
       val gCap = globalMaxEntries(s)
       if (edgeCache.size > gCap) {
         val it = edgeOrder.iterator()
         while (edgeCache.size > gCap && it.hasNext) {
           val k = it.next()
           if (!(k._1 eq s) && k != key) {
-            val evicted = edgeCache.remove(k)
+            edgeCache.remove(k)
             it.remove()
-            if (evicted != null) evicted.unpersistIfBuilt()
           }
         }
       }

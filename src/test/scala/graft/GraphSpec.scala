@@ -249,15 +249,17 @@ class GraphSpec extends SparkSpec {
   }
 
   test("edge cache: per-session cap evicts only this session's " +
-      "oldest (reference drop, no unpersist); the global backstop " +
-      "bounds session churn and unpersists promptly") {
+      "oldest; EVERY eviction is a reference drop — the global " +
+      "backstop never unpersists a live session's frame") {
     import graft.graph.Triangles
     val sfSmall = "/root/testdata/sf0.01"
     val canonTiny = new java.io.File(sfTiny).getCanonicalPath
     val canonSmall = new java.io.File(sfSmall).getCanonicalPath
     val other = spark.newSession() // bystander session, same key dirs
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    Triangles.cachedWeightedEdges(other, sfTiny)
+    // keep a strong reference: stands in for an in-flight consumer,
+    // and keeps the ContextCleaner from reclaiming the frame mid-test
+    val otherDf = Triangles.cachedWeightedEdges(other, sfTiny)
     val otherIds = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(otherIds.nonEmpty, "localCheckpoint left no persistent RDD")
     val s = spark.newSession()
@@ -279,8 +281,8 @@ class GraphSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.keySet.contains),
       "per-session eviction touched another session's blocks")
     // global backstop: a third session with a tiny global cap forces
-    // total-residency eviction of OTHER sessions' oldest entries,
-    // unpersisting promptly (the newSession()-churn bound)
+    // total-residency eviction of OTHER sessions' oldest map entries
+    // (the newSession()-churn bound on the bookkeeping map)
     val s3 = spark.newSession()
     s3.conf.set("spark.graft.edgeCacheGlobalMaxEntries", "2")
     Triangles.cachedUndirectedEdges(s3, sfSmall)
@@ -289,8 +291,21 @@ class GraphSpec extends SparkSpec {
     assert(Triangles.edgeCacheKeys(other).isEmpty,
       s"backstop left the oldest other-session entry: " +
         s"${Triangles.edgeCacheKeys(other)}")
-    assert(otherIds.exists(id =>
-      !spark.sparkContext.getPersistentRDDs.keySet.contains(id)),
-      "backstop eviction did not unpersist the churned blocks")
+    // ...but the backstop must NOT have unpersisted the evicted
+    // frame's blocks: `other` is still a LIVE session that may be
+    // mid-job on it, and localCheckpoint lineage is cut, so a prompt
+    // unpersist would abort that job with missing blocks (r16
+    // ADVICE). Reference drop only; the ContextCleaner reclaims the
+    // blocks once nothing reachable holds the frame — and `otherDf`
+    // above IS that in-flight consumer, so the frame must still run.
+    assert(otherIds.forall(
+      spark.sparkContext.getPersistentRDDs.keySet.contains),
+      "backstop eviction unpersisted a live session's blocks")
+    assert(otherDf.count() > 0,
+      "the evicted-but-still-held frame no longer executes")
+    // and the evicted live session recovers by REBUILDING on its
+    // next call — eviction degrades to recompute, never to an abort
+    val rebuilt = Triangles.cachedWeightedEdges(other, sfTiny)
+    assert(rebuilt.count() > 0, "evicted live session failed to rebuild")
   }
 }

@@ -8,10 +8,10 @@ object Bench {
   // numbers for them — membership documented per query in the long
   // comment at the use site in main() below.
   val warmFamily = Set("q20", "q21", "q22", "q23", "q24", "q31",
-    "q45", "q48", "q49", "q63", "q66", "q77", "q81", "q84", "q109",
-    "q110", "q121", "q122", "q126", "q127", "q134", "q136", "q139",
-    "q141", "q146", "q148", "q152", "q154", "q155", "q156", "q157",
-    "q158", "q159")
+    "q45", "q48", "q49", "q63", "q66", "q73", "q77", "q81", "q84",
+    "q109", "q110", "q121", "q122", "q126", "q127", "q134", "q136",
+    "q139", "q141", "q146", "q148", "q152", "q154", "q155", "q156",
+    "q157", "q158", "q159")
   def isWarm(name: String): Boolean =
     warmFamily.exists(t => name == t || name.startsWith(t + "_"))
 
@@ -271,10 +271,17 @@ object Bench {
         s""""single_core_sec_end":${f(calibEnd)},""" +
         s""""calib_tick_expected_sec":${f(tickExpected)},""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+    // total / single-core calibration (min of the bracketing probes —
+    // the quieter read): the cross-round statistic that cancels the
+    // host's uniform per-core drift as ONE first-class field, instead
+    // of every round re-deriving it by hand (r16 verdict item 5 — a
+    // 12% day-drift reads as ~1.0x normalized).
+    val totalNormalized = totalMin / math.min(calibStart, calibEnd)
     val json =
       s"""{"metric":"total","value":${f(totalMin)},"unit":"sec",""" +
         s""""statistic":"sum_of_per_query_min",""" +
-        s""""total_median":${f(totalMedian)},"reps":$reps,""" +
+        s""""total_median":${f(totalMedian)},""" +
+        s""""total_normalized":${f(totalNormalized)},"reps":$reps,""" +
         s"""$calibration,""" +
         s""""queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
     // stdout strategy (rounds 12-13): the driver keeps only the tail

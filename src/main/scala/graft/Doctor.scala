@@ -38,7 +38,9 @@ object Doctor {
     "spark.graft.cooccur.userCap" -> "(uncapped)",
     "spark.graft.rangeJoin.bucketWidth" -> "(per-plan opt-in)",
     "spark.graft.video.wideFrameBands" -> "true",
-    "spark.graft.media.widePhashBands" -> "false",
+    "spark.graft.media.widePhashBands" ->
+      "(unset: auto from corpus size)",
+    "spark.graft.media.phashWideThresholdItems" -> "80000",
     "spark.graft.edgeCacheMaxEntries" -> "16",
     "spark.graft.edgeCacheGlobalMaxEntries" -> "64",
     "spark.graft.edgeCacheLogRows" -> "false")
@@ -110,6 +112,26 @@ object Doctor {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"  $tier%-11s $name%-28s $res%-22s $dt%6.2f s")
+    }
+    // Resolved AUTO decisions (r16 verdict item 8): the two dials
+    // added in r16/r17 whose effective value is computed, not read —
+    // drift between documented and resolved defaults becomes visible
+    // per round. The media smoke above already warmed the hash
+    // cache, so the count here is one cheap job.
+    try {
+      val items = graft.mm.MediaDedup.imageHashes(spark, sfDir).count()
+      val (b, bits) = graft.mm.MediaDedup.phashBandLayout(spark, items)
+      println(s"\nresolved auto decisions:")
+      println(s"  media phash band layout  ${b}x$bits " +
+        s"(items=$items at $sfDir, threshold=" +
+        s"${graft.mm.MediaDedup.phashWideThresholdItems(spark)})")
+      println(s"  sweep replica offset     " +
+        sys.env.getOrElse("SPARK_GRAFT_REPLICA_OFFSET",
+          s"${ScaleSweep.ReplicaOffset} (default; " +
+            s"k<=${graft.mm.MediaDedup.CopyIdOffset /
+              ScaleSweep.ReplicaOffset})"))
+    } catch { case e: Throwable =>
+      println(s"  (resolved-decision probe failed: ${e.getMessage})")
     }
     println(if (failed == 0) "\ndoctor: all green"
       else s"\ndoctor: $failed smoke(s) failed")

@@ -47,29 +47,93 @@ object MediaDedup {
   /** LSH bands over the 64-bit hash: 4 bands × 16 bits. */
   val Bands = 4
 
-  /** Band layout for the single-hash (image/audio) candidate paths:
-    * default 4×16. The r16 30× media sweep measured the 4×16
-    * layout's bucket saturation directly — 2^16 buckets/band over
-    * ~465k banded rows put q152 at 41 s for 3× the 10× corpus (19×
-    * the wall: every collision is a shuffled candidate row plus a
-    * Hamming verify, the r12 q156 lesson at the image tier's scale).
-    * `spark.graft.media.widePhashBands=true` switches to the video
-    * path's 3×21 layout (32× the key space on 3/4 the rows): the
-    * pigeonhole guarantee tightens from Hamming ≤ 3 to ≤ 2 banded
-    * bits, which still covers every planted transform (each measures
-    * ≤ 2 bits — MediaDedupSpec pins recall under BOTH layouts), and
-    * the exact Hamming ≤ [[MaxHamming]] verify is unchanged.
-    * Default stays 4×16 so bench/oracle-scale results are stable;
-    * the dial is the 100 TB spelling (at crawl scale you'd set it —
-    * measured 30× recovery in SWEEP_r16 media_30x_point). The replay
-    * oracle reads the active layout from the Verify side output, so
-    * either setting replays cell-for-cell.
+  /** The wide 3×21 layout (the video path's): 32× the key space on
+    * 3/4 the banded rows. Bit 63 is unbanded; the pigeonhole
+    * guarantee is Hamming ≤ 2 banded bits (vs ≤ 3 under 4×16),
+    * which still covers every planted transform (each measures ≤ 2
+    * bits — MediaDedupSpec pins recall under BOTH layouts), and the
+    * exact Hamming ≤ [[MaxHamming]] verify is layout-invariant.
+    */
+  val WideLayout: (Int, Int) = (3, 21)
+
+  /** The legacy/oracle-scale 4×16 layout. */
+  val NarrowLayout: (Int, Int) = (Bands, 64 / Bands)
+
+  /** Corpus size (hashed items) above which the batch/incremental
+    * candidate paths auto-select [[WideLayout]] — conf dial
+    * `spark.graft.media.phashWideThresholdItems`. The r16 30× media
+    * sweep measured 4×16's 2^16-buckets-per-band saturation
+    * directly: 55k hashed images (10×) fine, 165k (30×) paid 19×
+    * the 10× wall (every excess collision is a shuffled candidate
+    * row plus a Hamming verify — the r12 q156 lesson at the image
+    * tier's scale), and the r17 20× point (110k items) measured
+    * already-saturating (see SWEEP_r17 band_threshold_pin), so the
+    * default sits at the measured-safe 10× shoulder with ~1.5×
+    * headroom. Auto-selection is the engine's standard measured-
+    * cutover spelling (`exactPairLimit`, `cc.localSolveLimit`) —
+    * a default plan must not die at crawl scale (r16 verdict #1).
+    */
+  val DefaultPhashWideThresholdItems = 80000L
+
+  def phashWideThresholdItems(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.media.phashWideThresholdItems")
+      .map(_.toLong).getOrElse(DefaultPhashWideThresholdItems)
+
+  /** Conf-only band layout for the single-hash (image/audio)
+    * candidate paths — the resolver for surfaces with NO plan-time
+    * corpus count: the streaming topology (an unbounded stream's
+    * candidate population is its horizon-bounded state, not a
+    * countable corpus) honors the manual dial
+    * `spark.graft.media.widePhashBands` and otherwise stays 4×16.
+    * Batch/incremental paths resolve through the counting overload
+    * below; a crawl-scale deployment that runs BOTH a backfill and
+    * a stream sets the dial explicitly so the two mine the same
+    * candidate space (StreamingSpec pins that parity).
     */
   def phashBandLayout(spark: org.apache.spark.sql.SparkSession)
       : (Int, Int) =
     if (spark.conf.getOption("spark.graft.media.widePhashBands")
-        .exists(_.toBoolean)) (3, 21)
-    else (Bands, 64 / Bands)
+        .exists(_.toBoolean)) WideLayout
+    else NarrowLayout
+
+  /** Count-aware band layout for the batch/incremental candidate
+    * paths: the manual dial wins when set (either way — `false`
+    * pins 4×16 at any scale, the escape hatch); otherwise the
+    * layout is picked from the hashed-item count of the candidate
+    * population (corpus, or corpus + batch on the incremental
+    * paths — the UNION is the population, so the incremental ==
+    * full-restricted identity can never split across the
+    * threshold). `corpusItems` is by-name so the count job only
+    * runs when the dial is unset — and callers pass counts of
+    * already-cached hash frames or parquet-metadata counts, so the
+    * resolution is one cheap job, never a fresh decode pass. The
+    * replay oracle reads the RESOLVED layout from the Verify side
+    * output, so either outcome replays cell-for-cell.
+    */
+  def phashBandLayout(spark: org.apache.spark.sql.SparkSession,
+      corpusItems: => Long): (Int, Int) =
+    spark.conf.getOption("spark.graft.media.widePhashBands") match {
+      case Some(v) => if (v.toBoolean) WideLayout else NarrowLayout
+      case None =>
+        val n = corpusItems
+        val wide = n > phashWideThresholdItems(spark)
+        // observable resolution, once per (session, outcome): a
+        // stream running next to an auto-upgraded batch needs the
+        // dial set, and this line is how an operator learns that
+        if (autoLogged.add((spark, wide))) {
+          val it = autoLogged.iterator()
+          while (it.hasNext)
+            if (it.next()._1.sparkContext.isStopped) it.remove()
+          System.err.println(s"[media] phash band layout auto-" +
+            s"resolved ${if (wide) "wide 3x21" else "4x16"} " +
+            s"(items=$n, threshold=${phashWideThresholdItems(spark)})")
+        }
+        if (wide) WideLayout else NarrowLayout
+    }
+
+  private val autoLogged = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(org.apache.spark.sql.SparkSession, Boolean)]()
 
   /** Candidate pairs at Hamming distance ≤ MaxHamming are duplicates.
     * Measured on the planted transforms (MediaDedupSpec): JPEG
@@ -165,7 +229,11 @@ object MediaDedup {
     */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = MaxHamming)
       : DataFrame = {
-    val (bands, bandBits) = phashBandLayout(hashes.sparkSession)
+    // layout from the candidate-population size (callers hand in
+    // cached hash frames, so the count is one cheap job); the
+    // manual dial short-circuits the count entirely
+    val (bands, bandBits) =
+      phashBandLayout(hashes.sparkSession, hashes.count())
     val banded = hashes.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("key",
@@ -205,7 +273,14 @@ object MediaDedup {
     */
   def incrementalNearDupPairs(corpusHashes: DataFrame,
       batchHashes: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
-    val (bands, bandBits) = phashBandLayout(corpusHashes.sparkSession)
+    // layout from corpus + batch — the union IS the candidate
+    // population, and counting it (not just the standing side)
+    // keeps this path on the SAME layout the full pass over
+    // corpus ∪ batch resolves, so the incremental == full-restricted
+    // identity (the q157/q158 gate) cannot split across the
+    // auto-cutover threshold
+    val (bands, bandBits) = phashBandLayout(corpusHashes.sparkSession,
+      corpusHashes.count() + batchHashes.count())
     def banded(df: DataFrame) =
       df.select(col("doc_id"), col("phash"),
           explode(sequence(lit(0), lit(bands - 1))).as("band"))

@@ -276,22 +276,54 @@ object Ann {
     * memory per task is O(cluster·dim), constant by construction,
     * and clusters fan out across executors. No stage touches n².
     */
+  // Quantizer-once per (session, dir): the k-means coarse quantizer
+  // is the only non-deterministic-from-Python stage of q73, and the
+  // replay oracle (r16 verdict item 2) needs the EXACT centroids the
+  // query assigned with — so the model is trained once and shared by
+  // the query and Verify's `_centroids.json` side dump (the q109
+  // mergesFor discipline). Also the compute-once shape a composed
+  // pipeline wants: re-running q73 re-prices assignment + greedy
+  // drop, not the fit (q73 joins the Bench/Sweep warm family with
+  // this change — the accounting note rides the round's SWEEP entry).
+  private val semModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]()
+
+  private[graft] def semDedupModel(s: SparkSession, d: String)
+      : org.apache.spark.ml.clustering.KMeansModel = {
+    graft.Scale.purgeStopped(semModelCache)
+    semModelCache.computeIfAbsent((s, d), _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.embeddings(s, d)
+        .withColumn("fv", array_to_vector(col("embedding")))
+      val n = emb.count()
+      val k = math.max(4, (n / 1000L).toInt)
+      val trainCap = 250 * k
+      val train =
+        if (n <= trainCap) emb
+        else emb.sample(withReplacement = false, trainCap.toDouble / n, 42L)
+      new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    })
+  }
+
+  /** The trained quantizer's centroids — Verify dumps these (full
+    * round-trip precision) as q73's `_centroids.json` so the replay
+    * re-derives assignment + greedy drop from the model the query
+    * actually used.
+    */
+  private[graft] def semDedupCentroids(s: SparkSession, d: String)
+      : Array[Array[Double]] =
+    semDedupModel(s, d).clusterCenters.map(_.toArray)
+
   val semDedup: QueryDef = QueryDef.rowsOnly("q73_semdedup") { (s, d) =>
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import s.implicits._
     val tau = s.conf.getOption("spark.graft.semdedup.tau")
       .map(_.toDouble).getOrElse(0.95)
     val emb = Tables.embeddings(s, d)
       .withColumn("fv", array_to_vector(col("embedding")))
-    val n = emb.count()
-    val k = math.max(4, (n / 1000L).toInt)
-    val trainCap = 250 * k
-    val train =
-      if (n <= trainCap) emb
-      else emb.sample(withReplacement = false, trainCap.toDouble / n, 42L)
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    val model = semDedupModel(s, d)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .as[(Long, Array[Float], Int)]

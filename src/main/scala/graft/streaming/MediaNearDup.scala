@@ -71,11 +71,16 @@ object MediaNearDup {
       maxHamming: Int = MediaDedup.MaxHamming): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    // the ONE band-layout decision shared with the batch/incremental
-    // paths (spark.graft.media.widePhashBands) — streaming and batch
-    // must mine the same candidate space or a dialed deployment's
-    // stream misses pairs its backfill finds (r16 review finding;
-    // the video family's withFrameBandKey discipline applied here)
+    // the conf-only band-layout resolver: an unbounded stream has no
+    // plan-time corpus count, and its candidate population is the
+    // horizon-bounded state store (memory ≈ one horizon, not the
+    // corpus), so the batch paths' count-based saturation cutover
+    // doesn't apply here. A dialed deployment sets
+    // spark.graft.media.widePhashBands, which stream AND batch both
+    // honor, so they mine the same candidate space (r16 review
+    // finding; StreamingSpec pins the parity). An UNDIALED crawl-
+    // scale deployment whose batch auto-upgrades to wide should set
+    // the dial for its stream — the batch logs its resolution.
     val (bands, bandBits) = MediaDedup.phashBandLayout(spark)
     val horizonMs = NearDup.intervalMillis(horizon)
 

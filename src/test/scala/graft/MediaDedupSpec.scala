@@ -260,4 +260,71 @@ class MediaDedupSpec extends SparkSpec {
         "wide-band incremental pass diverged from the restricted full")
     } finally s2.conf.unset("spark.graft.media.widePhashBands")
   }
+
+  test("phash band layout self-selects from the corpus size; the " +
+      "manual dial overrides either way and skips the count") {
+    val s2 = spark.newSession()
+    // auto: below threshold narrow, above it wide
+    assert(MediaDedup.phashBandLayout(s2, 10L) == MediaDedup.NarrowLayout)
+    assert(MediaDedup.phashBandLayout(s2,
+      MediaDedup.DefaultPhashWideThresholdItems + 1) ==
+      MediaDedup.WideLayout)
+    // threshold conf is live
+    s2.conf.set("spark.graft.media.phashWideThresholdItems", "5")
+    assert(MediaDedup.phashBandLayout(s2, 6L) == MediaDedup.WideLayout)
+    assert(MediaDedup.phashBandLayout(s2, 5L) == MediaDedup.NarrowLayout)
+    s2.conf.unset("spark.graft.media.phashWideThresholdItems")
+    // manual dial pins the layout at ANY scale and must never run
+    // the count job (by-name corpusItems) — the escape hatch costs
+    // nothing and can't be surprised by a weird count
+    s2.conf.set("spark.graft.media.widePhashBands", "false")
+    assert(MediaDedup.phashBandLayout(s2,
+      sys.error("count evaluated despite manual dial")) ==
+      MediaDedup.NarrowLayout)
+    s2.conf.set("spark.graft.media.widePhashBands", "true")
+    assert(MediaDedup.phashBandLayout(s2,
+      sys.error("count evaluated despite manual dial")) ==
+      MediaDedup.WideLayout)
+    s2.conf.unset("spark.graft.media.widePhashBands")
+  }
+
+  test("auto wide cutover end-to-end: a threshold below the corpus " +
+      "upgrades q152 to wide with recall intact, and the incremental " +
+      "path resolves from corpus+batch so the identity holds ON the " +
+      "boundary") {
+    val s2 = spark.newSession()
+    val hashes = MediaDedup.imageHashes(s2, sfTiny)
+    val total = hashes.count()
+    val corpusSide = hashes.filter(col("doc_id") % 7 =!= 0).count()
+    // place the threshold BETWEEN the standing-corpus count and the
+    // full count: a corpus-side-only resolution would pick narrow
+    // while the full pass picks wide — the exact split the
+    // union-count rule exists to prevent
+    assert(corpusSide < total)
+    s2.conf.set("spark.graft.media.phashWideThresholdItems",
+      ((corpusSide + total) / 2).toString)
+    try {
+      val out = MediaDedup.mediaDedup.fn(s2, sfTiny).cache()
+      val planted = Tables.documents(s2, sfTiny)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + MediaDedup.CopyIdOffset).as("doc_b"))
+      val nPlanted = planted.count()
+      val found = planted.join(out, Seq("doc_a", "doc_b"), "left_semi")
+        .count()
+      info(s"auto-wide planted recall: $found/$nPlanted")
+      assert(found.toDouble / nPlanted >= 0.8, "auto-wide recall")
+      out.unpersist()
+      val incr = MediaDedup.incrementalNearDupPairs(
+        hashes.filter(col("doc_id") % 7 =!= 0),
+        hashes.filter(col("doc_id") % 7 === 0))
+        .select("doc_a", "doc_b", "hamming")
+      val full = MediaDedup.nearDupPairs(hashes)
+        .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+        .select("doc_a", "doc_b", "hamming")
+      assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+        "incremental diverged from restricted full across the cutover")
+    } finally
+      s2.conf.unset("spark.graft.media.phashWideThresholdItems")
+  }
 }

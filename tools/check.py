@@ -648,8 +648,15 @@ def _compare_video(res_dir, con, expected):
         g = got.get(k)
         if g is None:
             return f"replay pair {k} missing from engine output"
-        if g != v:
-            return f"pair {k}: engine {g} vs replay {v}"
+        # integer columns stay exact; match_frac gets a tight epsilon
+        # instead of bitwise equality (r16 ADVICE: both sides happen
+        # to do one IEEE double divide of the same longs today, but a
+        # future decimal cast or rounding in the engine would turn an
+        # equivalent fraction into a hard replay failure)
+        if g[:4] != v[:4]:
+            return f"pair {k}: engine {g[:4]} vs replay {v[:4]}"
+        if abs(g[4] - v[4]) > 1e-9 * max(abs(v[4]), 1.0):
+            return f"pair {k} match_frac: engine {g[4]} vs replay {v[4]}"
     return None
 
 
@@ -788,6 +795,137 @@ def replay_media_clusters(con, sf_dir, res_dir):
             return f"replay node {k} missing from engine output"
         if g != v:
             return f"node {k}: engine {g} vs replay {v}"
+    return None
+
+
+# --- q73 SemDeDup replay oracle (r16 verdict item 2) ------------------
+# The k-means quantizer is the one stage independent Python can't
+# re-derive (seeded distributed training), so Verify dumps the trained
+# centroids next to the parquet; everything downstream — nearest-
+# centroid assignment (squared Euclidean, first-wins argmin, the
+# engine's findClosest contract) and the greedy intra-cluster cosine
+# drop over id-ascending members — is a pure function of (embeddings,
+# centroids, tau) and replays cell-for-cell here.
+
+_SEMDEDUP_REPLAY_BOUND = 20000  # pure-Python O(n*k*dim + cluster^2*dim)
+
+
+def replay_semdedup(con, sf_dir, res_dir):
+    side = _load_side(f"{res_dir}/_centroids.json")
+    if side is None:
+        return "skip: no _centroids.json side output"
+    vecs = _fetch_embeddings(con, sf_dir)
+    if len(vecs) > _SEMDEDUP_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    cents = side["centroids"]
+    tau = side["tau"]
+    cells = {}
+    for i in sorted(vecs):
+        v = vecs[i]
+        best, bd = -1, float("inf")
+        for ci, c in enumerate(cents):
+            d = 0.0
+            for j in range(len(c)):
+                t = v[j] - c[j]
+                d += t * t
+            if d < bd:
+                bd, best = d, ci
+        cells.setdefault(best, []).append(i)
+    expected = []
+    out = {}
+    for cell, members in cells.items():
+        kept = []
+        for i in members:  # ascending ids — the engine's sortBy(_._1)
+            v = vecs[i]
+            dup = -1
+            for kid, kv in kept:
+                if _cosine_seq(v, kv) >= tau:
+                    dup = kid
+                    break
+            if dup < 0:
+                kept.append((i, v))
+            out[i] = (cell, dup < 0, i if dup < 0 else dup)
+    expected = [(i,) + out[i] for i in sorted(out)]
+    rel = con.sql(f"SELECT vec_id, cell, is_kept, dup_of "
+                  f"FROM '{res_dir}/*.parquet' ORDER BY vec_id")
+    got = [tuple(r) for r in rel.fetchall()]
+    if got != expected:
+        for g, e in zip(got, expected):
+            if g != e:
+                return f"row diverges: engine {g} vs replay {e}"
+        return f"row counts: engine {len(got)} vs replay {len(expected)}"
+    return None
+
+
+# --- q26 multimodal-features replay oracle (r16 verdict item 2) -------
+# Stronger than a side-output replay: the fixture pixel/PCM formulas
+# are pure functions of doc_id, and the PNG/WAV containers round-trip
+# losslessly through the JDK codecs, so EVERY post-decode cell —
+# dimensions, channel/frame counts, and the per-channel-mean embedding
+# — re-derives here from the public formulas alone, with no engine
+# side output at all. The one encoder-specific cell is the PNG
+# container byte size (the JDK writer's deflate output): bounded, not
+# replayed; WAV's canonical 44-byte-header size IS exact.
+
+_Q26_REPLAY_BOUND = 20000  # pure-Python per-pixel loops
+
+
+def _f32(x):
+    import struct
+    return struct.unpack("<f", struct.pack("<f", x))[0]
+
+
+def replay_multimodal_features(con, sf_dir, res_dir):
+    ids = [r[0] for r in con.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY doc_id").fetchall()]
+    if len(ids) > _Q26_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    expected = []
+    for i in ids:
+        if i % 2 == 0:
+            w, h = 16 + i % 16, 16 + (i // 16) % 16
+            sums = [0, 0, 0]
+            for y in range(h):
+                for x in range(w):
+                    sums[0] += (i + x * 31 + y * 7) & 0xFF
+                    sums[1] += ((i >> 8) + x * 13 + y * 3) & 0xFF
+                    sums[2] += ((i >> 16) + x + y * 17) & 0xFF
+            emb = [_f32(s / (w * h) / 255.0) for s in sums] + [0.0] * 5
+            expected.append((i, "image/png", None, True, w, h, 3, 1, emb))
+        else:
+            ch, fr = 1 + i % 2, 64 + i % 64
+            sums = [0] * ch
+            for j in range(fr * ch):
+                v = ((i * 2654435761 + j * 40503) % 2000) - 1000
+                sums[j % ch] += abs(v)
+            emb = ([_f32(s / fr / 32768.0) for s in sums] +
+                   [0.0] * (8 - ch))
+            expected.append((i, "audio/wav", 44 + fr * ch * 2, True,
+                             0, 0, ch, fr, emb))
+    rel = con.sql(f"SELECT doc_id, mime, n_bytes, decoded, width, "
+                  f"height, channels, frames, embedding "
+                  f"FROM '{res_dir}/*.parquet' ORDER BY doc_id")
+    got = rel.fetchall()
+    if len(got) != len(expected):
+        return f"row counts: engine {len(got)} vs replay {len(expected)}"
+    for g, e in zip(got, expected):
+        # embedding: the engine emits to_json of float32s (Jackson's
+        # shortest-round-trip decimals); parse and re-round through
+        # float32 — equality is then exact, no epsilon
+        gemb = [_f32(x) for x in json.loads(g[8])]
+        if gemb != e[8]:
+            return f"doc {g[0]} embedding: engine {gemb} vs replay {e[8]}"
+        if e[2] is None:
+            # PNG container size is encoder-specific: bound it (a
+            # syntactically-minimal PNG is 67 bytes; raster deflate
+            # only adds) instead of replaying the JDK's deflate
+            if not (isinstance(g[2], int) and g[2] > 67):
+                return f"doc {g[0]} png n_bytes implausible: {g[2]}"
+            if tuple(g[:2]) + tuple(g[3:8]) != (e[0], e[1]) + e[3:8]:
+                return f"doc {g[0]}: engine {g[:8]} vs replay {e[:8]}"
+        elif tuple(g[:8]) != e[:8]:
+            return f"doc {g[0]}: engine {g[:8]} vs replay {e[:8]}"
     return None
 
 
@@ -1008,6 +1146,9 @@ def main():
             ("incremental audio-dedup", replay_incremental_audio),
         "q159_incremental_video_dedup":
             ("incremental video-dedup", replay_incremental_video),
+        "q73_semdedup": ("SemDeDup", replay_semdedup),
+        "q26_multimodal_features":
+            ("multimodal feature derivation", replay_multimodal_features),
     }
     for res in sorted(glob.glob(f"{out_dir}/*/")):
         name = res.rstrip("/").split("/")[-1]

@@ -38,6 +38,17 @@ code-suspect: joining the warm family moves one-time build cost out
 of the measured reps, so the delta is accounting, not kernel
 (README bench protocol).
 
+Movers whose REP COUNT differs between the artifacts (r16's adaptive
+sub-second reps changed n per slot) are compared on MEDIANS instead
+of mins and tagged [n-changed]: min is monotonically non-increasing
+in sample count, so a min compare across an n asymmetry
+systematically credits the higher-n side (r16 ADVICE, enforced).
+
+The header also prints value/calibration for both artifacts — the
+normalized ratio cancels the host's uniform per-core drift, so a
+12% day-drift reads as ~1.0x normalized instead of a fleet of fake
+movers (r16 verdict item 5).
+
 The classification is a triage, not a verdict: code-suspect means
 "re-measure with a scoped SPARK_GRAFT_ONLY run", never "revert the
 round". Exits 0 always; this is a report, not a gate.
@@ -102,6 +113,42 @@ def warm_changed(old_run, new_run):
     return ow is not None and nw is not None and ow != nw
 
 
+def stat_for(old_run, new_run, ov, nv):
+    """(old_val, new_val, n_note): the values to compare for one
+    query. min-vs-min is only a fair compare at EQUAL rep counts —
+    min is monotonically non-increasing in sample count, so an n
+    asymmetry (r16's adaptive sub-second reps: 3 -> up to 9)
+    systematically credits the higher-n side (r16 ADVICE /
+    bench_subsecond_min_bias_note, now enforced here instead of
+    living in prose). When n differs and both sides recorded a
+    median, compare medians and say so; otherwise fall back to the
+    min compare with the asymmetry still named."""
+    if isinstance(old_run, dict) and isinstance(new_run, dict):
+        on, nn = old_run.get("n"), new_run.get("n")
+        if on and nn and on != nn:
+            om, nm = old_run.get("median"), new_run.get("median")
+            if om and nm:
+                return om, nm, f"n-changed {on}->{nn}, medians compared"
+            return ov, nv, (f"n-changed {on}->{nn}, medians missing — "
+                            f"min compare biased toward n={max(on, nn)}")
+    return ov, nv, None
+
+
+def normalized(bench):
+    """value / single-core calibration (min of the start/end probes —
+    the quieter read): the cross-round statistic that cancels the
+    host's uniform per-core drift (r16 spent real wall re-litigating
+    a 12% drift this one division makes visible)."""
+    cal = bench.get("calibration") or {}
+    ticks = [cal.get("single_core_sec_start"),
+             cal.get("single_core_sec_end")]
+    ticks = [t for t in ticks if t]
+    v = bench.get("value")
+    if not ticks or not v:
+        return None
+    return v / min(ticks)
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = {a.split("=")[0].lstrip("-"): float(a.split("=")[1])
@@ -111,22 +158,30 @@ def main():
     old, new = load(args[0]), load(args[1])
     floor_old, floor_new = idle_tick(old), idle_tick(new)
     movers = []
-    for name, nv in sorted(new.get("queries", {}).items()):
-        ov = old.get("queries", {}).get(name)
-        if ov is None or min(ov, nv) <= 0:
+    for name, nv0 in sorted(new.get("queries", {}).items()):
+        ov0 = old.get("queries", {}).get(name)
+        if ov0 is None or min(ov0, nv0) <= 0:
             continue
-        if abs(nv - ov) < min_abs:
+        ov, nv, n_note = stat_for(old.get("runs", {}).get(name),
+                                  new.get("runs", {}).get(name), ov0, nv0)
+        if min(ov, nv) <= 0 or abs(nv - ov) < min_abs:
             continue
         r = nv / ov
         if r >= ratio or r <= 1 / ratio:
-            movers.append((r, name, ov, nv))
+            movers.append((r, name, ov, nv, n_note))
     regressions = [m for m in movers if m[0] > 1]
     wins = [m for m in movers if m[0] < 1]
     code_suspects = []
+    norm_old, norm_new = normalized(old), normalized(new)
+    norm_note = ""
+    if norm_old and norm_new:
+        norm_note = (f"  normalized(value/calib) "
+                     f"{norm_old:.2f} -> {norm_new:.2f} "
+                     f"({norm_new / norm_old:.3f}x)")
     print(f"old total {old.get('value')}  new total {new.get('value')}  "
           f"({len(regressions)} up, {len(wins)} down at "
-          f">= {ratio}x and >= {min_abs}s)")
-    for r, name, ov, nv in sorted(regressions, reverse=True):
+          f">= {ratio}x and >= {min_abs}s){norm_note}")
+    for r, name, ov, nv, n_note in sorted(regressions, reverse=True):
         # the slower side of a regression is the NEW artifact
         kind, why = classify(new.get("runs", {}).get(name), floor_new)
         wflag = warm_changed(old.get("runs", {}).get(name),
@@ -139,9 +194,11 @@ def main():
             why = "warm-family membership changed; " + why
         elif kind == "code":
             code_suspects.append(name)
+        if n_note:
+            why = f"[{n_note}] {why}"
         print(f"  UP   {name:32s} {ov:7.3f} -> {nv:7.3f} ({r:5.2f}x)  "
               f"{tag}: {why}")
-    for r, name, ov, nv in sorted(wins):
+    for r, name, ov, nv, n_note in sorted(wins):
         # the slower side of a WIN is the OLD artifact: a win caused
         # by a load spike in the old run must not print "[slot idle]"
         kind, why = classify(old.get("runs", {}).get(name), floor_old)
@@ -153,6 +210,8 @@ def main():
                 "noprov": "old run unprovenanced, credibility unknown"}[kind]
         if wflag:
             cred = "warm-family membership changed, win is accounting"
+        if n_note:
+            cred = f"{n_note}; {cred}"
         print(f"  DOWN {name:32s} {ov:7.3f} -> {nv:7.3f} ({r:5.2f}x)  "
               f"[{cred}: {why}]")
     if code_suspects:

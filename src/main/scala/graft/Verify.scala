@@ -92,6 +92,164 @@ object Verify {
         System.err.println(s"[verify] q73 centroids dump failed: " +
           e.getMessage)
       }
+    // q48/q141 replay side output (r17, the q73 centroid move carried
+    // to the IVF tier): the two-level quantizer's training is the
+    // only non-Python-derivable stage; given its centroids — the
+    // broadcast kc-row coarse table and the per-coarse-cell fine
+    // arrays, read from the SAME session-cached (and parquet-persisted)
+    // index the queries serve from — corpus assignment, query
+    // routing, candidate scoring, and the top-k window are pure
+    // functions the replay re-derives from scratch. One dump per
+    // result dir so SPARK_GRAFT_ONLY subsets stay self-contained.
+    {
+      import org.apache.spark.sql.functions.col
+      def dirOk(n: String): Boolean =
+        wanted(n) && new java.io.File(s"$outDir/$n").isDirectory
+      def arr2(a: scala.collection.Seq[
+          scala.collection.Seq[Float]]): String =
+        a.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      def ivfJson(idx: graft.search.Ann.IvfIndex): String = {
+        val coarse = idx.coarseDf.collect()(0)
+          .getAs[scala.collection.Seq[scala.collection.Seq[Float]]](0)
+        val fine = idx.saltedFine.filter(col("salt") === 0)
+          .select("ccell", "fcents").collect()
+          .map(r => (r.getInt(0),
+            r.getAs[scala.collection.Seq[scala.collection.Seq[Float]]](1)))
+          .sortBy(_._1)
+        s"""{"kc":${idx.kc},"k":${graft.search.Ann.K},""" +
+          s""""coarse":${arr2(coarse)},""" +
+          s""""fine":[${fine.map(f =>
+            s"""[${f._1},${arr2(f._2)}]""").mkString(",")}]}"""
+      }
+      def pqJson(books: Array[Array[Array[Double]]]): String =
+        s"""{"m":${graft.search.Pq.M},""" +
+          s""""sub_dim":${graft.search.Pq.SubDim},""" +
+          s""""k":${graft.search.Pq.K},"books":[""" +
+          books.map(b => b.map(_.mkString("[", ",", "]"))
+            .mkString("[", ",", "]")).mkString(",") + "]}"
+      def put(n: String, file: String, body: String): Unit =
+        Files.writeString(Paths.get(s"$outDir/$n/$file"), body)
+      // full-corpus IVF index → q48/q141 (routing+assignment replay)
+      // and q136 (the IVF half of IVFADC)
+      val ivfDirs = Seq("q48_ann_ivf", "q141_ann_filtered_ivf",
+        "q136_ann_ivfpq").filter(dirOk)
+      if (ivfDirs.nonEmpty)
+        try {
+          val idx = graft.search.Ann.cachedIndex(spark, sfDir, "full",
+            Tables.embeddings(spark, sfDir))
+          val body = ivfJson(idx)
+          ivfDirs.foreach(n => put(n, "_ivf_index.json", body))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] ivf index dump failed: " +
+            e.getMessage)
+        }
+      // full-corpus PQ codebooks → q84 (flat ADC) and q136 (the PQ
+      // half) — same cached index the queries encode/score with
+      val pqDirs = Seq("q84_ann_pq", "q136_ann_ivfpq").filter(dirOk)
+      if (pqDirs.nonEmpty)
+        try {
+          val (_, books) = graft.search.Pq.indexFor(spark, sfDir)
+          val body = pqJson(books)
+          pqDirs.foreach(n => put(n, "_pq_books.json", body))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] pq books dump failed: " +
+            e.getMessage)
+        }
+      // q139's standing mod10 index + frozen codebooks (the delta
+      // encodes against these — the replay re-derives both the
+      // standing and the appended side from them)
+      if (dirOk("q139_ivfpq_incremental"))
+        try {
+          val corpus = Tables.embeddings(spark, sfDir)
+            .filter(col("vec_id") % 10 =!= 0)
+          val idx = graft.search.Ann.cachedIndex(
+            spark, sfDir, "mod10", corpus)
+          val (_, books) = graft.search.Pq.sliceIndex(
+            spark, sfDir, "mod10", corpus)
+          put("q139_ivfpq_incremental", "_ivf_index.json", ivfJson(idx))
+          put("q139_ivfpq_incremental", "_pq_books.json", pqJson(books))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] q139 index dump failed: " +
+            e.getMessage)
+        }
+      // ALS replay side outputs (r17): the ALS fit is the
+      // non-replayable stage (distributed float reductions), and
+      // q21's output IS the factor table (a replay would compare the
+      // dump to itself — it stays gate-only), but SERVING from the
+      // factors is pure: q20's score grid + top-K, q22's factor
+      // cosine matrix, q23/q24's held-out RMSE evaluation all
+      // re-derive from the dumped factors (and, for the RMSE pair,
+      // the dumped held-out triples — the seed-42 randomSplit is
+      // partitioning-dependent, so membership is index state the
+      // dump carries, like the media fingerprints).
+      def facJson(df: org.apache.spark.sql.DataFrame): String =
+        df.collect().map(r =>
+          s"[${r.getInt(0)},[${r.getSeq[Float](1).mkString(",")}]]")
+          .mkString("[", ",", "]")
+      if (dirOk("q20_als_user_recs") || dirOk("q22_item_sim_cosine"))
+        try {
+          val m = graft.ml.Recommend.model(spark, sfDir)
+          val body = s"""{"top_k":${graft.ml.Recommend.TopK},""" +
+            s""""sim_threshold":${graft.ml.Recommend.SimThreshold},""" +
+            s""""user":${facJson(m.userFactors.orderBy("id"))},""" +
+            s""""item":${facJson(m.itemFactors.orderBy("id"))}}"""
+          Seq("q20_als_user_recs", "q22_item_sim_cosine").filter(dirOk)
+            .foreach(put(_, "_als_factors.json", body))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] als factors dump failed: " +
+            e.getMessage)
+        }
+      if (dirOk("q23_als_rmse") || dirOk("q24_als_grid_search"))
+        try {
+          val (_, test) = graft.ml.Recommend.evalSplit(spark, sfDir)
+          val testJson = test.select("userId", "productId", "score")
+            .collect().map(r =>
+              s"[${r.getInt(0)},${r.getInt(1)},${r.getDouble(2)}]")
+            .mkString("[", ",", "]")
+          def comboJson(rank: Int, reg: Double): String = {
+            val m = graft.ml.Recommend.fitOnSplit(spark, sfDir, rank, reg)
+            s"""{"rank":$rank,"reg":$reg,""" +
+              s""""user":${facJson(m.userFactors.orderBy("id"))},""" +
+              s""""item":${facJson(m.itemFactors.orderBy("id"))}}"""
+          }
+          if (dirOk("q23_als_rmse"))
+            put("q23_als_rmse", "_als_eval.json",
+              s"""{"test":$testJson,"combos":[${comboJson(
+                graft.ml.Recommend.effRank(spark),
+                graft.ml.Recommend.effReg(spark))}]}""")
+          if (dirOk("q24_als_grid_search"))
+            put("q24_als_grid_search", "_als_eval.json",
+              s"""{"test":$testJson,"combos":[${graft.ml.Recommend
+                .gridCombos(spark)
+                .map(c => comboJson(c._1, c._2)).mkString(",")}]}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] als eval dump failed: " +
+            e.getMessage)
+        }
+    }
+    // q77 replay side output (r17, same move): the L-BFGS fit is the
+    // only non-Python-derivable stage; coefficients + intercept (full
+    // round-trip precision) from the SAME cached model the query
+    // scored with, plus the feature spec's data inputs (stopword
+    // list, label threshold) so the replay re-derives features,
+    // labels, margins, probabilities, and predictions from the
+    // documents table alone.
+    if (wanted("q77_quality_classifier") &&
+        new java.io.File(s"$outDir/q77_quality_classifier").isDirectory)
+      try {
+        val m = graft.ml.QualityModel.trainedModel(spark, sfDir)
+        val coefs = m.coefficients.toArray
+        val sw = graft.text.TextAnalysis.stopwords.map(q).mkString(",")
+        Files.writeString(
+          Paths.get(s"$outDir/q77_quality_classifier/_lr_model.json"),
+          s"""{"coefficients":[${coefs.mkString(",")}],""" +
+            s""""intercept":${m.intercept},""" +
+            s""""label_threshold":${graft.ml.QualityModel.LabelThreshold},""" +
+            s""""stopwords":[$sw]}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] q77 model dump failed: " +
+          e.getMessage)
+      }
     // Media replay side outputs (r15 verdict item 1): decode needs
     // JVM codecs (and the corpus generators), so the decode half of
     // the media family stays spec/gate-verified — but everything

@@ -56,20 +56,36 @@ object QualityModel {
       )).as("features"))
   }
 
+  // Train-once per (session, dir) — the q73/ALS/mergesFor discipline
+  // (r17): the L-BFGS fit is q77's only non-Python-derivable stage,
+  // and the replay oracle needs the EXACT coefficients the query
+  // scored with, so the model is shared by the query, the AUC gate,
+  // and Verify's `_lr_model.json` dump. Also the serving shape a
+  // deployment runs: train on the maintenance schedule, score many.
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    org.apache.spark.ml.classification.LogisticRegressionModel]()
+
+  private[graft] def trainedModel(s: SparkSession, d: String)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
+    graft.Scale.purgeStopped(modelCache)
+    modelCache.computeIfAbsent((s, d), _ => {
+      val Array(train, _) =
+        featureTable(s, d).randomSplit(Array(0.8, 0.2), seed = 42L)
+      new LogisticRegression()
+        .setMaxIter(10).setRegParam(0.01).setStandardization(true)
+        .fit(train)
+    })
+  }
+
   /** q77 — score every document with a logistic model trained on an
-    * 80% split of heuristic labels. Output is rows-checked (L-BFGS
-    * float sums are partition-order sensitive); MlSpec gates held-out
-    * AUC ≥ 0.85 instead.
+    * 80% split of heuristic labels. Scoring is replayed cell-for-cell
+    * from the dumped coefficients (r17); MlSpec additionally gates
+    * held-out AUC ≥ 0.85 (the semantic check the replay can't give).
     */
   val classifier: QueryDef = QueryDef.rowsOnly("q77_quality_classifier") {
     (s, d) =>
-      val feats = featureTable(s, d)
-      val Array(train, _) =
-        feats.randomSplit(Array(0.8, 0.2), seed = 42L)
-      val model = new LogisticRegression()
-        .setMaxIter(10).setRegParam(0.01).setStandardization(true)
-        .fit(train)
-      model.transform(feats)
+      trainedModel(s, d).transform(featureTable(s, d))
         .select(col("doc_id"), col("label").cast("int").as("label"),
           col("prediction").cast("int").as("predicted"),
           round(element_at(vector_to_array(col("probability")), 2), 4)
@@ -79,14 +95,11 @@ object QualityModel {
 
   /** Held-out AUC of [[classifier]]'s model — the MlSpec gate. */
   def heldOutAuc(s: SparkSession, d: String): Double = {
-    val feats = featureTable(s, d)
-    val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), seed = 42L)
-    val model = new LogisticRegression()
-      .setMaxIter(10).setRegParam(0.01).setStandardization(true)
-      .fit(train)
+    val Array(_, test) =
+      featureTable(s, d).randomSplit(Array(0.8, 0.2), seed = 42L)
     new BinaryClassificationEvaluator()
       .setMetricName("areaUnderROC")
-      .evaluate(model.transform(test))
+      .evaluate(trainedModel(s, d).transform(test))
   }
 
   private def vector_to_array(c: org.apache.spark.sql.Column) =

@@ -220,6 +220,30 @@ object Recommend {
       .setPredictionCol("prediction")
       .evaluate(m.transform(test))
 
+  /** The grid's (rank, reg) combos. Dims come from
+    * `spark.graft.als.grid` ("ranks:regs", e.g. the reference's full
+    * ALSTrainer.scala:53-63 sweep is "100,200,250:1,0.1,0.01,0.001");
+    * the default 2×2 keeps the bench bounded — the full grid is a
+    * conf change, not code — and includes the production combo
+    * (effRank, effReg) so q23's fit is one of the grid's, shared
+    * through [[fitOnSplit]]. Exposed so Verify's replay dump walks
+    * exactly the combos the query fit.
+    */
+  private[graft] def gridCombos(s: SparkSession): Seq[(Int, Double)] = {
+    val (ranks, regs) = s.conf.getOption("spark.graft.als.grid") match {
+      case Some(spec) =>
+        val parts = spec.split(":")
+        require(parts.length == 2,
+          s"spark.graft.als.grid must be 'rank,rank,...:reg,reg,...'" +
+            s" (e.g. '100,200,250:1,0.1,0.01,0.001'), got: $spec")
+        (parts(0).split(",").toSeq.map(_.trim.toInt),
+          parts(1).split(",").toSeq.map(_.trim.toDouble))
+      case None =>
+        (Seq(20, effRank(s)).distinct, Seq(effReg(s), 0.1).distinct)
+    }
+    for { rank <- ranks; reg <- regs } yield (rank, reg)
+  }
+
   /** M5 — grid search over (rank, regParam) by held-out RMSE
     * (`ALSTrainer.scala:53-63`); emits the whole grid, best first.
     * Kept small (2×2) so the bench run stays bounded; the full
@@ -240,26 +264,7 @@ object Recommend {
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      // Grid dims come from `spark.graft.als.grid` ("ranks:regs", e.g.
-      // the reference's full ALSTrainer.scala:53-63 sweep is
-      // "100,200,250:1,0.1,0.01,0.001"); the default 2×2 keeps the
-      // bench bounded — the full grid is a conf change, not code.
-      val (ranks, regs) = s.conf.getOption("spark.graft.als.grid") match {
-        case Some(spec) =>
-          val parts = spec.split(":")
-          require(parts.length == 2,
-            s"spark.graft.als.grid must be 'rank,rank,...:reg,reg,...'" +
-              s" (e.g. '100,200,250:1,0.1,0.01,0.001'), got: $spec")
-          (parts(0).split(",").toSeq.map(_.trim.toInt),
-            parts(1).split(",").toSeq.map(_.trim.toDouble))
-        // default includes the production combo (effRank, effReg) so
-        // q23's fit is one of the grid's — shared through fitOnSplit
-        case None => (Seq(20, effRank(s)).distinct, Seq(effReg(s), 0.1).distinct)
-      }
-      val combos = for {
-        rank <- ranks
-        reg <- regs
-      } yield (rank, reg)
+      val combos = gridCombos(s)
       val grid = try Await.result(
         Future.sequence(combos.map { case (rank, reg) =>
           Future {

@@ -199,12 +199,17 @@ def _token_hash(t):
     return h
 
 
-def _round_half_up4(x):
-    # Spark's round(col, 4): BigDecimal(double) + HALF_UP - Decimal
+def _round_half_up(x, places):
+    # Spark's round(col, n): BigDecimal(double) + HALF_UP - Decimal
     # from a float is the same exact binary expansion
     from decimal import Decimal, ROUND_HALF_UP
-    return float(Decimal(x).quantize(Decimal("0.0001"),
+    return float(Decimal(x).quantize(Decimal("0." + "0" * (places - 1)
+                                             + "1"),
                                      rounding=ROUND_HALF_UP))
+
+
+def _round_half_up4(x):
+    return _round_half_up(x, 4)
 
 
 def _fetch_docs(con, sf_dir):
@@ -857,6 +862,484 @@ def replay_semdedup(con, sf_dir, res_dir):
     return None
 
 
+# --- q48/q141 IVF ANN replay oracle (r17) -----------------------------
+# The q73 centroid move carried to the IVF tier: the two-level
+# quantizer's k-means training is the one non-Python-derivable stage,
+# so Verify dumps the coarse table and the per-coarse-cell fine
+# centroid arrays from the SAME persisted index the queries serve
+# from; corpus assignment (argmax cosine, ties to the larger index —
+# Spark's struct array_max), query routing (top-wc coarse, top-nprobe
+# fine, re-ranked by (psim desc, ccell asc, fcell asc)), candidate
+# scoring and the (sim desc, id asc) top-k window all re-derive here.
+# The recall GATES remain the semantic check; this is the
+# implementation replay on top.
+
+_IVF_REPLAY_BOUND = 20000
+
+
+def _f32_rows(rows):
+    """Dumped float32 arrays arrive as shortest-round-trip decimals;
+    a raw float64 parse is NOT the float32 value — re-round every
+    component so the replay computes on exactly the engine's bits."""
+    return [[_f32(x) for x in r] for r in rows]
+
+
+def _f32_ivf(side):
+    side["coarse"] = _f32_rows(side["coarse"])
+    side["fine"] = [[cc, _f32_rows(cents)] for cc, cents in side["fine"]]
+    return side
+
+
+def _argmax_cell(v, cents):
+    # array_max over struct(sim, idx): ties favor the larger idx
+    best = None
+    for i, c in enumerate(cents):
+        s = (_cosine_seq(v, c), i)
+        if best is None or s > best:
+            best = s
+    return best[1]
+
+
+def _ivf_assign(vecs, side):
+    """{(ccell, fcell): [ids]} — the index's corpus assignment
+    (coarse argmax then fine argmax within the coarse cell)."""
+    coarse = side["coarse"]
+    fine = {cc: cents for cc, cents in side["fine"]}
+    assigned = {}
+    for i in sorted(vecs):
+        cc = _argmax_cell(vecs[i], coarse)
+        fc = _argmax_cell(vecs[i], fine[cc])
+        assigned.setdefault((cc, fc), []).append(i)
+    return assigned
+
+
+def _ivf_probes(qv, side, nprobe):
+    """The query's probed (ccell, fcell) set — Ann.routeQueries'
+    top-wc coarse / top-nprobe fine / (psim desc, ccell, fcell)
+    window, re-derived."""
+    coarse = side["coarse"]
+    fine = {cc: cents for cc, cents in side["fine"]}
+    wc = max(2, min(side["kc"], math.ceil(nprobe / 2)))
+    # sort_array(desc) on struct(csim, ccell): ties favor larger cell
+    cscored = sorted(((_cosine_seq(qv, c), i)
+                      for i, c in enumerate(coarse)), reverse=True)[:wc]
+    probes = []
+    for _, cc in cscored:
+        fscored = sorted(((_cosine_seq(qv, c), i)
+                          for i, c in enumerate(fine[cc])),
+                         reverse=True)[:nprobe]
+        probes += [(psim, cc, fc) for psim, fc in fscored]
+    probes.sort(key=lambda t: (-t[0], t[1], t[2]))
+    return {(cc, fc) for _, cc, fc in probes[:nprobe]}
+
+
+def _ivf_replay(con, sf_dir, res_dir, nprobe, label_filter):
+    side = _load_side(f"{res_dir}/_ivf_index.json")
+    if side is None:
+        return "skip: no _ivf_index.json side output"
+    side = _f32_ivf(side)
+    rows = con.sql(f"SELECT vec_id, embedding, label "
+                   f"FROM '{sf_dir}/embeddings.parquet'").fetchall()
+    if len(rows) > _IVF_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    vecs = {r[0]: r[1] for r in rows}
+    labels = {r[0]: r[2] for r in rows}
+    k = side["k"]
+    assigned = _ivf_assign(vecs, side)
+    expected = []
+    for q in sorted(i for i in vecs if i < _ANN_QUERIES):
+        qv = vecs[q]
+        probeset = _ivf_probes(qv, side, nprobe)
+        cands = set()
+        for cell in probeset:
+            for n in assigned.get(cell, []):
+                if n == q:
+                    continue
+                if label_filter and labels[n] != labels[q]:
+                    continue
+                cands.add(n)
+        scored = sorted(((_cosine_seq(qv, vecs[n]), n) for n in cands),
+                        key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (sim, n) in enumerate(scored, 1):
+            expected.append((q, n, _round_half_up4(sim), rank))
+    rel = con.sql(f"SELECT query_id, neighbor_id, sim, rank "
+                  f"FROM '{res_dir}/*.parquet' ORDER BY query_id, rank")
+    got = [tuple(r) for r in rel.fetchall()]
+    if got != expected:
+        for g, e in zip(got, expected):
+            if g != e:
+                return f"row diverges: engine {g} vs replay {e}"
+        return f"row counts: engine {len(got)} vs replay {len(expected)}"
+    return None
+
+
+def replay_ann_ivf(con, sf_dir, res_dir):
+    """q48: two-level IVF, nprobe=10, top-5."""
+    return _ivf_replay(con, sf_dir, res_dir, nprobe=10,
+                       label_filter=False)
+
+
+def replay_ann_filtered_ivf(con, sf_dir, res_dir):
+    """q141: the same index with the label equality filter, nprobe=12."""
+    return _ivf_replay(con, sf_dir, res_dir, nprobe=12,
+                       label_filter=True)
+
+
+# --- q84/q136/q139 PQ replay oracles (r17) -----------------------------
+# The M per-subspace k-means fits are the non-Python-derivable stage;
+# given the dumped codebooks (and, for the IVF-routed members, the
+# dumped IVF index), normalization, code assignment (euclidean argmin,
+# ties to the lowest index — the engine's encodeAgainst struct trick
+# and KMeansModel.predict agree on that rule), LUT construction, ADC
+# scoring, shortlisting and the exact re-rank all re-derive here. The
+# recall gates stay the semantic check.
+
+
+def _pq_normalize(v):
+    s = 0.0
+    for x in v:
+        s += x * x
+    n = max(math.sqrt(s), 1e-30)
+    return [x / n for x in v]
+
+
+def _pq_codes(nv, books, sub_dim):
+    codes = []
+    for m, book in enumerate(books):
+        sub = nv[m * sub_dim:(m + 1) * sub_dim]
+        best = None
+        for i, c in enumerate(book):
+            d = 0.0
+            for j in range(sub_dim):
+                t = sub[j] - c[j]
+                d += t * t
+            key = (-d, -i)  # ties -> lowest centroid index
+            if best is None or key > best:
+                best = key
+        codes.append(-best[1])
+    return codes
+
+
+def _pq_luts(qv, books, sub_dim):
+    luts = []
+    for m, book in enumerate(books):
+        row = []
+        for c in book:
+            s = 0.0
+            for i in range(sub_dim):
+                s += qv[m * sub_dim + i] * c[i]
+            row.append(s)
+        luts.append(row)
+    return luts
+
+
+def _adc(luts, codes):
+    s = luts[0][codes[0]]
+    for m in range(1, len(codes)):
+        s = s + luts[m][codes[m]]
+    return s
+
+
+def _pq_rank(con, res_dir, expected):
+    rel = con.sql(f"SELECT query_id, neighbor_id, sim, rank "
+                  f"FROM '{res_dir}/*.parquet' ORDER BY query_id, rank")
+    got = [tuple(r) for r in rel.fetchall()]
+    if got != expected:
+        for g, e in zip(got, expected):
+            if g != e:
+                return f"row diverges: engine {g} vs replay {e}"
+        return f"row counts: engine {len(got)} vs replay {len(expected)}"
+    return None
+
+
+def replay_ann_pq(con, sf_dir, res_dir):
+    """q84: flat ADC over the whole code table, shortlistFor(n)
+    shortlist, exact cosine re-rank, top-5."""
+    side = _load_side(f"{res_dir}/_pq_books.json")
+    if side is None:
+        return "skip: no _pq_books.json side output"
+    vecs = _fetch_embeddings(con, sf_dir)
+    if len(vecs) > _IVF_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    books, sd, k = side["books"], side["sub_dim"], side["k"]
+    n = len(vecs)
+    shortlist = max(64, min(1024, n // 8))
+    codes = {i: _pq_codes(_pq_normalize(vecs[i]), books, sd)
+             for i in vecs}
+    expected = []
+    for q in sorted(i for i in vecs if i < _ANN_QUERIES):
+        luts = _pq_luts(vecs[q], books, sd)
+        # shortlist window: adc desc, neighbor_id asc
+        scored = sorted((-_adc(luts, codes[i]), i)
+                        for i in vecs if i != q)[:shortlist]
+        rer = sorted(((_cosine_seq(vecs[q], vecs[i]), i)
+                      for _, i in scored),
+                     key=lambda t: (-t[0], t[1]))[:k]
+        expected += [(q, i, _round_half_up4(s), r)
+                     for r, (s, i) in enumerate(rer, 1)]
+    return _pq_rank(con, res_dir, expected)
+
+
+def _adc_search_replay(vecs, cell_members, codes, queries, ivf_side,
+                       books, sd, k, nprobe):
+    """Pq.adcSearch re-derived: route, ADC-score probed cells'
+    members, shortlist (max(64, nprobe*1000/8)), exact re-rank."""
+    shortlist = max(64, nprobe * 1000 // 8)
+    expected = []
+    for q in queries:
+        qv = vecs[q]
+        probeset = _ivf_probes(qv, ivf_side, nprobe)
+        luts = _pq_luts(qv, books, sd)
+        cands = set()
+        for cell in probeset:
+            for i in cell_members.get(cell, []):
+                if i != q:
+                    cands.add(i)
+        scored = sorted((-_adc(luts, codes[i]), i) for i in cands)[
+            :shortlist]
+        rer = sorted(((_cosine_seq(qv, vecs[i]), i) for _, i in scored),
+                     key=lambda t: (-t[0], t[1]))[:k]
+        expected += [(q, i, _round_half_up4(s), r)
+                     for r, (s, i) in enumerate(rer, 1)]
+    return expected
+
+
+def replay_ann_ivfpq(con, sf_dir, res_dir):
+    """q136: IVFADC — IVF routing (dumped index) + ADC over probed
+    cells' codes (dumped books) + exact re-rank, nprobe=8."""
+    ivf = _load_side(f"{res_dir}/_ivf_index.json")
+    pq = _load_side(f"{res_dir}/_pq_books.json")
+    if ivf is None or pq is None:
+        return "skip: missing _ivf_index.json/_pq_books.json"
+    ivf = _f32_ivf(ivf)
+    vecs = _fetch_embeddings(con, sf_dir)
+    if len(vecs) > _IVF_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    books, sd, k = pq["books"], pq["sub_dim"], pq["k"]
+    cell_members = _ivf_assign(vecs, ivf)
+    codes = {i: _pq_codes(_pq_normalize(vecs[i]), books, sd)
+             for i in vecs}
+    queries = sorted(i for i in vecs if i < _ANN_QUERIES)
+    expected = _adc_search_replay(vecs, cell_members, codes, queries,
+                                  ivf, books, sd, k, nprobe=8)
+    return _pq_rank(con, res_dir, expected)
+
+
+def replay_ivfpq_incremental(con, sf_dir, res_dir):
+    """q139: the mod10 standing corpus's codes plus the frozen-index-
+    encoded delta (vec_id % 10 == 0), searched by the delta itself at
+    nprobe=10 — the append lifecycle's serving identity, re-derived
+    from the dumped standing index + frozen codebooks."""
+    ivf = _load_side(f"{res_dir}/_ivf_index.json")
+    pq = _load_side(f"{res_dir}/_pq_books.json")
+    if ivf is None or pq is None:
+        return "skip: missing _ivf_index.json/_pq_books.json"
+    ivf = _f32_ivf(ivf)
+    vecs = _fetch_embeddings(con, sf_dir)
+    if len(vecs) > _IVF_REPLAY_BOUND:
+        return "skip: corpus too large for the Python replay bound"
+    books, sd, k = pq["books"], pq["sub_dim"], pq["k"]
+    # both the standing corpus and the delta assign through the same
+    # frozen quantizer (Ann.assignVectors == build-time assignment)
+    cell_members = _ivf_assign(vecs, ivf)
+    codes = {i: _pq_codes(_pq_normalize(vecs[i]), books, sd)
+             for i in vecs}
+    queries = sorted(i for i in vecs if i % 10 == 0)
+    expected = _adc_search_replay(vecs, cell_members, codes, queries,
+                                  ivf, books, sd, k, nprobe=10)
+    return _pq_rank(con, res_dir, expected)
+
+
+# --- q20/q22/q23/q24 ALS serving replay oracles (r17) -----------------
+# The ALS fit is the non-replayable stage (distributed float
+# reductions), and q21's output IS the factor table (replaying it
+# would compare the dump to itself — it stays gate-only). Serving
+# from the factors is pure: float32 dot-product scoring (emulated
+# bit-exactly — f64 ops on f32-exact values rounded back to f32 per
+# step), top-K windows, the factor cosine matrix, and held-out RMSE
+# all re-derive here from Verify's `_als_factors.json` /
+# `_als_eval.json` dumps. The RMSE gate stays the semantic check.
+
+
+def _sdot32(a, b):
+    """Bit-exact float32 sequential dot: every multiply and add
+    rounds to float32 (a float64 op on f32-exact inputs is exact, so
+    rounding the result IS the f32 op)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = _f32(acc + _f32(x * y))
+    return acc
+
+
+def replay_als_user_recs(con, sf_dir, res_dir):
+    """q20: score grid = f32 user·item dots via BLAS gemm, top-K per
+    user by (score desc); flattened with 1-based rank. The gemm's
+    f32 accumulation ORDER is BLAS-implementation-specific (lane
+    splits; measured divergence vs any fixed order ≤ ~1e-6
+    relative), so ids and ranks compare exactly and the score gets a
+    tight relative epsilon — the match_frac treatment."""
+    side = _load_side(f"{res_dir}/_als_factors.json")
+    if side is None:
+        return "skip: no _als_factors.json side output"
+    users = [(i, [_f32(x) for x in f]) for i, f in side["user"]]
+    items = [(i, [_f32(x) for x in f]) for i, f in side["item"]]
+    topk = side["top_k"]
+    if len(users) * len(items) > 50000000:
+        return "skip: grid too large for the Python replay bound"
+    expected = []
+    for uid, uf in sorted(users):
+        scored = []
+        for iid, itf in items:
+            d = 0.0
+            for x, y in zip(uf, itf):
+                d += x * y
+            scored.append((-d, iid))
+        scored.sort()
+        for rank, (neg, iid) in enumerate(scored[:topk], 1):
+            expected.append((uid, rank, iid, -neg))
+    rel = con.sql(f"SELECT user_id, rank, product_id, score "
+                  f"FROM '{res_dir}/*.parquet' ORDER BY user_id, rank")
+    got = [tuple(r) for r in rel.fetchall()]
+    if len(got) != len(expected):
+        return f"row counts: engine {len(got)} vs replay {len(expected)}"
+    for g, e in zip(got, expected):
+        if g[:3] != e[:3]:
+            return f"row diverges: engine {g} vs replay {e}"
+        if abs(g[3] - e[3]) > 1e-5 * max(abs(e[3]), 1.0):
+            return f"score diverges past epsilon: engine {g} vs {e}"
+    return None
+
+
+def replay_item_sims(con, sf_dir, res_dir):
+    """q22: exact item-item factor cosine, round 6, threshold > 0.6,
+    top-20 per product by (sim desc, id asc)."""
+    side = _load_side(f"{res_dir}/_als_factors.json")
+    if side is None:
+        return "skip: no _als_factors.json side output"
+    items = [(i, [_f32(x) for x in f]) for i, f in side["item"]]
+    topk, thr = side["top_k"], side["sim_threshold"]
+    if len(items) > 10000:
+        return "skip: catalog too large for the exact-regime replay"
+    expected = []
+    for pa, fa in sorted(items):
+        sims = []
+        for pb, fb in items:
+            if pb == pa:
+                continue
+            sim = _round_half_up(_cosine_seq(fa, fb), 6)
+            if sim > thr:
+                sims.append((sim, pb))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, pb) in enumerate(sims[:topk], 1):
+            expected.append((pa, pb, sim, rank))
+    rel = con.sql(f"SELECT product_id, sim_product_id, sim, rank "
+                  f"FROM '{res_dir}/*.parquet' ORDER BY product_id, rank")
+    got = [tuple(r) for r in rel.fetchall()]
+    if got != expected:
+        for g, e in zip(got, expected):
+            if g != e:
+                return f"row diverges: engine {g} vs replay {e}"
+        return f"row counts: engine {len(got)} vs replay {len(expected)}"
+    return None
+
+
+def _als_rmse(combo, test):
+    """Held-out RMSE from one combo's factors: f32 prediction dots,
+    cold-start rows dropped (no factor == unseen in training),
+    sequential double mean."""
+    uf = {u: [_f32(x) for x in f] for u, f in combo["user"]}
+    itf = {i: [_f32(x) for x in f] for i, f in combo["item"]}
+    sse, n = 0.0, 0
+    for u, p, score in test:
+        if u in uf and p in itf:
+            e = _sdot32(uf[u], itf[p]) - score
+            sse += e * e
+            n += 1
+    return math.sqrt(sse / n)
+
+
+def replay_als_rmse(con, sf_dir, res_dir):
+    """q23: the production combo's held-out RMSE, round 6."""
+    side = _load_side(f"{res_dir}/_als_eval.json")
+    if side is None:
+        return "skip: no _als_eval.json side output"
+    expected = [(_round_half_up(_als_rmse(side["combos"][0],
+                                          side["test"]), 6),)]
+    got = [tuple(r) for r in con.sql(
+        f"SELECT rmse FROM '{res_dir}/*.parquet'").fetchall()]
+    if got != expected:
+        return f"engine {got} vs replay {expected}"
+    return None
+
+
+def replay_als_grid(con, sf_dir, res_dir):
+    """q24: every combo's held-out RMSE, ordered (rmse, rank, reg)."""
+    side = _load_side(f"{res_dir}/_als_eval.json")
+    if side is None:
+        return "skip: no _als_eval.json side output"
+    rows = [(c["rank"], c["reg"],
+             _round_half_up(_als_rmse(c, side["test"]), 6))
+            for c in side["combos"]]
+    expected = sorted(rows, key=lambda t: (t[2], t[0], t[1]))
+    got = [tuple(r) for r in con.sql(
+        f"SELECT rank, reg_param, rmse FROM '{res_dir}/*.parquet' "
+        f"ORDER BY rmse, rank, reg_param").fetchall()]
+    if got != expected:
+        return f"engine {got} vs replay {expected}"
+    return None
+
+
+# --- q77 quality-classifier replay oracle (r17) -----------------------
+# The L-BFGS fit is the one non-Python-derivable stage; given the
+# dumped coefficients/intercept, feature extraction (raw surface
+# counts over the documents table), heuristic labeling, the margin
+# dot-product, the sigmoid, the 0.5-threshold prediction and the
+# 4-dp rounding are pure functions replayed here. The held-out-AUC
+# gate stays the semantic check.
+
+
+def replay_quality_classifier(con, sf_dir, res_dir):
+    side = _load_side(f"{res_dir}/_lr_model.json")
+    if side is None:
+        return "skip: no _lr_model.json side output"
+    docs = con.sql(f"SELECT doc_id, text, n_chars "
+                   f"FROM '{sf_dir}/documents.parquet' "
+                   f"ORDER BY doc_id").fetchall()
+    if len(docs) > 20000:
+        return "skip: corpus too large for the Python replay bound"
+    coef = side["coefficients"]
+    b = side["intercept"]
+    thr = side["label_threshold"]
+    stop = set(side["stopwords"])
+    expected = []
+    for doc_id, text, n_chars in docs:
+        toks = text.split(" ")  # Spark split(text, " "), limit -1
+        n_words = len(toks)
+        stop_cnt = sum(1 for t in toks if t in stop)
+        punct = sum(1 for ch in text if ch in ".,;:!?")
+        digits = sum(1 for ch in text if ch in "0123456789")
+        feats = [float(n_words), float(stop_cnt), float(n_chars),
+                 float(punct), float(digits), n_chars / max(n_words, 1)]
+        label = int(0.5 * (stop_cnt / n_words) +
+                    0.5 * min(n_words / 100.0, 1.0) >= thr)
+        margin = 0.0
+        for i in range(len(coef)):  # sequential — the BLAS ddot order
+            margin += coef[i] * feats[i]
+        margin += b
+        p = 1.0 / (1.0 + math.exp(-margin))
+        pred = int(p > 0.5)  # Spark's strict probability > threshold
+        expected.append((doc_id, label, pred, _round_half_up4(p)))
+    got = [tuple(r) for r in con.sql(
+        f"SELECT doc_id, label, predicted, p_good "
+        f"FROM '{res_dir}/*.parquet' ORDER BY doc_id").fetchall()]
+    if got != expected:
+        for g, e in zip(got, expected):
+            if g != e:
+                return f"row diverges: engine {g} vs replay {e}"
+        return f"row counts: engine {len(got)} vs replay {len(expected)}"
+    return None
+
+
 # --- q26 multimodal-features replay oracle (r16 verdict item 2) -------
 # Stronger than a side-output replay: the fixture pixel/PCM formulas
 # are pure functions of doc_id, and the PNG/WAV containers round-trip
@@ -1149,6 +1632,21 @@ def main():
         "q73_semdedup": ("SemDeDup", replay_semdedup),
         "q26_multimodal_features":
             ("multimodal feature derivation", replay_multimodal_features),
+        "q48_ann_ivf": ("two-level IVF ANN", replay_ann_ivf),
+        "q141_ann_filtered_ivf":
+            ("filtered IVF ANN", replay_ann_filtered_ivf),
+        "q77_quality_classifier":
+            ("LR quality scoring", replay_quality_classifier),
+        "q84_ann_pq": ("flat-ADC PQ ANN", replay_ann_pq),
+        "q136_ann_ivfpq": ("IVFADC", replay_ann_ivfpq),
+        "q139_ivfpq_incremental":
+            ("incremental IVFADC", replay_ivfpq_incremental),
+        "q20_als_user_recs": ("ALS rec serving", replay_als_user_recs),
+        "q22_item_sim_cosine":
+            ("factor-cosine similarity", replay_item_sims),
+        "q23_als_rmse": ("held-out RMSE evaluation", replay_als_rmse),
+        "q24_als_grid_search":
+            ("grid RMSE evaluation", replay_als_grid),
     }
     for res in sorted(glob.glob(f"{out_dir}/*/")):
         name = res.rstrip("/").split("/")[-1]

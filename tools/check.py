@@ -1246,7 +1246,8 @@ def replay_item_sims(con, sf_dir, res_dir):
 def _als_rmse(combo, test):
     """Held-out RMSE from one combo's factors: f32 prediction dots,
     cold-start rows dropped (no factor == unseen in training),
-    sequential double mean."""
+    sequential double mean. NaN on an all-cold-start test set — the
+    engine's evaluator answer for the same degenerate input."""
     uf = {u: [_f32(x) for x in f] for u, f in combo["user"]}
     itf = {i: [_f32(x) for x in f] for i, f in combo["item"]}
     sse, n = 0.0, 0
@@ -1255,7 +1256,17 @@ def _als_rmse(combo, test):
             e = _sdot32(uf[u], itf[p]) - score
             sse += e * e
             n += 1
-    return math.sqrt(sse / n)
+    return math.sqrt(sse / n) if n else float("nan")
+
+
+# Engine RMSE is round-6 of a treeAggregated mean whose prediction
+# dots may lane-split like q20's gemm; the replay's sequential sum
+# agrees to ~1e-9, so the rounded value can only differ when the raw
+# sits within that slack of a rounding boundary. Compare with the
+# rounding half-width plus slack instead of exact equality (the
+# match_frac lesson — never exact-compare two legitimately different
+# float computations).
+_RMSE_TOL = 5.1e-7
 
 
 def replay_als_rmse(con, sf_dir, res_dir):
@@ -1263,12 +1274,11 @@ def replay_als_rmse(con, sf_dir, res_dir):
     side = _load_side(f"{res_dir}/_als_eval.json")
     if side is None:
         return "skip: no _als_eval.json side output"
-    expected = [(_round_half_up(_als_rmse(side["combos"][0],
-                                          side["test"]), 6),)]
+    raw = _als_rmse(side["combos"][0], side["test"])
     got = [tuple(r) for r in con.sql(
         f"SELECT rmse FROM '{res_dir}/*.parquet'").fetchall()]
-    if got != expected:
-        return f"engine {got} vs replay {expected}"
+    if len(got) != 1 or abs(got[0][0] - raw) > _RMSE_TOL:
+        return f"engine {got} vs replay raw {raw}"
     return None
 
 
@@ -1277,15 +1287,17 @@ def replay_als_grid(con, sf_dir, res_dir):
     side = _load_side(f"{res_dir}/_als_eval.json")
     if side is None:
         return "skip: no _als_eval.json side output"
-    rows = [(c["rank"], c["reg"],
-             _round_half_up(_als_rmse(c, side["test"]), 6))
+    rows = [(c["rank"], c["reg"], _als_rmse(c, side["test"]))
             for c in side["combos"]]
     expected = sorted(rows, key=lambda t: (t[2], t[0], t[1]))
     got = [tuple(r) for r in con.sql(
         f"SELECT rank, reg_param, rmse FROM '{res_dir}/*.parquet' "
         f"ORDER BY rmse, rank, reg_param").fetchall()]
-    if got != expected:
-        return f"engine {got} vs replay {expected}"
+    if len(got) != len(expected):
+        return f"row counts: engine {len(got)} vs replay {len(expected)}"
+    for g, e in zip(got, expected):
+        if g[:2] != e[:2] or abs(g[2] - e[2]) > _RMSE_TOL:
+            return f"row diverges: engine {g} vs replay {e}"
     return None
 
 

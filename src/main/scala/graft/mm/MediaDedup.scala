@@ -553,7 +553,16 @@ object MediaDedup {
   def mediaCorpus(s: org.apache.spark.sql.SparkSession, d: String)
       : Dataset[Multimodal.MediaRecord] = {
     import s.implicits._
+    // Repartition the ids-only frame BEFORE the synth/decode flatMap
+    // (r17, StageProbe finding at 30×): the documents scan can land
+    // nearly all rows in one input split (the 30× sweep dir did —
+    // one task carried 3.5 s of a 4.9 s q152 wall at skew 234), and
+    // both the decode pass AND the hash cache built from it inherit
+    // that skew — every warm scan then funnels through one task.
+    // Shuffling longs is ~8 B/row; decode is orders of magnitude
+    // heavier, so the rebalance is always worth it.
     Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .flatMap { id =>
         assertIdHeadroom(id)
         val png = syntheticPhoto(id)
@@ -811,7 +820,9 @@ object MediaDedup {
   def audioCorpus(s: org.apache.spark.sql.SparkSession, d: String)
       : Dataset[Multimodal.MediaRecord] = {
     import s.implicits._
+    // ids-only rebalance before synth/decode — see [[mediaCorpus]]
     Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .flatMap { id =>
         assertIdHeadroom(id)
         val wav = syntheticTone(id)

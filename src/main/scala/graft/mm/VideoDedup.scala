@@ -240,8 +240,12 @@ object VideoDedup {
   def videoCorpus(s: org.apache.spark.sql.SparkSession, d: String)
       : Dataset[Multimodal.MediaRecord] = {
     import s.implicits._
+    // ids-only rebalance before synth/decode — see
+    // [[MediaDedup.mediaCorpus]] (the 30× StageProbe found one task
+    // carrying 6.3 s of a 9.3 s q156 wall off the skewed scan)
     Tables.documents(s, d).select(col("doc_id")).as[Long]
       .filter((id: Long) => id % 10 == 0)
+      .repartition(s.sparkContext.defaultParallelism)
       .flatMap { id =>
         require(id >= 0 && id < MediaDedup.CopyIdOffset,
           s"doc_id $id collides with the planted-copy id space")

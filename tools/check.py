@@ -1660,6 +1660,20 @@ def main():
         "q24_als_grid_search":
             ("grid RMSE evaluation", replay_als_grid),
     }
+    # Expected-replay manifest: a skipped or missing replay must FAIL
+    # the run, not silently demote to OK(rows) — one renamed dump
+    # field would otherwise turn 25 cell-for-cell replays into
+    # rows-only checks with no gate tripping. The manifest is keyed
+    # by the sf_dir basename; unknown dirs (scale-sweep replica dirs)
+    # carry no expectations.
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    manifest_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "replay_manifest.json")
+    expected_replays = set()
+    if os.path.exists(manifest_path):
+        expected_replays = set(
+            json.load(open(manifest_path)).get(sf_name, []))
+    replay_outcome = {}  # name -> None (OK) | skip/err string
     for res in sorted(glob.glob(f"{out_dir}/*/")):
         name = res.rstrip("/").split("/")[-1]
         if name in oracles:
@@ -1671,7 +1685,11 @@ def main():
                 err = fn(con, sf_dir, res.rstrip("/"))
             except ImportError as e:
                 # numpy-less host: degrade to rows-only, don't fail
+                # (the manifest still flags it if this SF expects the
+                # replay — a silent numpy loss must not green-wash 25
+                # cell-level checks)
                 err = f"skip: {e}"
+            replay_outcome[name] = err
             if err is None:
                 print(f"OK(replay) {name} ({n} rows, every cell matches "
                       f"the independent Python {label})")
@@ -1684,6 +1702,20 @@ def main():
         print(f"{status:9s} {name} ({n} rows)")
         if n == 0:
             failures.append((name, "rows-only check: 0 rows"))
+    degraded = []
+    for name in sorted(expected_replays):
+        if name not in replay_outcome:
+            degraded.append((name, "query output missing or empty — "
+                             "replay never attempted"))
+        elif replay_outcome[name] is not None \
+                and replay_outcome[name].startswith("skip:"):
+            degraded.append((name, replay_outcome[name]))
+    if degraded:
+        print(f"\nDEGRADED: {len(degraded)} expected replay(s) for "
+              f"{sf_name} did not produce OK(replay):")
+        for name, why in degraded:
+            print(f"DEGRADED  {name}: {why}")
+            failures.append((name, f"expected replay degraded: {why}"))
     if failures:
         print("\nFAILURES:")
         for n, msg in failures:

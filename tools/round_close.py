@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Machine-derive the round-close SWEEP entries from artifacts.
+
+r17 verdict item 7: a hand-written round-close entry went stale
+("15 OK(replay)" written mid-round while README/judge counted 25) —
+so the close-of-round numbers must come from the artifacts, never
+from prose. This reads the check.py output logs (one per SF) and a
+bench.json, and prints the `round_close_*` JSON object to paste (or
+merge) into SWEEP_r{N}.json.
+
+Usage:
+  python3 tools/round_close.py \
+      --check sf0.001=/tmp/check_sf0.001.log \
+      --check sf0.01=/tmp/check_sf0.01.log \
+      --check sf0.1=/tmp/check_sf0.1.log \
+      --bench BENCH_STANDING.json \
+      [--test-log /tmp/sbt_test.log]
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def parse_check_log(path):
+    ok_oracle = ok_replay = ok_rows = empty = degraded = fails = 0
+    all_green = False
+    with open(path) as f:
+        for line in f:
+            if line.startswith("OK(replay)"):
+                ok_replay += 1
+            elif line.startswith("OK(rows)"):
+                ok_rows += 1
+            elif line.startswith("OK "):
+                ok_oracle += 1
+            elif line.startswith("EMPTY"):
+                empty += 1
+            elif line.startswith("DEGRADED  "):
+                degraded += 1
+            elif line.startswith("FAIL  "):
+                fails += 1
+            elif line.strip() == "all green":
+                all_green = True
+    return {
+        "all_green": all_green,
+        "ok_oracle": ok_oracle,
+        "ok_replay": ok_replay,
+        "ok_rows_only": ok_rows,
+        "empty": empty,
+        "degraded": degraded,
+        "failures": fails,
+        "total_checked": ok_oracle + ok_replay + ok_rows + empty,
+    }
+
+
+def parse_test_log(path):
+    # sbt summary line: "[info] Tests: succeeded 306, failed 0, ..."
+    pat = re.compile(r"Tests: succeeded (\d+), failed (\d+)")
+    res = None
+    with open(path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                res = {"succeeded": int(m.group(1)),
+                       "failed": int(m.group(2))}
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="append", default=[],
+                    metavar="SF=LOG", help="sf label = check.py log path")
+    ap.add_argument("--bench", help="standing bench artifact (JSON)")
+    ap.add_argument("--test-log", help="sbt test output log")
+    args = ap.parse_args()
+
+    out = {}
+    verify = {}
+    for spec in args.check:
+        sf, _, path = spec.partition("=")
+        if not path:
+            sys.exit(f"--check must be SF=LOG, got {spec!r}")
+        verify[sf] = parse_check_log(path)
+    if verify:
+        out["round_close_verify"] = verify
+    if args.bench:
+        b = json.load(open(args.bench))
+        out["round_close_bench"] = {
+            "artifact": args.bench,
+            "value_sec": b.get("value"),
+            "total_normalized": b.get("total_normalized"),
+            "calib": b.get("calib"),
+            "sf": b.get("sf"),
+            "n_queries": len(b.get("queries", {})),
+        }
+    if args.test_log:
+        t = parse_test_log(args.test_log)
+        if t is not None:
+            out["round_close_tests"] = t
+    json.dump(out, sys.stdout, indent=1)
+    print()
+
+
+if __name__ == "__main__":
+    main()

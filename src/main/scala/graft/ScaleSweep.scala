@@ -143,7 +143,13 @@ object ScaleSweep {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def wanted(name: String): Boolean =
       only.forall(_.exists(t => name == t || name.startsWith(t + "_")))
-    val tier = Seq("q49_dedup_clusters", "q60_decontaminate",
+    val tier = Seq(
+      // q31/q75 joined in round 18 for the 100×-class points (r17
+      // verdict #6): the 0.9-threshold minhash-LSH paths are clean
+      // under the doc-unique salts (cross-replica Jaccard ≈ 0.77 <
+      // 0.9 keeps cliques within a replica), same argument as q49.
+      "q31_dedup_minhash_lsh", "q75_incremental_neardup",
+      "q49_dedup_clusters", "q60_decontaminate",
       "q62_curation_pipeline", "q81_pagerank", "q84_ann_pq",
       "q136_ann_ivfpq",
       "q101_bm25_batch",
@@ -239,6 +245,19 @@ object ScaleSweep {
     }
     // JVM/codegen warmup so the first tier query isn't billed for it
     spark.range(100000).selectExpr("sum(id)").collect()
+    // Per-query skew audit as part of every sweep (r17 verdict #4):
+    // the round's two best finds (band saturation, the media hash
+    // caches' serial scan) both came from instruments, not walls —
+    // and the serial scan needed a MANUAL post-close StageProbe pass.
+    // The same task-metrics listener now rides the sweep's final
+    // timed rep of each query, and SWEEP_JSON carries each query's
+    // worst material-stage skew with a >10× flag list, so the next
+    // skew defect is caught at round close, not by a hand-run probe.
+    val skewColl = new StageProbe.Collector
+    spark.sparkContext.addSparkListener(skewColl)
+    val skewByQuery =
+      scala.collection.mutable.LinkedHashMap[String, String]()
+    val skewFlags = scala.collection.mutable.ArrayBuffer[String]()
     val results = tier.filter(wanted).map { name =>
       val fn = SparkEntry.queries(name)
       // Warm-family discipline (r15, shared with Bench.warmFamily):
@@ -255,13 +274,29 @@ object ScaleSweep {
       val warm = Bench.isWarm(name)
       if (warm)
         try { fn(spark, out).count() } catch { case _: Throwable => () }
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { rep =>
+        if (rep == reps) skewColl.clear() // audit the final, steady rep
         val t0 = System.nanoTime()
         val n = fn(spark, out).count()
         val dt = (System.nanoTime() - t0) / 1e9
         val tag = if (warm) " (steady)" else ""
         println(f"SWEEP $name%-24s ${k}x  $dt%7.2f s   rows=$n$tag")
         dt
+      }
+      Thread.sleep(1200) // async listener bus drain before snapshot
+      val (tt, _, _, nm) = skewColl.snapshot()
+      StageProbe.worstMaterialSkew(tt, nm).foreach {
+        case (ratio, stage, tasks, sumS) =>
+          val esc = stage.replace("\\", "\\\\").replace("\"", "\\\"")
+          skewByQuery(name) = f"""{"worst_skew":$ratio%.1f,""" +
+            f""""stage":"$esc","tasks":$tasks,""" +
+            f""""stage_task_time_sum_s":$sumS%.2f}"""
+          if (ratio > 10.0) {
+            skewFlags += name
+            println(f"SWEEP SKEW-FLAG $name worst material-stage " +
+              f"max/med $ratio%.1fx in '$stage' ($tasks tasks, " +
+              f"${sumS}%.2f s task time)")
+          }
       }
       (name, median(times), warm)
     }
@@ -425,8 +460,13 @@ object ScaleSweep {
           f""""planted_pin_ok":$pinOk}"""
       } finally q.stop()
     }
+    val skewJson = skewByQuery.map { case (n, j) => s""""$n":$j""" }
+      .mkString("{", ",", "}")
+    val skewFlagJson = skewFlags.map(n => s""""$n"""")
+      .mkString("[", ",", "]")
     println(s"""SWEEP_JSON {"replicate":$k,"reps":$reps,""" +
       s""""queries":$qs,"warmed":$warmedJson,""" +
+      s""""skew":$skewJson,"skew_flags":$skewFlagJson,""" +
       s""""stream_video_neardup":$streamJson,""" +
       s""""stream_text_neardup":$textStreamJson}""")
     spark.stop()

@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.StageProbe /tmp/graft_sfx30v2 q124_fuzzy_string_join q81_pagerank"
   */
 object StageProbe {
-  private class Collector extends SparkListener {
+  private[graft] class Collector extends SparkListener {
     // One lock covers every mutation AND clear(): the listener bus is
     // async, so a straggler onTaskEnd racing a between-reps clear()
     // must see either the old epoch or the new one atomically — a
@@ -59,6 +59,36 @@ object StageProbe {
       (taskTimes.map { case (k, v) => k -> v.toSeq }.toMap,
         shuffleRead.toMap, spill.toMap, names.toMap)
     }
+  }
+
+  /** Worst intra-stage task skew (max/median task time) among the
+    * MATERIAL stages of a snapshot — stages whose summed task time
+    * clears both an absolute floor and a fraction of the query's
+    * total, with enough tasks for a median to mean anything. Tiny
+    * stages trivially show huge ratios (2 ms vs 0 ms) and would
+    * flood a >10× flag with noise; the r17 serial-scan find (skew
+    * 234–1051×) lived in stages holding most of the task time, which
+    * is exactly what this filter keeps. Returns
+    * (skew, stageName, tasks, stageTaskTimeSum_s) for the worst
+    * qualifying stage, or None when nothing qualifies.
+    */
+  private[graft] def worstMaterialSkew(
+      taskTimes: Map[Int, Seq[Long]], names: Map[Int, String],
+      minTasks: Int = 4, minSumMs: Double = 300.0,
+      minFrac: Double = 0.05): Option[(Double, String, Int, Double)] = {
+    val total = taskTimes.values.map(_.sum).sum.toDouble
+    taskTimes.toSeq.flatMap { case (sid, ts) =>
+      val sum = ts.sum.toDouble
+      if (ts.size < minTasks || sum < minSumMs || sum < total * minFrac)
+        None
+      else {
+        val sorted = ts.sorted
+        val med = sorted(sorted.size / 2)
+        if (med <= 0) None
+        else Some((sorted.last.toDouble / med,
+          names.getOrElse(sid, s"stage $sid"), ts.size, sum / 1e3))
+      }
+    }.sortBy(-_._1).headOption
   }
 
   def main(args: Array[String]): Unit = {

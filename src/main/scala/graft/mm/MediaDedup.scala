@@ -135,6 +135,49 @@ object MediaDedup {
   private val autoLogged = java.util.concurrent.ConcurrentHashMap
     .newKeySet[(org.apache.spark.sql.SparkSession, Boolean)]()
 
+  /** Band layout for STREAMING surfaces. An unbounded stream has no
+    * plan-time corpus count (its candidate population is the
+    * horizon-bounded state store), but a deployment running a stream
+    * NEXT TO a batch backfill does have one: the standing phash
+    * index the batch maintains ([[corpusPhashStore]] / q157's store,
+    * already on disk). So: the manual dial wins when set (either
+    * way); otherwise, when a standing index dir is known — the
+    * `indexDir` argument, or conf `spark.graft.media.phashStoreDir`
+    * — the layout resolves from its item count through the same
+    * count-aware resolver as the batch paths, so a stream started
+    * next to an auto-wide backfill mines the same candidate space
+    * with no dial set (r17 verdict #3: the old conf-only fallback
+    * silently left the stream narrow while the batch auto-upgraded).
+    * With neither dial nor store, the legacy 4×16 stands — a
+    * cold-start stream's state is bounded by the horizon, not the
+    * corpus, so narrow is the measured-safe default there. A parquet
+    * count on a ~16 B/item index is metadata-only — one cheap job at
+    * stream start, never re-evaluated mid-stream (layout must be
+    * stable across micro-batches; a dialed restart re-resolves).
+    */
+  def streamPhashBandLayout(spark: org.apache.spark.sql.SparkSession,
+      indexDir: Option[String] = None): (Int, Int) =
+    spark.conf.getOption("spark.graft.media.widePhashBands") match {
+      case Some(v) => if (v.toBoolean) WideLayout else NarrowLayout
+      case None =>
+        indexDir.orElse(
+            spark.conf.getOption("spark.graft.media.phashStoreDir")) match {
+          case Some(dir) =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/phash")
+            val fs = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) phashBandLayout(spark,
+              loadPhashIndex(spark, dir).count())
+            else {
+              // a store dir configured but not yet built (stream
+              // started before the first backfill): cold start —
+              // resolve as an empty corpus, observably
+              phashBandLayout(spark, 0L)
+            }
+          case None => phashBandLayout(spark)
+        }
+    }
+
   /** Candidate pairs at Hamming distance ≤ MaxHamming are duplicates.
     * Measured on the planted transforms (MediaDedupSpec): JPEG
     * re-encode ≤ 2 bits, 2× upscale ≤ 2, brightness +16 ≤ 2 — while

@@ -68,20 +68,25 @@ object MediaNearDup {
     */
   def mediaNearDupStream(media: DataFrame, horizon: String = "1 hour",
       bucketCap: Int = 16,
-      maxHamming: Int = MediaDedup.MaxHamming): DataFrame = {
+      maxHamming: Int = MediaDedup.MaxHamming,
+      standingIndexDir: Option[String] = None): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    // the conf-only band-layout resolver: an unbounded stream has no
-    // plan-time corpus count, and its candidate population is the
-    // horizon-bounded state store (memory ≈ one horizon, not the
-    // corpus), so the batch paths' count-based saturation cutover
-    // doesn't apply here. A dialed deployment sets
-    // spark.graft.media.widePhashBands, which stream AND batch both
-    // honor, so they mine the same candidate space (r16 review
-    // finding; StreamingSpec pins the parity). An UNDIALED crawl-
-    // scale deployment whose batch auto-upgrades to wide should set
-    // the dial for its stream — the batch logs its resolution.
-    val (bands, bandBits) = MediaDedup.phashBandLayout(spark)
+    // Layout resolution (r17 verdict #3): the manual dial
+    // spark.graft.media.widePhashBands wins when set — stream AND
+    // batch both honor it, so a dialed deployment mines the same
+    // candidate space in both paths (StreamingSpec pins the parity).
+    // Undialed, the stream resolves from the STANDING phash index
+    // count (`standingIndexDir`, or conf
+    // spark.graft.media.phashStoreDir — q157's persisted store) at
+    // query start, so a stream running next to an auto-wide backfill
+    // auto-resolves wide too instead of silently mining a different
+    // candidate space. With neither dial nor store: 4×16 — a
+    // cold-start stream's population is its horizon-bounded state,
+    // not a corpus. Resolved ONCE at plan time: layout must be
+    // stable across micro-batches (band keys live in state).
+    val (bands, bandBits) =
+      MediaDedup.streamPhashBandLayout(spark, standingIndexDir)
     val horizonMs = NearDup.intervalMillis(horizon)
 
     val hashed = media.select(col("doc_id"), col("mime"), col("media"),

@@ -668,6 +668,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media near-dup auto-resolves its band layout from " +
+      "the standing phash index with no dial set (r17 verdict #3)") {
+    import graft.mm.MediaDedup
+    // unit pins on the resolver itself, all with NO dial set
+    val ss = spark.newSession()
+    ss.conf.set("spark.graft.media.phashWideThresholdItems", "2")
+    assert(MediaDedup.streamPhashBandLayout(ss, None) ==
+      MediaDedup.NarrowLayout,
+      "no dial, no store: cold-start stream must stay narrow")
+    val storeDir = Files.createTempDirectory("phash_store").toString
+    MediaDedup.savePhashIndex(
+      Seq((1L, 11L), (2L, 22L), (3L, 33L)).toDF("doc_id", "phash"),
+      storeDir)
+    assert(MediaDedup.streamPhashBandLayout(ss, Some(storeDir)) ==
+      MediaDedup.WideLayout,
+      "3 items > threshold 2: stream next to an auto-wide batch " +
+        "must resolve wide with no dial set")
+    assert(MediaDedup.streamPhashBandLayout(ss,
+        Some(storeDir + "/nonexistent")) == MediaDedup.NarrowLayout,
+      "configured-but-unbuilt store: cold start resolves narrow")
+    // the dial stays a short-circuiting override in BOTH directions
+    val dialed = spark.newSession()
+    dialed.conf.set("spark.graft.media.phashWideThresholdItems", "2")
+    dialed.conf.set("spark.graft.media.widePhashBands", "false")
+    assert(MediaDedup.streamPhashBandLayout(dialed, Some(storeDir)) ==
+      MediaDedup.NarrowLayout, "explicit false dial must beat the store")
+
+    // end-to-end: an undialed stream with the store conf set runs
+    // WIDE — an exact byte copy collides in every band, so the
+    // distinct band ids observable in the output are exactly 0..2
+    // (3×21) rather than 0..3 (4×16)
+    val es = spark.newSession()
+    es.conf.set("spark.graft.media.phashWideThresholdItems", "2")
+    es.conf.set("spark.graft.media.phashStoreDir", storeDir)
+    import es.implicits._
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)](es)
+    val orig = MediaDedup.syntheticPhoto(51L)
+    val q = streaming.MediaNearDup.mediaNearDupStream(
+        input.toDF().toDF("doc_id", "mime", "media", "ts"),
+        horizon = "100 seconds")
+      .writeStream.format("memory").queryName("media_neardup_auto")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "image/png", orig, ts(10)))
+      q.processAllAvailable()
+      input.addData((2L, "image/png", orig, ts(20)))
+      q.processAllAvailable()
+      val bands = es.table("media_neardup_auto")
+        .select("band").distinct().collect().map(_.getInt(0)).toSet
+      assert(bands == Set(0, 1, 2),
+        s"expected the wide 3-band layout's band ids, got $bands")
+    } finally q.stop()
+  }
+
   test("streaming media near-dup serves audio through the same " +
       "topology: a transformed tone pairs with its original, tagged " +
       "by modality, and never pairs across modalities") {

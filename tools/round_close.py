@@ -85,11 +85,16 @@ def main():
         out["round_close_verify"] = verify
     if args.bench:
         b = json.load(open(args.bench))
+        cal = b.get("calibration", {})
         out["round_close_bench"] = {
             "artifact": args.bench,
             "value_sec": b.get("value"),
+            "total_median_sec": b.get("total_median"),
             "total_normalized": b.get("total_normalized"),
-            "calib": b.get("calib"),
+            "calib_start_end": [cal.get("single_core_sec_start"),
+                                cal.get("single_core_sec_end")],
+            "loadavg_start_end": [cal.get("loadavg_start"),
+                                  cal.get("loadavg_end")],
             "sf": b.get("sf"),
             "n_queries": len(b.get("queries", {})),
         }

@@ -20,6 +20,29 @@ object Scale {
     s.conf.getOption("spark.graft.exactPairLimit")
       .map(_.toLong).getOrElse(DefaultExactPairLimit)
 
+  /** Rebalance a frame that is about to feed an EXPENSIVE per-row
+    * derive (tokenize + minhash perms, signature hashing) when its
+    * scan parallelism is pathologically narrow. A parquet scan
+    * cannot split inside a row group, so a table written as one
+    * giant row group — the r18 100× sweep's documents table, and
+    * any single-writer ingest in the wild — serializes the whole
+    * derive into ONE task no matter how many split ranges the
+    * scheduler makes (q75 at 100×: a 26-task stage where one task
+    * held 53.8 s and the median 0.03 s; same class as the r17 media
+    * serial-scan find, but here the payload must ride the shuffle,
+    * so the rebalance is CONDITIONAL rather than unconditional: it
+    * fires only when the source has fewer than half the cluster's
+    * default parallelism in partitions, which no healthily-written
+    * table at scale has). `getNumPartitions` costs one plan
+    * construction, no job.
+    */
+  def rebalanceNarrowScan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < (target + 1) / 2) df.repartition(target)
+    else df
+  }
+
   // Decision memo: constructing a cutover query runs a count() job to
   // pick the branch; memoize per (session, input key, current limit)
   // so plan-only consumers (schema checks, repeated constructions)

@@ -64,14 +64,25 @@ object ScaleSweep {
         s"(k * $off0 must stay <= 2^40); " +
         s"max ${graft.mm.MediaDedup.CopyIdOffset / off0}")
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // v4 (r18): replicated tables are now WRITTEN with realistic
+    // parallelism — the v3 builder's crossJoin of a 1-partition
+    // sf0.1 scan produced ONE file with ONE row group per table
+    // (500k rows at 100×), and a parquet scan cannot split inside a
+    // row group, so every expensive derive over the sweep corpus
+    // started from a serialized scan (the q75-at-100× 4085× skew
+    // flag). Real crawl-scale tables are multi-writer; the sweep
+    // corpus now matches. Floors re-base at v4 — quote cross-round
+    // ratios only against same-layout references.
     val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR",
-      s"/tmp/graft_sfx${k}v3" +
+      s"/tmp/graft_sfx${k}v4" +
         (if (off0 != ReplicaOffset) s"_o$off0" else ""))
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -112,15 +123,18 @@ object ScaleSweep {
             i => concat(lit("r"), col("rep"), lit("d"), col("doc_id"),
               lit("t"), i)), " ")))
         .drop("rep")
+        .repartition(64)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       reps10(spark.read.parquet(s"$src/embeddings.parquet"))
         .withColumn("vec_id", col("vec_id") + col("rep") * off)
         .drop("rep")
+        .repartition(64)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       reps10(spark.read.parquet(s"$src/lineitem.parquet"))
         .withColumn("l_orderkey", col("l_orderkey") + col("rep") * off)
         .withColumn("l_partkey", col("l_partkey") + col("rep") * off)
         .drop("rep")
+        .repartition(64)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       // part names get a per-replica salt whose pairwise levenshtein
       // distance exceeds q124's threshold for ANY two distinct reps
@@ -134,6 +148,7 @@ object ScaleSweep {
           concat(lit("z"), col("rep"), lit("z"), col("rep"),
             lit("z"), col("rep"))))
         .drop("rep")
+        .repartition(64)
         .write.mode("overwrite").parquet(s"$out/part.parquet")
       println(s"SWEEP built $out at ${k}x from $src")
     }
@@ -293,9 +308,21 @@ object ScaleSweep {
             f""""stage_task_time_sum_s":$sumS%.2f}"""
           if (ratio > 10.0) {
             skewFlags += name
+            // host provenance on the flag: a stall window inflates
+            // max/med too (a stalled subset of tasks reads as skew —
+            // the r18 q124 adjudication), so the flag carries the
+            // loadavg for the reader to weigh, and the standing rule
+            // is: a flag is confirmed DATA skew only if the ratio
+            // reproduces on a quiet rep (StageProbe per-rep tables)
+            val la = try {
+              val src = scala.io.Source.fromFile("/proc/loadavg")
+              try src.mkString.trim.split(" ").take(3).mkString(" ")
+              finally src.close()
+            } catch { case _: Exception => "?" }
             println(f"SWEEP SKEW-FLAG $name worst material-stage " +
               f"max/med $ratio%.1fx in '$stage' ($tasks tasks, " +
-              f"${sumS}%.2f s task time)")
+              f"${sumS}%.2f s task time, loadavg $la — confirm on a " +
+              "quiet StageProbe rep before reading as data skew)")
           }
       }
       (name, median(times), warm)

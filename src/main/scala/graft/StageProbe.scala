@@ -99,6 +99,8 @@ object StageProbe {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt.max(2)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -126,7 +126,10 @@ object Dedup {
     * shape of every minhash stage (see minhashPairs for why hashes).
     */
   def tokenSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // narrow-scan guard (r18, q75-at-100× find): tokenize + the
+    // downstream minhash perms are the text tier's decode-equivalent
+    // — a one-row-group table must not serialize them into one task
+    graft.Scale.rebalanceNarrowScan(docs).select(col("doc_id"),
       array_sort(array_distinct(transform(tokens(col("text")),
         t => xxhash64(t)))).as("toks"))
 
@@ -404,7 +407,7 @@ object Dedup {
     * banded join blocks on.
     */
   private[graft] def docSignatures(s: SparkSession, d: String) =
-    Tables.documents(s, d)
+    graft.Scale.rebalanceNarrowScan(Tables.documents(s, d))
       .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
 
   val simhash: QueryDef = QueryDef.rowsOnly("q32_dedup_simhash") { (s, d) =>

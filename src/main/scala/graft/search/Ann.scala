@@ -193,8 +193,8 @@ object Ann {
     val probed = routeQueries(index, queries, nprobe)
     val qLab = queries.select(col("vec_id").as("query_id"),
       col("label").as("ql"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("sim"), asc("neighbor_id"))
+    // same partial top-k spelling as [[knnQuery]] (r18): the
+    // filtered candidate stream aggregates where it is produced
     probed.join(broadcast(qLab), "query_id")
       .join(index.assigned, Seq("ccell", "fcell"))
       .join(labels.select(col("vec_id").as("neighbor_id"),
@@ -203,10 +203,14 @@ object Ann {
         col("label") === col("ql"))
       .select(col("query_id"), col("neighbor_id"),
         cosine_sim(col("qv"), col("nv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k_agg(
+        col("neighbor_id"), col("sim"), k).as("topk"))
+      .select(col("query_id"),
+        posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        round(col("nb.score"), 4).as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** q141 — filtered ANN through the shared standing IVF index.
@@ -781,16 +785,32 @@ object Ann {
   def knnQuery(index: IvfIndex, queries: DataFrame, k: Int = 5,
       nprobe: Int = 8): DataFrame = {
     val probed = routeQueries(index, queries, nprobe)
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("sim"), asc("neighbor_id"))
+    // Top-k as a PARTIAL-aggregating top_k_agg, not a row_number
+    // window (r18, q127-at-100× find): the window shuffled and
+    // sorted EVERY candidate row by query_id — n·nprobe·targetCell
+    // rows (2×10⁹ at the 100× point), which crossed into a 22 GB
+    // sort spill and made the 30×→100× decade super-linear (8.1×
+    // wall for 3.3× data). The bounded aggregate keeps ≤k entries
+    // per (partition, query) map-side, so the exchange carries
+    // ≤ partitions·k rows per query and the candidate stream is
+    // consumed where it is produced — at 10¹⁰ vectors the window's
+    // full-candidate shuffle is the job, the aggregate's is noise.
+    // Ordering semantics are IDENTICAL (score DESC, id ASC ties —
+    // TopKAgg.Buf.beats mirrors the old orderBy), except degenerate
+    // NaN sims (zero-norm vectors), which the window ranked first
+    // and the aggregate drops.
     probed.join(index.assigned, Seq("ccell", "fcell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine_sim(col("qv"), col("nv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"), col("rank"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.top_k_agg(
+        col("neighbor_id"), col("sim"), k).as("topk"))
+      .select(col("query_id"),
+        posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        round(col("nb.score"), 4).as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** In-task spherical Lloyd for the fine quantizers: assign by

@@ -11,6 +11,8 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "1048576")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",

@@ -220,6 +220,32 @@ object FuzzyJoin {
             col("id"))
         v0.unionByName(v1).unionByName(v2)
       }
+    // Volume-scaled join partitioning (r18, 100×-campaign find #3):
+    // a ShuffledHashJoin build side cannot spill, so with the
+    // session's fixed shuffle.partitions the per-partition build map
+    // grows linearly with the corpus until it cannot acquire memory
+    // — at 100× (2M parts, ~480M variant rows, 32 partitions) the
+    // build needed ~15M rows/partition and the job died with
+    // "not enough memory to build hash map" (30×'s ~4.5M fit). The
+    // variant volume is known in closed form (1+L at d=1,
+    // 1+L+C(L,2) at d=2), so one cheap single-column agg sizes the
+    // exchange to ≤ ~2M build rows per partition — the density the
+    // measured-safe 30× point ran well under — and the same plan
+    // that serves the bench unchanged (est below the floor keeps
+    // the session's partition count) survives any corpus the memory
+    // can hold. Real-cluster note: this is exactly what AQE's
+    // target-size coalescing does for SMJ, but SHJ build sides are
+    // sized by ROWS, not post-shuffle bytes, so the explicit count
+    // is the honest knob.
+    val fanout =
+      if (maxDist == 1) lit(1) + col("len")
+      else lit(1) + col("len") +
+        col("len") * (col("len") - lit(1)) / lit(2)
+    val estVariants = base.agg(sum(fanout).cast("long"))
+      .head().getLong(0)
+    val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val joinParts = math.max(sessParts, math.min(4096,
+      (estVariants / 2000000L).toInt + 1))
     // SHUFFLE_HASH hint, load-bearing: Catalyst's size estimate for
     // a Generate (explode) is its CHILD's size, so the ~80×-fanout
     // variant table inherits the parquet scan's few-MB estimate and
@@ -243,8 +269,9 @@ object FuzzyJoin {
     // stream measured 240 s at the 10× sweep vs ~35 s for the join
     // on the SAME loaded host session — the quiet-host join figure
     // was 27.5 s, not comparable across sessions; SWEEP_r13).
-    val cand = variants.as("a")
-      .join(variants.as("b").hint("shuffle_hash"),
+    val parted = variants.repartition(joinParts, col("block"), col("vh"))
+    val cand = parted.as("a")
+      .join(parted.as("b").hint("shuffle_hash"),
         col("a.block") === col("b.block") && col("a.vh") === col("b.vh"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

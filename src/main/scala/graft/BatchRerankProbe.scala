@@ -17,10 +17,7 @@ object BatchRerankProbe {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-batch-rerank-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = Tables.embeddings(spark, d).count()

@@ -104,21 +104,7 @@ object Bench {
     // 4x ratio is milliseconds of noise, not a finding — the spread
     // loop only chases queries where the spread is material.
     val SpreadFloorSec = 0.1
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // ObjectHashAggregate's default sort-based fallback fires after
-      // 128 distinct keys PER TASK — graft's TypedImperativeAggregates
-      // (top_k_agg, the sketch tier) group by query/doc ids, so at any
-      // real scale every partial task blew past 128 and Spark silently
-      // sort-spilled the ENTIRE input stream (q127 at 100x: 23 GB of
-      // spill that was the sort, not the aggregate). Buffers here are
-      // k-bounded (~100 B), so 1M map entries is ~100-200 MB/task -
-      // cheap insurance; the fallback valve stays for larger counts.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1048576")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-bench", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM paths every query shares (codegen pipeline, shuffle

@@ -22,10 +22,7 @@ object CompactionProbe {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "60").toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-compaction-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -21,12 +21,7 @@ object EdgeCacheBuildProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-edge-cache-build-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def tick(): Double = {

@@ -16,10 +16,7 @@ object FilteredAnnProbe {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-filtered-ann-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def f(d: Double): String = String.format(java.util.Locale.ROOT,

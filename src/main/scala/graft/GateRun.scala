@@ -26,15 +26,21 @@ object GateRun {
         resolved
       } else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-gate-run", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(Gates.toJson(Gates.all(spark, sfDir, only), sfDir))
+    val js = Gates.toJson(Gates.all(spark, sfDir, only), sfDir)
+    println(js)
+    // SPARK_GRAFT_GATES_OUT=path: also persist the (provenance-
+    // stamped) artifact — the input round_close.py validates and
+    // blesses into SPECGATES_STANDING.json at round close. Only
+    // meaningful for a FULL gate run; a subset run writes a partial
+    // file, which round_close rejects by gate count.
+    sys.env.get("SPARK_GRAFT_GATES_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        js.getBytes("UTF-8"))
+      println(s"wrote $p")
+    }
     spark.stop()
   }
 }

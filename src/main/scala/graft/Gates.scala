@@ -649,13 +649,44 @@ object Gates {
     (coverage + collide).toDouble
   }
 
+  /** Full provenance for a gate artifact: where, when, and from what
+    * code it was measured. The r18 round closed with SPECGATES.json
+    * carrying sf0.001 values (a dev-loop gate run left it in the
+    * tree; the driver snapshot committed it) and the judge burned a
+    * session chasing a "phantom 38/40" — reproduced this round as
+    * simply the deterministic sf0.001 readings (q84 recall 0.76 and
+    * q110's fraction quantization are EXPECTED at a 600-vector /
+    * few-cluster corpus). The `_sf` stamp alone recorded the
+    * condition but nothing made it LOUD; a full provenance object
+    * (git SHA + dirty marker, cpus, timestamp) makes a stale or
+    * off-SF write detectable on sight, and round_close.py refuses to
+    * bless a standing artifact whose SHA isn't the final engine SHA.
+    */
+  private[graft] def provenance(): Seq[(String, String)] = {
+    def sh(cmd: Seq[String]): Option[String] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val sha = sh(Seq("git", "rev-parse", "HEAD")).getOrElse("unknown")
+    val dirty = sh(Seq("git", "status", "--porcelain")).exists(_.nonEmpty)
+    Seq(
+      "git_sha" -> (if (dirty) s"$sha-dirty" else sha),
+      "cpus" -> sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "written_at" -> java.time.Instant.now().toString)
+  }
+
   /** Render results as the SPECGATES.json artifact. `sf` (when
     * non-empty) is stamped as a leading `"_sf"` field: every full
     * Verify run rewrites SPECGATES.json at whatever SF it ran, and
     * before round 13 only a manual `git checkout` convention kept the
     * committed artifact at sf0.01 — the stamp makes a forgotten
     * restore self-evident instead of silently mislabeling sf0.1 gate
-    * values as the sf0.01 record.
+    * values as the sf0.01 record. A `"_provenance"` object (git SHA
+    * with a `-dirty` marker, cpus, timestamp) rides along whenever
+    * an sf is stamped — i.e. on every artifact write; the sf-less
+    * form stays bare for ad-hoc rendering.
     */
   def toJson(rs: Seq[GateResult], sf: String = ""): String = {
     def v(x: Double): String =
@@ -667,7 +698,11 @@ object Gates {
         java.lang.Double.valueOf(x))
     val sfRow =
       if (sf.isEmpty) Seq.empty
-      else Seq(s"""  "_sf": "$sf"""")
+      else {
+        val prov = provenance()
+          .map { case (k, pv) => s""""$k": "$pv"""" }.mkString(", ")
+        Seq(s"""  "_sf": "$sf"""", s"""  "_provenance": {$prov}""")
+      }
     (sfRow ++ rs.map { r =>
       s"""  "${r.query}": {"gate": "${r.gate}", "value": ${v(r.value)},""" +
         s""" "threshold": ${v(r.threshold)}, "op": "${r.op}",""" +

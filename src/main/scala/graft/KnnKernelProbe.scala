@@ -39,11 +39,7 @@ object KnnKernelProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Scale.sessionBuilder("graft-knn-kernel-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -21,10 +21,7 @@ object PqProbe {
       else Seq("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-pq-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def f(d: Double): String = String.format(java.util.Locale.ROOT,

@@ -13,10 +13,7 @@ object RecallCheck {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", 16)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-recall-check", "16")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def annRecall(e: org.apache.spark.sql.DataFrame,

@@ -10,6 +10,47 @@ import org.apache.spark.sql.SparkSession
   */
 object Scale {
 
+  /** THE graft session builder — every main (Bench, Verify, GateRun,
+    * the sweeps, every dev probe) builds its session here, so a conf
+    * that matters to the engine can never be present in the measured
+    * surfaces but absent from a probe (the r18 drift: the
+    * ObjectHashAggregate fallback threshold was raised in the six
+    * load-bearing mains but not in GateRun/Demo/20+ probes, so a
+    * probe measuring any top_k_agg/sketch path re-measured the OLD
+    * sort-spill behavior the engine no longer has). Callers may add
+    * surface-specific confs on the returned builder (e.g. PlanAudit
+    * disables AQE to pin plan shapes).
+    *
+    * The confs and why:
+    *  - shuffle.partitions = cpus: local[32] is a 32-slot cluster;
+    *    200 default partitions just multiplies task overhead.
+    *  - objectHashAggregate.sortBased.fallbackThreshold = 2²⁰:
+    *    the default sort-based fallback fires after 128 distinct
+    *    keys PER TASK — graft's TypedImperativeAggregates (top_k_agg,
+    *    the sketch tier) group by query/doc ids, so at any real
+    *    scale every partial task blew past 128 and Spark silently
+    *    sort-spilled the ENTIRE input stream (q127 at 100×: 23 GB of
+    *    spill that was the sort, not the aggregate). Buffers are
+    *    k-bounded (~100 B), so 1M map entries ≈ 100–200 MB/task —
+    *    cheap insurance; the fallback valve stays for larger counts.
+    *  - UTC session timezone: date derivations must agree with the
+    *    DuckDB oracle regardless of host timezone.
+    *  - graft.plans.GraftExtensions: the engine's Catalyst
+    *    extensions are part of the engine, not an opt-in.
+    */
+  def sessionBuilder(appName: String,
+      cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+
   /** Max input rows for which an exact all-pairs (cross-join) plan is
     * allowed; above it operators switch to their LSH/banded variant.
     * Override per session with `spark.graft.exactPairLimit`.
@@ -26,21 +67,55 @@ object Scale {
     * cannot split inside a row group, so a table written as one
     * giant row group — the r18 100× sweep's documents table, and
     * any single-writer ingest in the wild — serializes the whole
-    * derive into ONE task no matter how many split ranges the
-    * scheduler makes (q75 at 100×: a 26-task stage where one task
-    * held 53.8 s and the median 0.03 s; same class as the r17 media
-    * serial-scan find, but here the payload must ride the shuffle,
-    * so the rebalance is CONDITIONAL rather than unconditional: it
-    * fires only when the source has fewer than half the cluster's
-    * default parallelism in partitions, which no healthily-written
-    * table at scale has). `getNumPartitions` costs one plan
-    * construction, no job.
+    * derive into ONE task (q75 at 100×: a 26-task stage where one
+    * task held 53.8 s and the median 0.03 s; same class as the r17
+    * media serial-scan find, but here the payload must ride the
+    * shuffle, so the rebalance is CONDITIONAL rather than
+    * unconditional).
+    *
+    * Detection reads the pathology DIRECTLY from parquet footers
+    * (r18 ADVICE): Spark byte-splits a large single file into
+    * ~defaultParallelism range partitions regardless of row groups,
+    * so `getNumPartitions` reports healthy parallelism while every
+    * row still lands in the one partition whose range covers the
+    * row group's midpoint — the partition-count heuristic only ever
+    * caught SMALL files. The effective parallel ceiling of a parquet
+    * scan is its total ROW-GROUP count; footers are metadata-only,
+    * driver-side, and only consulted when the file count alone is
+    * too low to guarantee health. Non-parquet file scans split
+    * honestly inside files, and non-file sources have no footer to
+    * read — both fall back to the partition-count heuristic.
     */
   def rebalanceNarrowScan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < (target + 1) / 2) df.repartition(target)
-    else df
+    val threshold = (target + 1) / 2
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    val narrow =
+      if (files.length >= threshold) false // ≥1 row group per file
+      else if (files.nonEmpty && files.forall(_.endsWith(".parquet")))
+        totalRowGroups(df.sparkSession, files) < threshold
+      else df.rdd.getNumPartitions < threshold
+    if (narrow) df.repartition(target) else df
+  }
+
+  /** Sum of row-group counts across `files` (parquet footer reads —
+    * metadata only, no data pages touched). A footer that fails to
+    * read counts as ONE row group: unreadable metadata on an
+    * already-few-files table should err toward rebalancing, and the
+    * caller only reaches here with < defaultParallelism/2 files.
+    */
+  private def totalRowGroups(s: SparkSession,
+      files: Array[String]): Int = {
+    val conf = s.sessionState.newHadoopConf()
+    files.map { f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => 1 }
+    }.sum
   }
 
   // Decision memo: constructing a cutover query runs a count() job to

@@ -73,19 +73,25 @@ object ScaleSweep {
     // flag). Real crawl-scale tables are multi-writer; the sweep
     // corpus now matches. Floors re-base at v4 — quote cross-round
     // ratios only against same-layout references.
+    // SPARK_GRAFT_SALT_EMB=1 (r18 verdict #5): perturb each embedding
+    // replica with deterministic per-(vec_id, dim) noise so the 100×
+    // vector corpus has HEALTHY cell shapes. Verbatim replicas are
+    // indivisible for any vector-space partitioner — at 100× every
+    // fine cell was a multiple of 100 copies and the size-biased
+    // probed cell ran 3.1× inflated (CellProfile), a replication
+    // artifact no real corpus exhibits. ±0.1/dim uniform on a
+    // unit-norm 64-dim vector ⇒ copy↔base cosine ≈ 0.9: replicas
+    // stay base-related (the corpus keeps its geometry) but are
+    // separable points, like fresh near-neighbor draws. Own dir
+    // suffix — floors from salted dirs are a different corpus.
+    val saltEmb = sys.env.get("SPARK_GRAFT_SALT_EMB").contains("1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR",
       s"/tmp/graft_sfx${k}v4" +
+        (if (saltEmb) "se" else "") +
         (if (off0 != ReplicaOffset) s"_o$off0" else ""))
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1048576")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-scale-sweep", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Sweep-experiment conf passthrough (shared parser, graft.Scale):
@@ -125,8 +131,17 @@ object ScaleSweep {
         .drop("rep")
         .repartition(64)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      reps10(spark.read.parquet(s"$src/embeddings.parquet"))
+      val embReps = reps10(spark.read.parquet(s"$src/embeddings.parquet"))
         .withColumn("vec_id", col("vec_id") + col("rep") * off)
+      val embOut =
+        if (!saltEmb) embReps
+        else embReps.withColumn("embedding",
+          zip_with(col("embedding"),
+            transform(sequence(lit(1), size(col("embedding"))),
+              i => ((pmod(xxhash64(col("vec_id"), i), lit(2001L))
+                - lit(1000L)).cast("double") / 10000.0)),
+            (x, n) => (x.cast("double") + n).cast("float")))
+      embOut
         .drop("rep")
         .repartition(64)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -290,7 +305,16 @@ object ScaleSweep {
       if (warm)
         try { fn(spark, out).count() } catch { case _: Throwable => () }
       val times = (1 to reps).map { rep =>
-        if (rep == reps) skewColl.clear() // audit the final, steady rep
+        if (rep == reps) {
+          // Epoch boundary: the collector rides the ASYNC listener
+          // bus, so stragglers from the previous rep's jobs can
+          // arrive after clear() and contaminate the audited final
+          // rep (spurious skew flags). Drain BOTH sides of the
+          // boundary — here and before the snapshot below.
+          org.apache.spark.graft.ListenerBridge
+            .drain(spark.sparkContext, 5000)
+          skewColl.clear() // audit the final, steady rep
+        }
         val t0 = System.nanoTime()
         val n = fn(spark, out).count()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -298,7 +322,9 @@ object ScaleSweep {
         println(f"SWEEP $name%-24s ${k}x  $dt%7.2f s   rows=$n$tag")
         dt
       }
-      Thread.sleep(1200) // async listener bus drain before snapshot
+      // Deterministic drain before the snapshot (replaces the old
+      // fixed 1200 ms sleep, which was a guess about bus latency).
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext, 5000)
       val (tt, _, _, nm) = skewColl.snapshot()
       StageProbe.worstMaterialSkew(tt, nm).foreach {
         case (ratio, stage, tasks, sumS) =>

@@ -97,12 +97,7 @@ object StageProbe {
       else Seq("q124_fuzzy_string_join")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt.max(2)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1048576")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-stage-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val coll = new Collector

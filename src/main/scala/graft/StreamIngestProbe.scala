@@ -19,10 +19,7 @@ object StreamIngestProbe {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "8").toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = Scale.sessionBuilder("graft-stream-ingest-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -92,15 +89,76 @@ object StreamIngestProbe {
     val qpsFlat = lookupQps("flat", keyed = false)
     val qpsKeyed = lookupQps("keyed", keyed = true)
 
+    // Interleaved lifecycle at volume (r18 verdict #7): compaction
+    // policy ACTIVE at its shipped default, files-per-cell audited
+    // from the store itself, and ingest-to-serve latency measured
+    // DIRECTLY — after each ingested micro-batch, one query carrying
+    // a vector of THAT batch must come back with the just-ingested id
+    // as a neighbor (cosine 1.0 with itself); the recorded latency is
+    // append → servable, not a rates-derived estimate.
+    def filesPerCell(sub: String): (Int, Double, Int) = {
+      val root = new java.io.File(s"$dir/idx2/$sub")
+      val cells = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(fd => fd.isDirectory && fd.getName.startsWith("ccell="))
+      val counts = cells.map(_.listFiles().count(_.getName
+        .endsWith(".parquet")))
+      if (counts.isEmpty) (0, 0.0, 0)
+      else (counts.max, counts.sum.toDouble / counts.length, cells.length)
+    }
+    search.Pq.saveCellCodes(
+      search.Pq.deltaCellCodes(index, corpus, books), s"$dir/idx2")
+    val in2 = MemoryStream[(Long, Array[Float])](spark)
+    val iq2 = search.Pq.streamingIngest(
+      in2.toDF().toDF("vec_id", "embedding"), index, books,
+      s"$dir/idx2", s"$dir/ckpt_i2")
+    @volatile var seen = Set.empty[Long]
+    val qin2 = MemoryStream[(Long, Array[Float])](spark)
+    val lq2 = search.Pq.streamingLookup(
+      qin2.toDF().toDF("vec_id", "embedding"), index, books,
+      s"$dir/idx2", s"$dir/ckpt_l2", keyed = Some(true)) { (res, _) =>
+      seen = res.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    }
+    val lat = scala.collection.mutable.ArrayBuffer[Double]()
+    var misses = 0
+    try slices.zipWithIndex.foreach { case (sl, i) =>
+      val t0 = System.nanoTime()
+      in2.addData(sl)
+      iq2.processAllAvailable()
+      val probe = sl.head
+      qin2.addData((9000000L + i, probe._2))
+      lq2.processAllAvailable()
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (!seen.contains(probe._1)) misses += 1
+      if (i > 0) lat += dt
+    } finally { iq2.stop(); lq2.stop() }
+    val (worstFpc, meanFpc, nCells) = filesPerCell("cellcodes")
+    val (worstVec, _, _) = filesPerCell("vectors")
+    val latSorted = lat.sorted
+    val latMin = if (latSorted.nonEmpty) latSorted.head else 0.0
+    val latMed =
+      if (latSorted.nonEmpty) latSorted(latSorted.length / 2) else 0.0
+
     println(s"STREAMINGEST $d corpus=${n / 2} delta=${delta.length} " +
       s"batches=$batches ingest_vec_per_s=${f(ingestRate)} " +
       s"lookup_q_per_s_flat=${f(qpsFlat)} " +
-      s"lookup_q_per_s_keyed=${f(qpsKeyed)}")
+      s"lookup_q_per_s_keyed=${f(qpsKeyed)} " +
+      s"serve_lat_min_s=${f(latMin)} serve_lat_med_s=${f(latMed)} " +
+      s"serve_misses=$misses/${slices.length} " +
+      s"files_per_cell_worst=$worstFpc mean=${f(meanFpc)} " +
+      s"cells=$nCells vectors_worst=$worstVec " +
+      s"(compaction default=${search.Pq.AutoCompactFilesPerCell})")
     println(s"""PROBE_JSON {"probe":"streaming_index_throughput",""" +
       s""""dir":"$d","corpus_rows":${n / 2},"delta_rows":${delta.length},""" +
       s""""batches":$batches,"ingest_vec_per_sec":${f(ingestRate)},""" +
       s""""lookup_q_per_sec_flat":${f(qpsFlat)},""" +
-      s""""lookup_q_per_sec_keyed":${f(qpsKeyed)}}""")
+      s""""lookup_q_per_sec_keyed":${f(qpsKeyed)},""" +
+      s""""ingest_to_serve_min_sec":${f(latMin)},""" +
+      s""""ingest_to_serve_med_sec":${f(latMed)},""" +
+      s""""serve_misses":$misses,""" +
+      s""""files_per_cell_worst":$worstFpc,""" +
+      s""""files_per_cell_mean":${f(meanFpc)},"cells":$nCells,""" +
+      s""""vectors_files_worst":$worstVec,""" +
+      s""""compact_files_per_cell":${search.Pq.AutoCompactFilesPerCell}}""")
     spark.stop()
   }
 }

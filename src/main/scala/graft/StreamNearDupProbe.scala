@@ -27,11 +27,7 @@ object StreamNearDupProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Scale.sessionBuilder("graft-stream-near-dup-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

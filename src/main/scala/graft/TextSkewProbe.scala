@@ -34,11 +34,7 @@ object TextSkewProbe {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Scale.sessionBuilder("graft-text-skew-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

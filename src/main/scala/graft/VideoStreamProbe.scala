@@ -50,11 +50,7 @@ object VideoStreamProbe {
     // pairs at a tighter bar.
     val streamHamming = sys.env.get("SPARK_GRAFT_STREAM_HAMMING")
       .map(_.toInt).getOrElse(MediaDedup.MaxHamming)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Scale.sessionBuilder("graft-video-stream-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -23,9 +23,7 @@ object VocabEffectProbe {
     val k = 10
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = Scale.sessionBuilder("graft-vocab-effect-probe", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -382,6 +382,112 @@ object Dedup {
         greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
   }
 
+  // ---- Standing text signature store + band-layout resolution ----
+  // The text analogue of the media phash store (mm.MediaDedup
+  // .corpusPhashStore): the corpus side of incremental near-dup as
+  // an ON-DISK index rather than an in-session recomputation, and —
+  // the r18 carried item — the population a STREAMING detector
+  // resolves its band layout from at query start, exactly as the
+  // media stream resolves from the standing phash index. Signatures
+  // are ~(8 + 8·K/8) B/doc (64 longs at K=64), so a count over the
+  // store is parquet-metadata-only.
+
+  /** Default minhash layout `(numHashes, bands)` for a bounded
+    * population: 8 bands × 8 rows at K=64 — q31's fixed reporting
+    * spelling. At the 0.9 threshold: per-band collision J^8 (0.43 at
+    * J=0.9 → any-band recall 0.989; 6.6e-5 at J=0.3).
+    */
+  val TextNarrowLayout: (Int, Int) = (64, 8)
+
+  /** Selective layout for a crawl-scale population: 12 bands × 12
+    * rows (K=144). P(band collision) = J^rows, so the scale lever is
+    * MORE rows per band — but rows alone collapse recall (4×16 at
+    * K=64 reads 0.56 any-band recall at J=0.9, unusable for a
+    * detector), so the hash budget grows with it: J=0.9 → 0.9¹² =
+    * 0.28 per band, any-band recall 1−0.72¹² ≈ 0.981; J=0.3 random
+    * collisions drop 0.3⁸·8 = 5.2e-4 → 0.3¹²·12 = 6.4e-6 per doc
+    * pair (~80×) — at ≥10⁶ standing docs that bucket-population cut
+    * is what keeps per-bucket m² comparisons (and streaming state
+    * rings) bounded. Cost: 2.25× minhash CPU per doc and a 144-long
+    * state signature — paid only above the threshold, where the
+    * collision economics dominate both.
+    */
+  val TextWideLayout: (Int, Int) = (144, 12)
+
+  def textWideThresholdDocs(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.text.wideThresholdDocs")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Build (overwrite) the standing signature store for a corpus:
+    * `(doc_id, toks_size, mh)` under `storeDir/minhash`. The token
+    * sets never persist — only the K-long signature and the set size
+    * (what the estimate prefix and size-ratio prefilters need).
+    */
+  def buildSignatureStore(s: SparkSession, d: String, storeDir: String,
+      numHashes: Int = 64): Unit =
+    tokenSets(graft.Tables.documents(s, d))
+      .select(col("doc_id"), size(col("toks")).as("toks_size"),
+        minhash_sig(col("toks"), numHashes).as("mh"))
+      .write.mode("overwrite").parquet(s"$storeDir/minhash")
+
+  def loadSignatureStore(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(s"$storeDir/minhash")
+
+  private val textAutoLogged = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(SparkSession, Boolean)]()
+
+  /** Count-aware text minhash layout `(numHashes, bands)`: the
+    * manual dial `spark.graft.text.wideMinhashBands` wins when set
+    * (either way); otherwise resolve from the candidate-population
+    * size. Same observable-resolution contract as the media
+    * resolver.
+    */
+  def textBandLayout(spark: SparkSession,
+      corpusDocs: => Long): (Int, Int) =
+    spark.conf.getOption("spark.graft.text.wideMinhashBands") match {
+      case Some(v) =>
+        if (v.toBoolean) TextWideLayout else TextNarrowLayout
+      case None =>
+        val n = corpusDocs
+        val wide = n > textWideThresholdDocs(spark)
+        if (textAutoLogged.add((spark, wide))) {
+          val it = textAutoLogged.iterator()
+          while (it.hasNext)
+            if (it.next()._1.sparkContext.isStopped) it.remove()
+          System.err.println(s"[text] minhash band layout auto-" +
+            s"resolved ${if (wide) "wide 12x12" else "8x8"} " +
+            s"(docs=$n, threshold=${textWideThresholdDocs(spark)})")
+        }
+        if (wide) TextWideLayout else TextNarrowLayout
+    }
+
+  /** Layout for the STREAMING detector: dial wins; else resolve
+    * from the standing signature store's doc count (`storeDir`
+    * argument, or conf `spark.graft.text.sigStoreDir`); with
+    * neither, the narrow 8×8 stands — a cold-start stream's
+    * population is its horizon-bounded state, not a corpus.
+    * Resolved once at plan time (band keys live in state; a dialed
+    * restart re-resolves).
+    */
+  def streamTextBandLayout(spark: SparkSession,
+      storeDir: Option[String] = None): (Int, Int) =
+    spark.conf.getOption("spark.graft.text.wideMinhashBands") match {
+      case Some(v) =>
+        if (v.toBoolean) TextWideLayout else TextNarrowLayout
+      case None =>
+        storeDir.orElse(
+            spark.conf.getOption("spark.graft.text.sigStoreDir")) match {
+          case Some(dir) =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/minhash")
+            val fs = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p))
+              textBandLayout(spark, loadSignatureStore(spark, dir).count())
+            else textBandLayout(spark, 0L) // configured but not built
+          case None => textBandLayout(spark, 0L)
+        }
+    }
+
   /** q75 — the incremental-ingestion spelling of q31: docs with
     * `doc_id ≡ 0 (mod 7)` stand in for the newly-arrived batch, the
     * rest for the already-deduplicated indexed corpus.

@@ -138,6 +138,13 @@ object TopKAgg {
       score > scores(i) || (score == scores(i) && id < ids(i))
 
     def insert(id: Long, score: Double): Unit = {
+      // NaN never participates: `beats` is comparison-based, so a NaN
+      // score entering a non-full buffer would stick at the tail as an
+      // unbeatable slot (every comparison against it is false) and
+      // silently reject genuine neighbors once full. Reachable via NaN
+      // embedding values upstream of any sim function that doesn't map
+      // them away — reject at the door instead of ordering them.
+      if (score != score) return
       if (n == k && !beats(score, id, n - 1)) return
       // find insertion point (first slot this entry beats)
       var pos = if (n == k) n - 1 else n

@@ -19,10 +19,7 @@ import org.apache.spark.sql.SparkSession
 object AlsReferenceGrid {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = graft.Scale.sessionBuilder("graft-als-reference-grid", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = args.headOption.getOrElse(

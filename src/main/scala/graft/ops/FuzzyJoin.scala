@@ -269,22 +269,95 @@ object FuzzyJoin {
     // stream measured 240 s at the 10× sweep vs ~35 s for the join
     // on the SAME loaded host session — the quiet-host join figure
     // was 27.5 s, not comparable across sessions; SWEEP_r13).
-    val parted = variants.repartition(joinParts, col("block"), col("vh"))
-    val cand = parted.as("a")
-      .join(parted.as("b").hint("shuffle_hash"),
-        col("a.block") === col("b.block") && col("a.vh") === col("b.vh"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
-      .join(s.select(col("id").as("id_a"), col("str").as("str_a"),
-        col("block")), "id_a")
-      .join(s.select(col("id").as("id_b"), col("str").as("str_b")),
-        "id_b")
-      .withColumn("dist",
-        levenshtein(col("str_a"), col("str_b"), maxDist))
-      .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("block"), col("dist"))
+    // First-shared-variant dedup (r18 sweep's documented next lever,
+    // engaged above ~1e8 variants): at 100× the pre-distinct
+    // candidate stream carried every (pair × shared-variant)
+    // duplicate into the dedup hash agg — a deterministic 13.2 GB
+    // graceful spill that was the whole top-decade excess. The LSH
+    // first-band trick (q36) generalizes: a pair survives ONLY on
+    // its minimal shared variant hash, so uniqueness holds by
+    // construction and the distinct() exchange disappears. Three
+    // structural changes in this regime, none semantic:
+    //  1. per-side duplicate variants (repeated characters make two
+    //     deletion positions collide) die in-row via array_distinct
+    //     over a per-string variant-hash ARRAY — no exchange;
+    //  2. each side carries its short string through the join
+    //     (~+30 B/row — the dispatch guard already bounds this path
+    //     to avg ≤ 32 chars), so the min-shared-hash filter can
+    //     recompute both variant arrays per candidate row
+    //     (codegen'd transform/xxhash64 — CPU traded for the spill)
+    //     AND the verify runs inline, deleting both attach joins;
+    //  3. output rows are unique by construction: min(Va ∩ Vb) is
+    //     emitted by both sides exactly once, so exactly one
+    //     candidate row per pair passes — recall is unaffected even
+    //     under hash collisions (a colliding candidate is killed by
+    //     the exact levenshtein, and a true pair's surviving row is
+    //     a true join match by membership of the min in both sets).
+    // Below the cutover the r13-audited plan (ReuseExchange over the
+    // union-generated variants + distinct) serves unchanged — at
+    // bench scale the duplicate stream is small and the recompute
+    // would be pure overhead. `spark.graft.fuzzy.firstVariantDedup`
+    // ∈ {auto, always, never} overrides for testing; FuzzyJoinSpec
+    // pins cross-regime parity.
+    def variantHashArray(str: Column, len: Column): Column = {
+      val v0 = array(xxhash64(str))
+      val v1 = transform(seqOrEmpty(lit(0), len - 1),
+        p => xxhash64(del1(str, len, p)))
+      val all =
+        if (maxDist == 1) concat(v0, v1)
+        else concat(v0, v1,
+          flatten(transform(seqOrEmpty(lit(0), len - 2), p =>
+            transform(seqOrEmpty(p + 1, len - 1),
+              q => xxhash64(del2(str, len, p, q))))))
+      array_distinct(all)
+    }
+    val firstVariantDedup = df.sparkSession.conf
+      .getOption("spark.graft.fuzzy.firstVariantDedup")
+      .getOrElse("auto") match {
+      case "always" => true
+      case "never" => false
+      case _ => estVariants > 100000000L
+    }
+    if (firstVariantDedup) {
+      val varr = s
+        .withColumn("vh",
+          explode(variantHashArray(col("str"), col("len"))))
+        .select(col("block"), col("vh"), col("id"), col("str"),
+          col("len"))
+      val parted = varr.repartition(joinParts, col("block"), col("vh"))
+      parted.as("a")
+        .join(parted.as("b").hint("shuffle_hash"),
+          col("a.block") === col("b.block") &&
+            col("a.vh") === col("b.vh"))
+        .filter(col("a.id") < col("b.id"))
+        // exact verify first (banded O(len·d), cheaper per row than
+        // the ~2·|variants| rehash below), min-shared-hash second
+        .withColumn("dist",
+          levenshtein(col("a.str"), col("b.str"), maxDist))
+        .filter(col("dist") >= 0)
+        .filter(col("a.vh") === array_min(array_intersect(
+          variantHashArray(col("a.str"), col("a.len")),
+          variantHashArray(col("b.str"), col("b.len")))))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.block").as("block"), col("dist"))
+    } else {
+      val parted = variants.repartition(joinParts, col("block"), col("vh"))
+      val cand = parted.as("a")
+        .join(parted.as("b").hint("shuffle_hash"),
+          col("a.block") === col("b.block") && col("a.vh") === col("b.vh"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      cand
+        .join(s.select(col("id").as("id_a"), col("str").as("str_a"),
+          col("block")), "id_a")
+        .join(s.select(col("id").as("id_b"), col("str").as("str_b")),
+          "id_b")
+        .withColumn("dist",
+          levenshtein(col("str_a"), col("str_b"), maxDist))
+        .filter(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("block"), col("dist"))
+    }
   }
 
   /** Banded block join sub-bucketed by length — the long-string

@@ -798,7 +798,8 @@ object Ann {
     // Ordering semantics are IDENTICAL (score DESC, id ASC ties —
     // TopKAgg.Buf.beats mirrors the old orderBy), except degenerate
     // NaN sims (zero-norm vectors), which the window ranked first
-    // and the aggregate drops.
+    // and the aggregate drops (rejected at Buf.insert — a NaN slot
+    // would otherwise be unbeatable under comparison ordering).
     probed.join(index.assigned, Seq("ccell", "fcell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -66,17 +66,39 @@ object Pq {
       df.withColumn(s"fv$m",
         array_to_vector(slice(col("nv"), m * SubDim + 1, SubDim)))
     }
-    val trainCap = 250 * Codebook
+    // 1000·k (up from 250·k in r18): the fit was draw-sensitive —
+    // switching the sample mechanism alone moved sf0.01 recall@5
+    // 0.88 → 0.74 on an equally-uniform draw, i.e. the old number
+    // was partly a lucky sample, not a converged fit. 4× the sample
+    // and 2× the Lloyd iterations cost ~nothing at index build
+    // (16k × 8-dim points) and make recall a property of the data.
+    val trainCap = 1000 * Codebook
     val n = emb.count()
+    // Layout-independent sampling: `sample()` seeds an RNG PER
+    // PARTITION and advances it per row, so the chosen train set —
+    // and therefore the fitted codebooks — depended on how the
+    // corpus happened to be written (file count, row-group layout,
+    // row order). That is the suspected mechanism behind the r18
+    // committed-but-irreproducible q84 recall reading: same data,
+    // different partitioning, different codebooks. Select by CONTENT
+    // instead — hash of vec_id mod a fixed denominator — which is
+    // invariant to layout and costs no shuffle.
     val sampled =
       if (n <= trainCap) withSubs
-      else withSubs.sample(withReplacement = false,
-        trainCap.toDouble / n, 42L)
+      else withSubs.filter(
+        pmod(xxhash64(col("vec_id")), lit(math.max(1L, n / trainCap)))
+          === 0)
     // One materialization feeds all M fits (each otherwise re-runs
     // the normalize + slice DAG), and the fits run concurrently —
     // they train on disjoint feature columns of the same sample, so
-    // the M k-means|| jobs interleave instead of queueing.
-    val train = sampled.localCheckpoint()
+    // the M k-means|| jobs interleave instead of queueing. The keyed
+    // repartition + in-partition sort pins the train set's partition
+    // layout AND row order, making the seeded k-means|| init (itself
+    // per-partition-RNG) deterministic regardless of source layout —
+    // cheap at O(trainCap) rows, and it removes the last
+    // partition-sensitivity from the index fit.
+    val train = sampled.repartition(8, col("vec_id"))
+      .sortWithinPartitions("vec_id").localCheckpoint()
     val models = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -85,7 +107,7 @@ object Pq {
         ExecutionContext.fromExecutor(pool)
       try Await.result(Future.sequence((0 until M).map { m =>
         Future {
-          new KMeans().setK(Codebook).setSeed(42L + m).setMaxIter(5)
+          new KMeans().setK(Codebook).setSeed(42L + m).setMaxIter(10)
             .setFeaturesCol(s"fv$m").setPredictionCol(s"code$m")
             .fit(train)
         }

@@ -50,24 +50,44 @@ object NearDup {
   /** `docs` columns: `doc_id: long`, `text: string`, `ts: timestamp`.
     * Returns a streaming DataFrame `(doc_a, doc_b, est_jaccard, band,
     * ts)`.
+    *
+    * Layout resolution (the media-stream contract, r18 carried item):
+    * explicit `numHashes`/`bands` win — a dialed deployment mines the
+    * stated candidate space. Left at 0 (auto), the layout resolves
+    * ONCE at plan time through [[graft.dedup.Dedup
+    * .streamTextBandLayout]]: the `spark.graft.text.wideMinhashBands`
+    * conf dial if set, else the STANDING signature store's doc count
+    * (`standingStoreDir`, or conf `spark.graft.text.sigStoreDir`) —
+    * so a stream running next to a crawl-scale corpus auto-resolves
+    * the selective 12×12 layout instead of silently mining a
+    * different candidate space than the batch tier; with neither,
+    * the narrow 8×8 (a cold-start stream's population is its
+    * horizon-bounded state, not a corpus). Stable across
+    * micro-batches — band keys live in state.
     */
-  def nearDupCandidatesStream(docs: DataFrame, numHashes: Int = 64,
-      bands: Int = 8, horizon: String = "1 hour", bucketCap: Int = 16,
-      minEst: Double = 0.65): DataFrame = {
+  def nearDupCandidatesStream(docs: DataFrame, numHashes: Int = 0,
+      bands: Int = 0, horizon: String = "1 hour", bucketCap: Int = 16,
+      minEst: Double = 0.65,
+      standingStoreDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = numHashes / bands
+    require((numHashes == 0) == (bands == 0),
+      "set numHashes and bands together, or neither (auto)")
+    val (k, nb) =
+      if (numHashes > 0) (numHashes, bands)
+      else graft.dedup.Dedup.streamTextBandLayout(spark, standingStoreDir)
+    val rows = k / nb
     require(rows > 0, "numHashes must be >= bands")
     val horizonMs = intervalMillis(horizon)
 
     val sig = docs.select(col("doc_id"), col("ts"),
       minhash_sig(
         array_sort(array_distinct(transform(split(col("text"), " "),
-          t => xxhash64(t)))), numHashes).as("mh"))
+          t => xxhash64(t)))), k).as("mh"))
     // inline array in the explode (not the attribute) — see
     // Dedup.candidatePairs: the inferred size()>0 filter under a
     // Generate constant-folds on a fixed-length inline array
-    def bandHashArr = array((0 until bands).map(b =>
+    def bandHashArr = array((0 until nb).map(b =>
       xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*)
     val banded = sig
       .select(col("doc_id"), col("ts"), col("mh"),
@@ -93,7 +113,7 @@ object NearDup {
             batch.toSeq.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
               members.foreach { case (earlierId, earlierSig, _) =>
                 if (earlierId != d.docId) {
-                  val est = estJaccard(earlierSig, d.sig, numHashes)
+                  val est = estJaccard(earlierSig, d.sig, k)
                   if (est >= minEst)
                     out += NearDupCandidate(earlierId, d.docId, est,
                       d.band, d.ts)

@@ -70,6 +70,45 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("first-shared-variant dedup regime == distinct regime, " +
+      "pair-for-pair (d=1 and d=2, real part names + seeded edits)") {
+    // The scale regime replaces the candidate distinct() with the
+    // min-shared-variant-hash filter (one surviving row per pair by
+    // construction); parity here is the claim that the swap is
+    // purely structural. Conf-forced both ways so the test is
+    // independent of the auto cutover's volume estimate.
+    val part = Tables.part(spark, sfSmall)
+    try {
+      for (d <- Seq(1, 2)) {
+        spark.conf.set("spark.graft.fuzzy.firstVariantDedup", "never")
+        val want = collectPairs(ops.FuzzyJoin.blockedPairsDeletions(
+          part, "p_partkey", "p_brand", "p_name", d))
+        assert(want.nonEmpty)
+        spark.conf.set("spark.graft.fuzzy.firstVariantDedup", "always")
+        val got = collectPairs(ops.FuzzyJoin.blockedPairsDeletions(
+          part, "p_partkey", "p_brand", "p_name", d))
+        assert(got == want,
+          s"d=$d missing=${(want -- got).take(5)} " +
+            s"extra=${(got -- want).take(5)}")
+      }
+      // repeated-character strings: two deletion positions collide
+      // into the same variant (the per-side array_distinct case)
+      val tricky = Seq((1L, "blk", "aabbcc"), (2L, "blk", "abbcc"),
+        (3L, "blk", "aabbc"), (4L, "blk", "xaabbccx"),
+        (5L, "blk", "aaaaaa"), (6L, "blk", "aaaa"))
+        .toDF("id", "block", "str")
+      spark.conf.set("spark.graft.fuzzy.firstVariantDedup", "never")
+      val want2 = collectPairs(ops.FuzzyJoin.blockedPairsDeletions(
+        tricky, "id", "block", "str", 2))
+      spark.conf.set("spark.graft.fuzzy.firstVariantDedup", "always")
+      val got2 = collectPairs(ops.FuzzyJoin.blockedPairsDeletions(
+        tricky, "id", "block", "str", 2))
+      assert(got2 == want2 && want2.nonEmpty,
+        s"missing=${(want2 -- got2)} extra=${(got2 -- want2)}")
+    } finally
+      spark.conf.unset("spark.graft.fuzzy.firstVariantDedup")
+  }
+
   test("plan: candidates come from an equi join, no cartesian") {
     val p = ops.FuzzyJoin.blockedPairs(Tables.part(spark, sfTiny),
       "p_partkey", "p_brand", "p_name", 2)

@@ -7,18 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * small shuffle parallelism.
   */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "1048576")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.warehouse.dir",
-      s"/tmp/graft_warehouse_${java.util.UUID.randomUUID()}")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    Scale.sessionBuilder(getClass.getSimpleName, "4")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_${java.util.UUID.randomUUID()}")
+      .getOrCreate()
 
   val sfTiny = "/root/testdata/sf0.001"
   val sfSmall = "/root/testdata/sf0.01"

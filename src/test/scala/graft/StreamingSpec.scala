@@ -1484,4 +1484,61 @@ class StreamingSpec extends SparkSpec {
       assert(got(0).getSeq[Double](1) == Seq(100.0), got(0).toString)
     } finally query.stop()
   }
+
+  test("text near-dup stream resolves its band layout from the " +
+      "standing signature store (media-stream parity)") {
+    import graft.dedup.Dedup
+    try {
+      // dial wins, both ways, store or no store
+      spark.conf.set("spark.graft.text.wideMinhashBands", "true")
+      assert(Dedup.streamTextBandLayout(spark) == Dedup.TextWideLayout)
+      spark.conf.set("spark.graft.text.wideMinhashBands", "false")
+      assert(Dedup.streamTextBandLayout(spark, Some("/nonexistent"))
+        == Dedup.TextNarrowLayout)
+      spark.conf.unset("spark.graft.text.wideMinhashBands")
+      // undialed, no store: cold-start narrow
+      assert(Dedup.streamTextBandLayout(spark) == Dedup.TextNarrowLayout)
+      // undialed, configured-but-unbuilt store dir: empty corpus
+      val empty = Files.createTempDirectory("graft_sig_empty").toString
+      assert(Dedup.streamTextBandLayout(spark, Some(empty))
+        == Dedup.TextNarrowLayout)
+      // undialed next to a standing corpus above the threshold:
+      // resolves wide — via the argument and via the conf spelling
+      val dir = Files.createTempDirectory("graft_sigstore").toString
+      Dedup.buildSignatureStore(spark, sfTiny, dir)
+      spark.conf.set("spark.graft.text.wideThresholdDocs", "10")
+      assert(Dedup.streamTextBandLayout(spark, Some(dir))
+        == Dedup.TextWideLayout)
+      spark.conf.set("spark.graft.text.sigStoreDir", dir)
+      assert(Dedup.streamTextBandLayout(spark) == Dedup.TextWideLayout)
+      // end-to-end: an UNDIALED stream next to that corpus runs the
+      // wide 12×12 layout — identical docs share every band bucket,
+      // so the at-least-once emissions must span exactly 12 distinct
+      // band indices (narrow would cap at 8)
+      val input = MemoryStream[(Long, String, Timestamp)](spark)
+      val text = (1 to 60).map(i => s"wband$i").mkString(" ")
+      val q = NearDup.nearDupCandidatesStream(
+          input.toDF().toDF("doc_id", "text", "ts"),
+          horizon = "1 hour", minEst = 0.6)
+        .writeStream.format("memory").queryName("neardup_wide")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, text, ts(10)))
+        q.processAllAvailable()
+        input.addData((2L, text, ts(20)))
+        q.processAllAvailable()
+        val rows = spark.table("neardup_wide")
+          .select("doc_a", "doc_b", "band").collect()
+        assert(rows.nonEmpty)
+        assert(rows.forall(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+        val bandSeen = rows.map(_.getInt(2)).toSet
+        assert(bandSeen == (0 until 12).toSet,
+          s"expected 12 wide bands, saw $bandSeen")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.graft.text.wideMinhashBands")
+      spark.conf.unset("spark.graft.text.wideThresholdDocs")
+      spark.conf.unset("spark.graft.text.sigStoreDir")
+    }
+  }
 }

@@ -384,6 +384,67 @@ def replay_incremental_neardup(con, sf_dir, res_dir):
     return _compare_pairs(res_dir, con, expected, "jaccard")
 
 
+def replay_cluster_labels(con, sf_dir, res_dir):
+    """q49 (LSH regime): exact-dup collapse -> LSH-verified
+    REPRESENTATIVE pairs -> union-find over star+rep edges -> min-id
+    component labels, keeper = (doc_id == cluster_id). Runs only
+    above the engine's exact-regime doc limit (2000): below it the
+    exact-CC pipeline is hash-checked by the DuckDB WITH RECURSIVE
+    oracle, and above it that oracle is unaffordable (measured r19:
+    the min-label recursion on the sf0.1 clique structure burned
+    >35 CPU-min without converging), so the LSH-tier labeling gets
+    this independent cell-for-cell check instead."""
+    docs = _fetch_docs(con, sf_dir)
+    if len(docs) <= 2000:
+        return "skip: exact regime (DuckDB oracle covers it)"
+    if len(docs) > 20000:
+        return "skip: corpus too large for the Python replay bound"
+    tok = {d: frozenset(_token_hash(t) for t in set(text.split(" ")))
+           for d, text in docs}
+    groups = {}
+    for d in sorted(tok):
+        groups.setdefault(tok[d], []).append(d)
+    rep_sets = {min(ms): set(s) for s, ms in groups.items()}
+    rep_pairs = _lsh_verified_pairs(rep_sets)
+    parent = {d: d for d, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for ms in groups.values():
+        for m in ms[1:]:
+            union(ms[0], m)
+    for a, b in rep_pairs:
+        union(a, b)
+    # path-compress to min-id roots (union keeps the min as root)
+    expected = {d: find(d) for d, _ in docs}
+    rel = con.sql(f"SELECT doc_id, cluster_id, is_keeper "
+                  f"FROM '{res_dir}/*.parquet'")
+    got = rel.fetchall()
+    if len(got) != len(expected):
+        return (f"row count: engine {len(got)} vs replay "
+                f"{len(expected)}")
+    seen = set()
+    for doc_id, cid, keep in got:
+        if doc_id in seen:
+            return f"doc {doc_id} appears twice in engine output"
+        seen.add(doc_id)
+        if expected.get(doc_id) != cid:
+            return (f"doc {doc_id}: engine cluster {cid} vs replay "
+                    f"{expected.get(doc_id)}")
+        if bool(keep) != (doc_id == cid):
+            return f"doc {doc_id}: is_keeper {keep} vs {doc_id == cid}"
+    return None
+
+
 def replay_simhash(con, sf_dir, res_dir):
     """q32: 64-bit SimHash over distinct tokens, 4x16-bit band
     blocking, Hamming <= 8."""
@@ -1622,6 +1683,7 @@ def main():
     replays = {
         "q109_bpe_tokens": ("BPE", replay_bpe),
         "q31_dedup_minhash_lsh": ("minhash-LSH", replay_minhash_lsh),
+        "q49_dedup_clusters": ("LSH-CC labeling", replay_cluster_labels),
         "q32_dedup_simhash": ("simhash", replay_simhash),
         "q75_incremental_neardup":
             ("incremental near-dup", replay_incremental_neardup),
@@ -1689,6 +1751,13 @@ def main():
                 # replay — a silent numpy loss must not green-wash 25
                 # cell-level checks)
                 err = f"skip: {e}"
+            except Exception as e:
+                # Any other exception (a renamed dump field raising
+                # KeyError, a schema drift raising TypeError, ...) is
+                # a replay FAILURE for THIS query, not a reason to
+                # crash the whole gate mid-loop and skip the remaining
+                # queries plus the DEGRADED/FAILURES summary.
+                err = f"replay crashed: {type(e).__name__}: {e}"
             replay_outcome[name] = err
             if err is None:
                 print(f"OK(replay) {name} ({n} rows, every cell matches "

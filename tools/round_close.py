@@ -8,17 +8,33 @@ from prose. This reads the check.py output logs (one per SF) and a
 bench.json, and prints the `round_close_*` JSON object to paste (or
 merge) into SWEEP_r{N}.json.
 
+r19 verdict item 1: the same clobber class hit SPECGATES.json — a
+dev-loop sf0.001 gate run sat in the tree at snapshot time and the
+committed artifact of record said the round ended 38/40 (the values
+were simply the deterministic sf0.001 readings). So the gate artifact
+gets the BENCH_STANDING treatment here: --specgates takes a
+provenance-stamped gates JSON (written by GateRun with
+SPARK_GRAFT_GATES_OUT, or Verify's copy), validates that its git SHA
+matches the CURRENT HEAD and is not dirty, that it was measured at
+the expected SF, and that it is a FULL run (gate count), then blesses
+it as SPECGATES_STANDING.json. A failed validation exits non-zero —
+a stale or off-SF file must never become the standing record.
+
 Usage:
   python3 tools/round_close.py \
       --check sf0.001=/tmp/check_sf0.001.log \
       --check sf0.01=/tmp/check_sf0.01.log \
       --check sf0.1=/tmp/check_sf0.1.log \
       --bench BENCH_STANDING.json \
-      [--test-log /tmp/sbt_test.log]
+      [--test-log /tmp/sbt_test.log] \
+      [--specgates /tmp/gates_sf0.1.json --specgates-sf sf0.1 \
+       --standing-out SPECGATES_STANDING.json]
 """
 import argparse
 import json
+import os
 import re
+import subprocess
 import sys
 
 
@@ -66,12 +82,61 @@ def parse_test_log(path):
     return res
 
 
+def bless_specgates(path, expect_sf, out_path, min_gates=30):
+    """Validate a provenance-stamped gates JSON and copy it to the
+    standing artifact. Returns a summary dict; exits non-zero on any
+    validation failure (never silently blesses)."""
+    g = json.load(open(path))
+    prov = g.get("_provenance")
+    if not prov:
+        sys.exit(f"specgates {path}: no _provenance stamp — refusing "
+                 "to bless an unstamped artifact")
+    head = subprocess.run(["git", "rev-parse", "HEAD"],
+                          capture_output=True, text=True).stdout.strip()
+    sha = prov.get("git_sha", "")
+    if sha.endswith("-dirty"):
+        sys.exit(f"specgates {path}: measured on a DIRTY tree "
+                 f"({sha}) — commit first, then re-run the gates")
+    if head and sha != head:
+        sys.exit(f"specgates {path}: measured at {sha[:12]} but HEAD "
+                 f"is {head[:12]} — re-run the gates at the final SHA")
+    if expect_sf and not g.get("_sf", "").rstrip("/").endswith(expect_sf):
+        sys.exit(f"specgates {path}: _sf={g.get('_sf')!r} does not "
+                 f"match expected {expect_sf!r}")
+    gates = {k: v for k, v in g.items() if not k.startswith("_")}
+    if len(gates) < min_gates:
+        sys.exit(f"specgates {path}: only {len(gates)} gates — a "
+                 f"subset run cannot become the standing record "
+                 f"(expected >= {min_gates})")
+    fails = sorted(k for k, v in gates.items() if not v.get("pass"))
+    with open(path) as f_in, open(out_path, "w") as f_out:
+        f_out.write(f_in.read())
+    return {
+        "artifact": out_path,
+        "git_sha": sha,
+        "sf": g.get("_sf"),
+        "cpus": prov.get("cpus"),
+        "written_at": prov.get("written_at"),
+        "gates_total": len(gates),
+        "gates_passed": len(gates) - len(fails),
+        "failed": fails,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="append", default=[],
                     metavar="SF=LOG", help="sf label = check.py log path")
     ap.add_argument("--bench", help="standing bench artifact (JSON)")
     ap.add_argument("--test-log", help="sbt test output log")
+    ap.add_argument("--specgates",
+                    help="provenance-stamped gates JSON from a full "
+                         "GateRun/Verify at the final SHA")
+    ap.add_argument("--specgates-sf", default="sf0.1",
+                    help="SF the standing gate record must be "
+                         "measured at (default sf0.1, the driver's)")
+    ap.add_argument("--standing-out", default="SPECGATES_STANDING.json",
+                    help="where to write the blessed standing artifact")
     args = ap.parse_args()
 
     out = {}
@@ -102,6 +167,9 @@ def main():
         t = parse_test_log(args.test_log)
         if t is not None:
             out["round_close_tests"] = t
+    if args.specgates:
+        out["round_close_specgates"] = bless_specgates(
+            args.specgates, args.specgates_sf, args.standing_out)
     json.dump(out, sys.stdout, indent=1)
     print()
 

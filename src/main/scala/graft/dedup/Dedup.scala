@@ -1218,6 +1218,7 @@ object Dedup {
     import graft.functions.BloomFilters._
     val numBits = sizedBloomBits(allDocs, benchMod)
     val k = 7
+    val src = allDocs.select(col("doc_id"), col("text"))
     // hashed shingles built INLINE in each operator (not projected to
     // an attribute): an attribute would be referenced by the probe
     // filter, the inferred size()>0 under the later Generate, and the
@@ -1227,11 +1228,11 @@ object Dedup {
     // fused [[graft.functions.ShingleHashes]] pass, not three levels
     // of interpreted lambdas.
     def hashedSh = shingle_hashes(col("text"), 3)
-    val bloom = allDocs.filter(col("doc_id") % benchMod === 0)
+    val bloom = src.filter(col("doc_id") % benchMod === 0)
       .agg(bloom_build(hashedSh, numBits, k).as("bf"))
-    val candidates = allDocs.filter(col("doc_id") % benchMod =!= 0)
+    val candidates = src.filter(col("doc_id") % benchMod =!= 0)
       .filter(bloom_contains_any(bloom.scalar(), hashedSh, k))
-    val bench = allDocs.filter(col("doc_id") % benchMod === 0)
+    val bench = src.filter(col("doc_id") % benchMod === 0)
       .select(explode(shingles(col("text"), 3)).as("s")).distinct()
     candidates.select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
       .join(broadcast(bench), "s")
@@ -1254,12 +1255,13 @@ object Dedup {
     import graft.functions.BloomFilters._
     val numBits = sizedBloomBits(allDocs, benchMod)
     val k = 7
+    val src = allDocs.select(col("doc_id"), col("text"))
     def hashedSh = shingle_hashes(col("text"), 3)
-    val bloom = allDocs.filter(col("doc_id") % benchMod === 0)
+    val bloom = src.filter(col("doc_id") % benchMod === 0)
       .agg(bloom_build(hashedSh, numBits, k).as("bf"))
-    val candidates = allDocs.filter(col("doc_id") % benchMod =!= 0)
+    val candidates = src.filter(col("doc_id") % benchMod =!= 0)
       .filter(bloom_contains_any(bloom.scalar(), hashedSh, k))
-    val bench = allDocs.filter(col("doc_id") % benchMod === 0)
+    val bench = src.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_doc"),
         explode(shingles(col("text"), 3)).as("s"))
     candidates
@@ -1652,7 +1654,16 @@ object Dedup {
   /** The q138 transform over any `(doc_id, text)` frame — exposed so
     * crafted-corpus specs can drive it directly.
     */
-  def removeSharedSpans(docs: DataFrame): DataFrame = {
+  def removeSharedSpans(docs: DataFrame): DataFrame =
+    removeSharedSpansCore(docs).orderBy("doc_id")
+
+  /** [[removeSharedSpans]] WITHOUT the final global sort — for
+    * compositions (q153) that checkpoint and join the result: the
+    * sort would be materialized inside the checkpoint (plus the
+    * range-sampling re-execution of its child), and the optimizer
+    * cannot drop it across the checkpoint boundary.
+    */
+  def removeSharedSpansCore(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val sg = base
@@ -1705,7 +1716,6 @@ object Dedup {
         array_join(col("kept"), " ").as("cleaned_text"),
         (size(col("toks")) - size(col("kept"))).cast("long")
           .as("removed_tokens"))
-      .orderBy("doc_id")
   }
 
   val defs: Seq[QueryDef] =

@@ -146,11 +146,27 @@ object Curation {
        | FROM sel GROUP BY source ORDER BY source""".stripMargin
       .replaceAll("\n", "")
   ) { (s, d) =>
-    val n = Tables.documents(s, d).select(col("doc_id"), col("source"),
-      trim(regexp_replace(regexp_replace(lower(col("text")),
-        "[^a-z0-9 ]", ""), " +", " ")).as("t"))
+    // r19 restructure (guide §2.3/§8 — decide with small rows): the
+    // old spelling carried the normalized TEXT through every exchange
+    // and re-ran the regex-normalize chain once per consumer (the
+    // plan referenced `ded` from four subtrees; StageProbe r19 showed
+    // four serial single-task ~0.7 s stages — the documents file is
+    // one row group, so each re-scan was also serial). Now: rebalance
+    // the narrow scan, normalize ONCE, immediately project text down
+    // to (fp = md5(t), ntok) — everything downstream (dedup, caps,
+    // two-phase ranking, the final mix table) needs only those — and
+    // localCheckpoint the ~30 B/row survivor table so the four
+    // consumers read it instead of re-deriving. Same output, same
+    // oracle: fp/ntok are the identical expressions over t.
+    val n = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " ")).as("t"))
     val q = n.filter(size(split(col("t"), " ")) >= MinWords)
-    val keep = q.groupBy(md5(col("t")).as("fp"))
+      .select(col("doc_id"), col("source"), md5(col("t")).as("fp"),
+        size(split(col("t"), " ")).as("ntok"))
+      .localCheckpoint()
+    val keep = q.groupBy("fp")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val ded = q.join(keep, Seq("doc_id"), "left_semi")
     val counts = ded.groupBy("source").agg(count(lit(1)).as("cn"))
@@ -186,7 +202,7 @@ object Curation {
       .filter(col("rk") <= col("cap"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("t"), " ")).cast("long")).as("n_tokens"))
+        sum(col("ntok").cast("long")).as("n_tokens"))
       .orderBy("source")
   }
 
@@ -246,23 +262,39 @@ object Curation {
       .replaceAll("\n", "")
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val quality = qualityFilter(docs)
-    val keepers = quality.groupBy(md5(col("text")).as("fp"))
-      .agg(min("doc_id").as("keeper"))
+    // r19 restructure (guide §2.3): every stage of the audit decides
+    // on (fp = md5(text), nw = token count) — never on text itself —
+    // so the doc table is projected to those ~50 B rows ONCE (after a
+    // narrow-scan rebalance: the md5+split chain otherwise runs
+    // inside the one scan task of a single-row-group file) and
+    // localCheckpointed; the keepers join, the rank window, and the
+    // final status projection all consume the narrow form. Statuses
+    // and ordering are byte-identical — fp/nw are the same
+    // expressions the stages applied before.
+    val proj = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("fp"),
+        size(split(col("text"), " ")).as("nw"))
+      .localCheckpoint()
+    val quality = proj.filter(col("nw") >= MinWords)
+    val keepers = quality.groupBy("fp").agg(min("doc_id").as("keeper"))
     val contaminated = graft.dedup.Dedup.benchShingleHits(docs, BenchMod)
       .select(col("doc_id")).withColumn("is_cont", lit(true))
-    val clean = decontaminate(exactDedup(quality), docs)
+    val clean = quality
+      .join(keepers.select(col("keeper").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % BenchMod =!= 0)
+      .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
     val w = Window.partitionBy("lang", "source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     val ranked = clean.withColumn("rk", row_number().over(w))
       .select(col("doc_id"), col("rk"))
-    docs.select(col("doc_id"), col("text"))
-      .withColumn("fp", md5(col("text")))
+    proj.select(col("doc_id"), col("fp"), col("nw"))
       .join(keepers, Seq("fp"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .join(ranked, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(size(split(col("text"), " ")) < MinWords, "dropped_quality")
+        when(col("nw") < MinWords, "dropped_quality")
           .when(col("doc_id") =!= col("keeper"), "dropped_duplicate")
           .when(col("doc_id") % BenchMod === 0, "dropped_benchmark")
           .when(col("is_cont"), "dropped_contaminated")
@@ -447,14 +479,19 @@ object Curation {
          | ORDER BY sel.doc_id""".stripMargin.replaceAll("\n", "")
     ) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // r19: the UNORDERED operator cores — the standalone queries'
+      // final orderBys would be materialized inside these checkpoints
+      // (each global sort also re-executes its child stage to sample
+      // range bounds), and every consumer here joins or aggregates,
+      // so the order bought nothing.
       val cleaned = graft.dedup.Dedup
-        .removeSharedSpans(docs.select("doc_id", "text"))
+        .removeSharedSpansCore(docs.select("doc_id", "text"))
         .join(docs.select("doc_id", "source", "lang"), "doc_id")
         .select(col("doc_id"), col("source"), col("lang"),
           col("cleaned_text").as("text"))
         .localCheckpoint()
       val surv = cleaned.join(
-        graft.text.TextAnalysis.perplexityBucketsOver(cleaned)
+        graft.text.TextAnalysis.perplexityBucketsCore(cleaned)
           .filter(col("bucket") =!= "tail").select("doc_id"),
         "doc_id").localCheckpoint()
       val sel = graft.ml.Sampling.dsirScoresOver(surv)

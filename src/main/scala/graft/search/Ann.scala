@@ -995,9 +995,17 @@ object Ann {
     */
   def exactKnnPairs(corpus: DataFrame, queries: DataFrame,
       k: Int = K): DataFrame = {
+    // Partition count PINNED (r19): `repartition(col)` alone lets AQE
+    // coalesce the exchange by its BYTES — and the query table is a
+    // few hundred KB, so the whole O(n²) cosine+window pipeline
+    // downstream of it ran in ONE task (StageProbe r19: a single
+    // 2.5 s task held 94% of q127's wall at sf0.1). The shuffle is
+    // cheap metadata; the work it fans out is n²·dim — size the
+    // exchange to the CLUSTER's parallelism, not the bytes.
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
-      .repartition(col("query_id"))
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism,
+        col("query_id"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("nv"))
     val w = Window.partitionBy("query_id")

@@ -1405,8 +1405,18 @@ object TextAnalysis {
     * span-cleaned corpus instead of the raw one. Reference prior is
     * the frame's own `source = 'src0'` slice.
     */
-  def perplexityBucketsOver(docs: DataFrame): DataFrame = {
-    val ref = docs.filter(col("source") === "src0")
+  def perplexityBucketsOver(docs: DataFrame): DataFrame =
+    perplexityBucketsCore(docs).orderBy("doc_id")
+
+  /** [[perplexityBucketsOver]] WITHOUT the final global sort — for
+    * compositions (q153) that immediately join/filter the result:
+    * the sort below a checkpoint is materialized (range-partitioning
+    * additionally re-executes the last stage to sample bounds), and
+    * the optimizer cannot remove it across the checkpoint boundary.
+    */
+  def perplexityBucketsCore(docs: DataFrame): DataFrame = {
+    val src = docs
+    val ref = src.filter(col("source") === "src0")
       .select(toks(col("text")).as("toks"))
     val c2 = ref.filter(size(col("toks")) >= 2)
       .select(explode(transform(sequence(lit(2), size(col("toks"))),
@@ -1416,7 +1426,7 @@ object TextAnalysis {
     val c1 = ref.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
-    val bg = docs.select(col("doc_id"), col("lang"),
+    val bg = src.select(col("doc_id"), col("lang"),
         toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"),
@@ -1459,7 +1469,6 @@ object TextAnalysis {
         when(col("rank") <= col("b1"), "head")
           .when(col("rank") <= col("b2"), "middle")
           .otherwise("tail").as("bucket"))
-      .orderBy("doc_id")
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -66,11 +66,17 @@ object Communities {
       .persist()
     var lab = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    // lab's lineage grows per round — localCheckpoint (eager)
-    // truncates it, and by loop end every round is materialized, so
-    // the edge cache can be dropped before the result is consumed.
-    for (_ <- 1 to rounds)
-      lab = propagateOnce(und, lab).localCheckpoint()
+    // One lineage cut AFTER the loop, not per round (r19): lab_{k+1}
+    // references lab_k exactly once, so the plan grows linearly and
+    // the default 3 rounds run as ONE job instead of 3 serial
+    // materialization barriers; long custom runs get a hygiene cut
+    // every 8 rounds. The final checkpoint stays EAGER so the edge
+    // cache is materialized into the result before it is dropped.
+    for (r <- 1 to rounds) {
+      lab = propagateOnce(und, lab)
+      if (r % 8 == 0 && r < rounds) lab = lab.localCheckpoint()
+    }
+    lab = lab.localCheckpoint()
     und.unpersist(false)
     lab.select(col("node"), col("label").as("community"))
   }

@@ -69,7 +69,7 @@ object PageRank {
     val n = nodes.agg(count(lit(1)).as("n"))
     var r = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("node"))
         .select(e("dst").as("node"),
           floor(col("rank") * col("p") * lit(1e12)).as("c"))
@@ -85,7 +85,14 @@ object PageRank {
           (lit(teleport(damping)) / col("n") +
             lit(damping) * coalesce(col("contrib"), lit(0.0d)))
             .as("rank"))
-        .localCheckpoint()
+      // Periodic, not per-round, lineage cut (r19): r_{k+1} references
+      // r_k exactly once, so the plan grows LINEARLY per round — at
+      // the default 3 iterations the whole power loop plans and runs
+      // as ONE job, where the per-round eager localCheckpoint was 3
+      // serial materialization barriers (each idling the cluster at
+      // its stage tail). Long custom runs still get their hygiene cut
+      // every 8 rounds.
+      if (it % 8 == 0) r = r.localCheckpoint()
     }
     r
   }
@@ -226,7 +233,7 @@ object PageRank {
       when(isSeed, lit(1.0) / col("ns")).otherwise(lit(0.0d))
     var r = nodes.crossJoin(broadcast(ns))
       .select(col("node"), seedMass.as("rank"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("node"))
         .select(e("dst").as("node"),
           floor(col("rank") * col("p") * lit(1e12)).as("c"))
@@ -238,7 +245,8 @@ object PageRank {
           (lit(teleport(damping)) * seedMass +
             lit(damping) * coalesce(col("contrib"), lit(0.0d)))
             .as("rank"))
-        .localCheckpoint()
+      // periodic lineage cut — see [[pageRank]] (r19)
+      if (it % 8 == 0) r = r.localCheckpoint()
     }
     r
   }

@@ -32,7 +32,19 @@ object Rescoring {
     * ANSI SQL, which lets the full rescoring pipeline be
     * oracle-checked end-to-end.
     */
-  def coocSims(ratings: DataFrame, recentK: Int = RecentK): DataFrame = {
+  def coocSims(ratings: DataFrame, recentK: Int = RecentK): DataFrame =
+    coocSimsFromCapped(
+      cappedRecent(ratings, recentK).select("userId", "productId"))
+
+  /** Each user's recent-K ratings `(userId, productId, score)` — the
+    * shared cap both the sim build and the rescore consume. Score is
+    * the LAST tiebreak: (ts, productId) alone is not a total order —
+    * same-microsecond events for one user can repeat a productId with
+    * different scores, and an ambiguous pick at the recent-K boundary
+    * changes rec_score (bit at sf0.1).
+    */
+  def cappedRecent(ratings: DataFrame, recentK: Int = RecentK)
+      : DataFrame = {
     // Cap each user's history to their recent-K ratings BEFORE the
     // self-join (the reference's own semantics — MAX_USER_RATING_NUM,
     // StreamingRecommender.scala:48): the per-user pair blowup is
@@ -41,9 +53,17 @@ object Rescoring {
     // most K² regardless of corpus scale.
     val w = Window.partitionBy("userId")
       .orderBy(desc("ts"), asc("productId"), asc("score"))
-    val capped = ratings.withColumn("crn", row_number().over(w))
+    ratings.withColumn("crn", row_number().over(w))
       .filter(col("crn") <= recentK)
-      .select("userId", "productId")
+      .select("userId", "productId", "score")
+  }
+
+  /** [[coocSims]] over an already-capped `(userId, productId)`
+    * history — split out so a caller that also needs the capped table
+    * (q25 consumes it in four subtrees) can materialize it ONCE
+    * instead of re-running the recent-K window per reference.
+    */
+  def coocSimsFromCapped(capped: DataFrame): DataFrame = {
     val cnt = capped.groupBy("productId").agg(count(lit(1)).as("c"))
     val a = capped.select(col("userId"), col("productId").as("pa"))
     val b = capped.select(col("userId"), col("productId").as("pb"))
@@ -152,20 +172,16 @@ object Rescoring {
     // window, cooc self-join, rated anti-set) — persisted once, the
     // events scan + derivation runs once instead of three times.
     val ratings = Tables.cachedRatings(s, d)
-    // score is the LAST tiebreak: (ts, productId) alone is not a total
-    // order — same-microsecond events for one user can repeat a
-    // productId with different scores, and an ambiguous pick at the
-    // recent-K boundary changes rec_score (bit at sf0.1)
-    val recentW = Window.partitionBy("userId")
-      .orderBy(desc("ts"), asc("productId"), asc("score"))
-    val recent = ratings
-      .withColumn("rrn", row_number().over(recentW))
-      .filter(col("rrn") <= RecentK)
-      .select("userId", "productId", "score")
+    // The recent-K window feeds FOUR subtrees (the rescore candidate
+    // join + the sim build's cnt table and both self-join sides) —
+    // the exchange was reused but the sort+window re-ran per
+    // reference. Materialize the ~K-rows-per-user cap once (r19).
+    val recent = cappedRecent(ratings, RecentK).localCheckpoint()
     // distinct pre-aggregation shrinks the anti-join build side from
     // |ratings| rows to |user×product| pairs before the hash relation
     // is built (NOT EXISTS semantics are set-based anyway).
-    rescore(recent, coocSims(ratings),
+    rescore(recent,
+        coocSimsFromCapped(recent.select("userId", "productId")),
         ratings.select("userId", "productId").distinct())
       .select(col("userId").as("user_id"), col("candidate").as("product_id"),
         col("rec_score"), col("rank"))

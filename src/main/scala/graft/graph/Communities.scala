@@ -62,7 +62,13 @@ object Communities {
         col("w")))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(sum("w").cast("long").as("w"))
-      .repartition(col("src"))
+      // partition count pinned (r19, the q127 lesson): an unpinned
+      // repartition(col) lets AQE size this exchange by BYTES, and
+      // the edge table is small next to the per-round probe work it
+      // fans out — the cached table's partition count IS the rounds'
+      // parallelism ceiling.
+      .repartition(e0.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
       .persist()
     var lab = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))

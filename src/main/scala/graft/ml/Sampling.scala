@@ -323,6 +323,12 @@ object Sampling {
       .groupBy(col("doc_id"), col("source"),
         substring(md5(col("t")), 1, 3).as("b"))
       .agg(count(lit(1)).as("cnt"))
+      // One materialization of the (doc, bucket) count table (r19):
+      // g feeds both the bucket-ratio build and the final per-doc
+      // score join, and each reference re-ran the token explode +
+      // md5 bucketing — the operator's dominant cost. g is bounded
+      // by docs × ≤4096 narrow rows.
+      .localCheckpoint()
     val bc = g.groupBy("b").agg(sum("cnt").as("cr"),
       sum(when(col("source") === "src0", col("cnt")).otherwise(0L))
         .as("ct"))

@@ -388,8 +388,12 @@ object Ann {
   val dimRecall: QueryDef = QueryDef.rowsOnly("q119_dim_recall") { (s, d) =>
     import s.implicits._
     val rungs = Seq(8, 16, 32, 64)
-    val full = bruteForce.fn(s, d).select("query_id", "neighbor_id").cache()
-    val nFull = full.count()
+    // one eager materialization of the exact baseline (it feeds the
+    // semi join AND the recall denominator); localCheckpoint instead
+    // of cache+count — same single job, and the denominator below
+    // rides the final collect instead of a separate count() action
+    val full = bruteForce.fn(s, d).select("query_id", "neighbor_id")
+      .localCheckpoint()
     val corpus = Tables.embeddings(s, d)
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
     // ONE corpus pass scores all rungs: a 4-struct array per
@@ -417,10 +421,11 @@ object Ann {
     val out = top
       .join(full, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("dim").agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(full.groupBy().count()
+        .select(col("count").as("n_full"))))
       .select(col("dim"),
-        (col("hits").cast("double") / nFull).as("recall_at_5"))
+        (col("hits").cast("double") / col("n_full")).as("recall_at_5"))
       .collect()
-    full.unpersist()
     // a rung with zero hits drops out of the groupBy — re-seat it at
     // recall 0.0 so the output always carries all four rungs
     val got = out.map(r => r.getInt(0) -> r.getDouble(1)).toMap

@@ -1447,6 +1447,13 @@ object TextAnalysis {
         sum("lg").cast("double").as("sum_lg"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         round(-col("sum_lg") / col("n_bigrams"), 4).as("ppl"))
+      // One materialization of the doc-level score table (r19): p is
+      // consumed by THREE subtrees (the value-count base table, the
+      // per-language totals, and the final bucket join), and each
+      // reference re-ran the whole corpus bigram explode + LM probe —
+      // the operator's dominant cost — from scratch. p is one narrow
+      // row per doc.
+      .localCheckpoint()
     // Value-decomposed per-language rank (no per-language sort task):
     // strictly-less base from the distinct-value count table + a
     // fine-grained within-value row_number.

@@ -99,6 +99,54 @@ object Scale {
     if (narrow) df.repartition(target) else df
   }
 
+  /** Scale-conditional fan-out decision for a checkpoint boundary
+    * that feeds corpus-scale downstream chains (q153's cleaned/surv
+    * spine): Some(defaultParallelism) when the corpus scan is BOTH
+    * narrow — its parquet row-group parallel ceiling is below half
+    * the cluster parallelism, the same footer detection as
+    * [[rebalanceNarrowScan]] — AND large (total input bytes ≥
+    * `spark.graft.fanout.minBytesPerSlot` × parallelism, default
+    * 4 MB/slot); None otherwise. Both reads are driver-side metadata
+    * only (file listing + footers), no jobs.
+    *
+    * Why conditional (r19 measured both regimes): at bench scale the
+    * unconditional fan-out of q153's `cleaned` checkpoint cost +73 %
+    * — each of the many downstream broadcast-build jobs paid
+    * parallelism-many task launches where the one-partition
+    * checkpoint read was effectively a local in-memory scan. At
+    * 100 TB the inverse holds: a single-writer (one-row-group)
+    * corpus serializes the whole perplexity + DSIR chain into one
+    * task per stage. The size gate keeps each regime on its
+    * measured-best plan.
+    */
+  def fanOutTarget(df: org.apache.spark.sql.DataFrame): Option[Int] = {
+    val s = df.sparkSession
+    val target = s.sparkContext.defaultParallelism
+    val threshold = (target + 1) / 2
+    val files = try df.inputFiles catch {
+      case _: Throwable => Array.empty[String]
+    }
+    if (files.isEmpty) return None
+    val minPerSlot = s.conf.getOption("spark.graft.fanout.minBytesPerSlot")
+      .map(_.toLong).getOrElse(4L << 20)
+    val conf = s.sessionState.newHadoopConf()
+    val bytes = files.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    }.sum
+    if (bytes < minPerSlot * target) None
+    else {
+      val narrow =
+        if (files.length >= threshold) false // ≥1 row group per file
+        else if (files.forall(_.endsWith(".parquet")))
+          totalRowGroups(s, files) < threshold
+        else df.rdd.getNumPartitions < threshold
+      if (narrow) Some(target) else None
+    }
+  }
+
   /** Sum of row-group counts across `files` (parquet footer reads —
     * metadata only, no data pages touched). A footer that fails to
     * read counts as ONE row group: unreadable metadata on an

@@ -936,6 +936,27 @@ object Dedup {
     // two branches independently, so an uncached (possibly expensive)
     // upstream — e.g. the whole LSH pipeline — would run twice.
     val e = edges.toDF("src", "dst").cache()
+    // Whole-graph driver union-find below the local-solve bound (r20):
+    // the distributed path costs ~6 fixed-overhead jobs (symmetrize +
+    // distinct, init labels, propagate + jump + changed-count,
+    // contraction + count) before its own local solve — on a small
+    // pair graph (q155 rebuilds its 3-modality edge set every run;
+    // q49/q110 cold) those stage barriers ARE the cost. The count
+    // gate reads the cache that the first propagation round would
+    // have materialized anyway, so at scale the only added work is
+    // one cached-scan count; labels are identical by construction
+    // ([[unionFind]] keeps the min-id root, and its key set is every
+    // edge endpoint — the same coverage initLabels derives from sym).
+    val nEdges = e.count()
+    if (nEdges <= ccLocalSolveLimit(edges.sparkSession)) {
+      val local = unionFind(e.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val out = local.toSeq.toDF("id", "label")
+      e.unpersist()
+      return out
+    }
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()

@@ -91,8 +91,10 @@ object PageRank {
       // as ONE job, where the per-round eager localCheckpoint was 3
       // serial materialization barriers (each idling the cluster at
       // its stage tail). Long custom runs still get their hygiene cut
-      // every 8 rounds.
-      if (it % 8 == 0) r = r.localCheckpoint()
+      // every 8 rounds — skipped on the FINAL round (r19 ADVICE): a
+      // cut there is a redundant materialization barrier, the exact
+      // cost this change removed.
+      if (it % 8 == 0 && it < iters) r = r.localCheckpoint()
     }
     r
   }
@@ -246,7 +248,7 @@ object PageRank {
             lit(damping) * coalesce(col("contrib"), lit(0.0d)))
             .as("rank"))
       // periodic lineage cut — see [[pageRank]] (r19)
-      if (it % 8 == 0) r = r.localCheckpoint()
+      if (it % 8 == 0 && it < iters) r = r.localCheckpoint()
     }
     r
   }

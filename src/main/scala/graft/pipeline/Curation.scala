@@ -151,8 +151,8 @@ object Curation {
     // and re-ran the regex-normalize chain once per consumer (the
     // plan referenced `ded` from four subtrees; StageProbe r19 showed
     // four serial single-task ~0.7 s stages — the documents file is
-    // one row group, so each re-scan was also serial). Now: rebalance
-    // the narrow scan, normalize ONCE, immediately project text down
+    // one row group, so each re-scan was also serial). Now: normalize
+    // ONCE, immediately project text down
     // to (fp = md5(t), ntok) — everything downstream (dedup, caps,
     // two-phase ranking, the final mix table) needs only those — and
     // localCheckpoint the ~30 B/row survivor table so the four
@@ -264,9 +264,7 @@ object Curation {
     val docs = Tables.documents(s, d)
     // r19 restructure (guide §2.3): every stage of the audit decides
     // on (fp = md5(text), nw = token count) — never on text itself —
-    // so the doc table is projected to those ~50 B rows ONCE (after a
-    // narrow-scan rebalance: the md5+split chain otherwise runs
-    // inside the one scan task of a single-row-group file) and
+    // so the doc table is projected to those ~50 B rows ONCE and
     // localCheckpointed; the keepers join, the rank window, and the
     // final status projection all consume the narrow form. Statuses
     // and ordering are byte-identical — fp/nw are the same
@@ -479,21 +477,34 @@ object Curation {
          | ORDER BY sel.doc_id""".stripMargin.replaceAll("\n", "")
     ) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // r20: scale-conditional fan-out of the checkpoint spine. The
+      // cleaned/surv checkpoints inherit the documents scan's
+      // partitioning, and a single-row-group (single-writer) corpus
+      // leaves them at ONE partition — serializing the whole
+      // downstream perplexity + DSIR chain. Fan out only when the
+      // corpus is narrow AND large ([[graft.Scale.fanOutTarget]]):
+      // at bench scale the decision is None and the r19-measured
+      // plan (fan-out there cost +73 %) is byte-identical.
+      // A repartition changes no row, and every consumer joins or
+      // aggregates — output identical, CurationSpec pins parity.
+      val fan = graft.Scale.fanOutTarget(docs)
+      def fanned(df: DataFrame): DataFrame =
+        fan.map(df.repartition(_)).getOrElse(df)
       // r19: the UNORDERED operator cores — the standalone queries'
       // final orderBys would be materialized inside these checkpoints
       // (each global sort also re-executes its child stage to sample
       // range bounds), and every consumer here joins or aggregates,
       // so the order bought nothing.
-      val cleaned = graft.dedup.Dedup
+      val cleaned = fanned(graft.dedup.Dedup
         .removeSharedSpansCore(docs.select("doc_id", "text"))
         .join(docs.select("doc_id", "source", "lang"), "doc_id")
         .select(col("doc_id"), col("source"), col("lang"),
-          col("cleaned_text").as("text"))
+          col("cleaned_text").as("text")))
         .localCheckpoint()
-      val surv = cleaned.join(
+      val surv = fanned(cleaned.join(
         graft.text.TextAnalysis.perplexityBucketsCore(cleaned)
           .filter(col("bucket") =!= "tail").select("doc_id"),
-        "doc_id").localCheckpoint()
+        "doc_id")).localCheckpoint()
       val sel = graft.ml.Sampling.dsirScoresOver(surv)
         .orderBy(desc("score_q4"), asc("doc_id")).limit(SelectNV3)
         .join(surv.select("doc_id", "lang"), "doc_id")

@@ -1415,8 +1415,7 @@ object TextAnalysis {
     * the optimizer cannot remove it across the checkpoint boundary.
     */
   def perplexityBucketsCore(docs: DataFrame): DataFrame = {
-    val src = docs
-    val ref = src.filter(col("source") === "src0")
+    val ref = docs.filter(col("source") === "src0")
       .select(toks(col("text")).as("toks"))
     val c2 = ref.filter(size(col("toks")) >= 2)
       .select(explode(transform(sequence(lit(2), size(col("toks"))),
@@ -1426,7 +1425,7 @@ object TextAnalysis {
     val c1 = ref.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
-    val bg = src.select(col("doc_id"), col("lang"),
+    val bg = docs.select(col("doc_id"), col("lang"),
         toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"),

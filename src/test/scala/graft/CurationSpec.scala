@@ -73,6 +73,28 @@ class CurationSpec extends SparkSpec {
       .filter(col("status") =!= "dropped_quality").isEmpty)
   }
 
+  test("q153 fan-out: decision gates on narrow AND large, output " +
+      "identical when forced") {
+    val d = Tables.documents(spark, sfSmall)
+    // sf0.01's documents table is a single small file: narrow, but
+    // far below the size gate — default decision must be None (the
+    // r19 measurement: fan-out at bench scale costs, not pays)
+    assert(Scale.fanOutTarget(d).isEmpty)
+    // size gate forced down: the same narrow scan now qualifies and
+    // the target is the cluster parallelism (scale-adaptive, not a
+    // constant)
+    spark.conf.set("spark.graft.fanout.minBytesPerSlot", "1")
+    try {
+      assert(Scale.fanOutTarget(Tables.documents(spark, sfSmall))
+        .contains(spark.sparkContext.defaultParallelism))
+      // and the fanned q153 spine produces the byte-identical result
+      val fanned = Curation.pipelineV3.fn(spark, sfSmall).collect()
+      spark.conf.unset("spark.graft.fanout.minBytesPerSlot")
+      val plain = Curation.pipelineV3.fn(spark, sfSmall).collect()
+      assert(fanned.toSeq == plain.toSeq)
+    } finally spark.conf.unset("spark.graft.fanout.minBytesPerSlot")
+  }
+
   test("repeatedNgramStats flags exactly the cross-doc template spans") {
     import spark.implicits._
     // three template instances sharing one 5-token span, one unique

@@ -209,6 +209,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cc whole-graph local solve == distributed labels on random " +
+      "graphs") {
+    // r20: below the local-solve bound connectedComponents collects
+    // the raw edge list into the driver union-find directly (no
+    // propagation round, no contraction). Parity with the distributed
+    // loop must be exact on arbitrary graphs, including self-loops
+    // and duplicate edges.
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 500)
+      .map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+    val edges = es.toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localSolveLimit", "0")
+    try {
+      val dist = Dedup.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist,
+        s"local-vs-distributed label diff: ${
+          (local.toSet diff dist.toSet).take(5)} / ${
+          (dist.toSet diff local.toSet).take(5)}")
+    } finally spark.conf.unset("spark.graft.cc.localSolveLimit")
+  }
+
   test("large-star/small-star solve: path labels == min, random graphs " +
       "== union-find") {
     // path graph: diameter n, the shape that defeats bounded-round

@@ -147,6 +147,23 @@ object Scale {
     }
   }
 
+  /** [[fanOutTarget]] applied: repartition `df` to cluster
+    * parallelism only when its source scan is narrow AND large. The
+    * conditional sibling of [[rebalanceNarrowScan]] for operators
+    * whose bench-scale exchange costs more than it returns (r19
+    * measured +12–74 % from the unconditional form on
+    * benchShingleHits/dsirScores/perplexityBuckets/removeSharedSpans)
+    * but whose 100 TB single-writer (one-row-group) exposure is real:
+    * below the size gate this is the identity — plans byte-identical
+    * to the r19-measured-best ones — and above it the derive fans out
+    * across the cluster. On a non-file input (e.g. a checkpointed
+    * intermediate) `inputFiles` is empty and this is the identity,
+    * so composed uses (q153's spine) gate once at the source.
+    */
+  def rebalanceNarrowWideScan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    fanOutTarget(df).map(df.repartition(_)).getOrElse(df)
+
   /** Sum of row-group counts across `files` (parquet footer reads —
     * metadata only, no data pages touched). A footer that fails to
     * read counts as ONE row group: unreadable metadata on an

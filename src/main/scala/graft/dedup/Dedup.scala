@@ -1239,7 +1239,11 @@ object Dedup {
     import graft.functions.BloomFilters._
     val numBits = sizedBloomBits(allDocs, benchMod)
     val k = 7
-    val src = allDocs.select(col("doc_id"), col("text"))
+    // conditional fan-out (r20, VERDICT r19 item 3): the shingle-hash
+    // probe is scan-side CPU, serialized by a one-row-group corpus;
+    // identity below the size gate (bench plans unchanged)
+    val src = graft.Scale.rebalanceNarrowWideScan(
+      allDocs.select(col("doc_id"), col("text")))
     // hashed shingles built INLINE in each operator (not projected to
     // an attribute): an attribute would be referenced by the probe
     // filter, the inferred size()>0 under the later Generate, and the
@@ -1276,7 +1280,9 @@ object Dedup {
     import graft.functions.BloomFilters._
     val numBits = sizedBloomBits(allDocs, benchMod)
     val k = 7
-    val src = allDocs.select(col("doc_id"), col("text"))
+    // conditional fan-out — see [[benchShingleHits]] (r20)
+    val src = graft.Scale.rebalanceNarrowWideScan(
+      allDocs.select(col("doc_id"), col("text")))
     def hashedSh = shingle_hashes(col("text"), 3)
     val bloom = src.filter(col("doc_id") % benchMod === 0)
       .agg(bloom_build(hashedSh, numBits, k).as("bf"))
@@ -1580,7 +1586,8 @@ object Dedup {
       .replaceAll("\n", "")
   ) { (s, d) =>
     val toks = split(col("text"), " ")
-    val grams = Tables.documents(s, d)
+    // conditional fan-out — see [[removeSharedSpansCore]] (r20)
+    val grams = graft.Scale.rebalanceNarrowWideScan(Tables.documents(s, d))
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= SpanTokens)
       .select(col("doc_id"),
@@ -1685,7 +1692,10 @@ object Dedup {
     * cannot drop it across the checkpoint boundary.
     */
   def removeSharedSpansCore(docs: DataFrame): DataFrame = {
-    val base = docs
+    // conditional fan-out (r20): the gram explode below is the
+    // operator's dominant cost and a one-row-group corpus serializes
+    // it; identity below the size gate (bench plans unchanged)
+    val base = graft.Scale.rebalanceNarrowWideScan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val sg = base
       .filter(size(col("toks")) >= SpanTokens)

@@ -317,7 +317,11 @@ object Sampling {
     * bucket-filtered survivors instead of the raw corpus.
     */
   private[graft] def dsirScoresOver(docs: DataFrame): DataFrame = {
-    val g = docs
+    // conditional fan-out (r20): the token explode + md5 bucketing is
+    // the dominant cost and a one-row-group corpus serializes it;
+    // identity below the size gate and on non-file inputs (q153's
+    // checkpointed `surv`)
+    val g = graft.Scale.rebalanceNarrowWideScan(docs)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("t"))
       .groupBy(col("doc_id"), col("source"),

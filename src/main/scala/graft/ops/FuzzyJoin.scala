@@ -200,26 +200,6 @@ object FuzzyJoin {
         str.substr(q + 2, len))
     def seqOrEmpty(lo: Column, hi: Column): Column =
       when(hi >= lo, sequence(lo, hi)).otherwise(array().cast("array<int>"))
-    val v0 = s.select(col("block"), xxhash64(col("str")).as("vh"),
-      col("id"))
-    val v1 = s
-      .withColumn("p", explode(seqOrEmpty(lit(0), col("len") - 1)))
-      .select(col("block"),
-        xxhash64(del1(col("str"), col("len"), col("p"))).as("vh"),
-        col("id"))
-    val variants =
-      if (maxDist == 1) v0.unionByName(v1)
-      else {
-        val v2 = s
-          .withColumn("p", explode(seqOrEmpty(lit(0), col("len") - 2)))
-          .withColumn("q",
-            explode(seqOrEmpty(col("p") + 1, col("len") - 1)))
-          .select(col("block"),
-            xxhash64(del2(col("str"), col("len"), col("p"), col("q")))
-              .as("vh"),
-            col("id"))
-        v0.unionByName(v1).unionByName(v2)
-      }
     // Volume-scaled join partitioning (r18, 100×-campaign find #3):
     // a ShuffledHashJoin build side cannot spill, so with the
     // session's fixed shuffle.partitions the per-partition build map
@@ -341,6 +321,21 @@ object FuzzyJoin {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.block").as("block"), col("dist"))
     } else {
+      // One Generate over the per-row variant-hash ARRAY (r20), not
+      // the former 3-way union of explode branches: the union spelled
+      // the same variant set as three map stages (3× the scan of the
+      // repartitioned base, 3× the per-task overhead, three
+      // shuffle-write sides feeding the join exchange), where a
+      // single explode(array_distinct(...)) emits it in one pass.
+      // Output-identical: per-side duplicate variant hashes (repeated
+      // characters make two deletion positions collide) only ever
+      // produced duplicate CANDIDATE rows, which the candidate
+      // `distinct()` below erased — array_distinct erases them one
+      // operator earlier, shrinking the join input as a bonus.
+      // FuzzyJoinSpec pins parity against the naive quadratic join.
+      val variants = s
+        .select(col("block"), col("id"),
+          explode(variantHashArray(col("str"), col("len"))).as("vh"))
       val parted = variants.repartition(joinParts, col("block"), col("vh"))
       val cand = parted.as("a")
         .join(parted.as("b").hint("shuffle_hash"),

@@ -505,10 +505,20 @@ object Curation {
         graft.text.TextAnalysis.perplexityBucketsCore(cleaned)
           .filter(col("bucket") =!= "tail").select("doc_id"),
         "doc_id")).localCheckpoint()
-      val sel = graft.ml.Sampling.dsirScoresOver(surv)
+      // sel is ≤ SelectNV3 rows BY CONSTRUCTION (the limit constant) —
+      // collect it into a LOCAL relation instead of localCheckpoint
+      // (r20): its three consumers (the alloc group summary, the
+      // shard packing, the final join) then read a LocalTableScan,
+      // whose windows/joins plan as trivial local stages, instead of
+      // each paying a checkpoint-scan job. Driver traffic is bounded
+      // by the constant at any corpus size (the q155 union-find /
+      // guide §8 "decide with small rows" pattern); the DSIR chain
+      // still runs distributed exactly once, materialized here.
+      val selTop = graft.ml.Sampling.dsirScoresOver(surv)
         .orderBy(desc("score_q4"), asc("doc_id")).limit(SelectNV3)
         .join(surv.select("doc_id", "lang"), "doc_id")
-        .localCheckpoint()
+      val sel = s.createDataFrame(
+        java.util.Arrays.asList(selTop.collect(): _*), selTop.schema)
       val alloc = graft.ml.Sampling.waterFillOver(
         sel.groupBy("source", "lang")
           .agg(sum("n_toks").cast("long").as("avail")))

@@ -1414,7 +1414,12 @@ object TextAnalysis {
     * additionally re-executes the last stage to sample bounds), and
     * the optimizer cannot remove it across the checkpoint boundary.
     */
-  def perplexityBucketsCore(docs: DataFrame): DataFrame = {
+  def perplexityBucketsCore(docs0: DataFrame): DataFrame = {
+    // conditional fan-out (r20): the bigram explode (ref LM build +
+    // per-doc scoring) is the dominant cost and a one-row-group
+    // corpus serializes it; identity below the size gate and on
+    // non-file inputs (q153's checkpointed `cleaned`)
+    val docs = graft.Scale.rebalanceNarrowWideScan(docs0)
     val ref = docs.filter(col("source") === "src0")
       .select(toks(col("text")).as("toks"))
     val c2 = ref.filter(size(col("toks")) >= 2)

@@ -209,6 +209,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("conditional narrow-wide fan-out: operator outputs identical " +
+      "when the gate is forced") {
+    // r20: benchShingleHits / removeSharedSpans / perplexityBuckets /
+    // dsirScores fan their scan out ONLY when the corpus is narrow
+    // AND large. Force the size gate down and pin byte-identical
+    // outputs through two representative operators.
+    val docs = Tables.documents(spark, sfTiny)
+    val plainHits = Dedup.benchShingleHits(docs, 97)
+      .orderBy("doc_id").collect().toSeq
+    val plainSpans = Dedup.removeSharedSpans(docs).collect().toSeq
+    spark.conf.set("spark.graft.fanout.minBytesPerSlot", "1")
+    try {
+      assert(Scale.fanOutTarget(docs)
+        .contains(spark.sparkContext.defaultParallelism))
+      assert(Dedup.benchShingleHits(Tables.documents(spark, sfTiny), 97)
+        .orderBy("doc_id").collect().toSeq == plainHits)
+      assert(Dedup.removeSharedSpans(Tables.documents(spark, sfTiny))
+        .collect().toSeq == plainSpans)
+    } finally spark.conf.unset("spark.graft.fanout.minBytesPerSlot")
+  }
+
   test("cc whole-graph local solve == distributed labels on random " +
       "graphs") {
     // r20: below the local-solve bound connectedComponents collects
